@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every capability from SURVEY §2 is a named `(SparkSession, sfDir)
+  * => DataFrame` here; SQL-expressible ones carry a DuckDB oracle in
+  * [[oracleSql]] (the driver hash-compares results on sf0.01).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Semantic search over the documents corpus (E2 shape). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.pricingSummary _),
+    "q2_revenue_by_nation" -> (Relational.revenueByNation _),
+    "q3_top_orders" -> (Relational.topOrdersByRevenue _),
+    "q4_paginate_orders" -> (Relational.paginateOrders _),
+    "q5_semi_anti_coverage" -> (Relational.customerOrderCoverage _),
+    "q6_except_users" -> (Relational.eventSetOps _),
+    "q7_event_stats" -> (Relational.eventTypeStats _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Relational.pricingSummarySql,
+    "q2_revenue_by_nation" -> Relational.revenueByNationSql,
+    "q3_top_orders" -> Relational.topOrdersByRevenueSql,
+    "q4_paginate_orders" -> Relational.paginateOrdersSql,
+    "q5_semi_anti_coverage" -> Relational.customerOrderCoverageSql,
+    "q6_except_users" -> Relational.eventSetOpsSql,
+    "q7_event_stats" -> Relational.eventTypeStatsSql,
+  )
 }

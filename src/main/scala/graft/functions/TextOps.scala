@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text/scalar column functions.
+  *
+  * Covers the reference's string pipeline — HTML field extraction
+  * (`dynamic_spider.py:53-67`), domain derivation (`db.py:61`),
+  * full-text predicate (`search.py:60-63`), snippet windows
+  * (`search.py:102-112`) — plus the training-data-pipeline text
+  * analysis suite (language ID, quality scoring, token counting,
+  * fingerprinting). Everything is built from codegen'd builtins
+  * (regexp / split / md5 / aggregate HOFs), no UDFs, so the whole text
+  * pipeline stays inside WholeStageCodegen and is expressible in the
+  * DuckDB oracle.
+  */
+object TextOps {
+
+  /** `\w+`-style lowercase tokenizer (reference `search.py:104`:
+    * `re.findall(r"\w+", query.lower())`). Keeps [a-z0-9_] runs. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Full-text match (F2): any query token appears in the text's token
+    * set. The reference delegates to Postgres tsvector/tsquery over
+    * `title || ' ' || domain || ' ' || url` (`search.py:60-63`,
+    * null-strict — quirk Q5); we replicate the null-strictness by NOT
+    * coalescing the concat inputs.
+    */
+  def ftsMatch(text: Column, query: Column): Column =
+    arrays_overlap(tokens(text), tokens(query))
+
+  /** Domain from url: authority host (reference `urlparse(url).netloc`,
+    * `db.py:61`). parse_url is codegen'd in Spark; oracle uses an
+    * equivalent regexp. */
+  def domainOf(url: Column): Column = parse_url(url, lit("HOST"))
+
+  /** Deterministic cross-engine 60-bit string hash: first 15 hex chars
+    * of md5, parsed base-16. DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT.
+    * Basis for fingerprints, shingle hashes, MinHash, SimHash, and
+    * exact-dedup keys.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Snippet (P11, `search.py:102-112`): first query term found in the
+    * lowercased content wins; ±`window` chars around it wrapped in
+    * "... {} ..."; fallback = first 2*window chars + "...".
+    * Term scan = left fold keeping the first non-zero `instr`.
+    */
+  def snippet(content: Column, query: Column, window: Int = 100): Column = {
+    val pos = aggregate(
+      tokens(query), lit(0),
+      (acc, term) => when(acc > 0, acc)
+        .otherwise(coalesce(instr(lower(content), term), lit(0))))
+    val start = greatest(pos - window, lit(1))
+    when(content.isNull, lit(null).cast("string"))
+      .when(pos > 0,
+        concat(lit("... "), substring(content, start, lit(2 * window)),
+          lit(" ...")))
+      .otherwise(concat(substring(content, 1, 2 * window), lit("...")))
+  }
+
+  // ---------------------------------------------------------------
+  // Training-data-pipeline text analysis
+  // ---------------------------------------------------------------
+
+  /** Tiny per-language stopword profiles for the heuristic language
+    * classifier. Deterministic and SQL-expressible (same lists in the
+    * oracle); real systems would use char-n-gram profiles.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "dans", "pour"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "wo3")
+  )
+
+  /** Count of DISTINCT tokens of `c` present in `words`. */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(array_intersect(tokens(c), array(words.map(lit): _*)))
+
+  /** Heuristic language ID: argmax distinct-stopword hits over the
+    * fixed profiles; zero hits → "und"; ties broken by profile order
+    * (first wins).
+    */
+  def langId(c: Column): Column = {
+    val scored = langProfiles.map { case (lang, words) =>
+      (lang, stopwordHits(c, words))
+    }
+    val maxScore = greatest(scored.map(_._2): _*)
+    scored.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(maxScore > 0 && s === maxScore, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: mean of three bounded ratios — length
+    * score (chars/500 capped at 1), alphabetic-char ratio, English
+    * stopword ratio (hits/token * 4 capped at 1). Shape mirrors
+    * C4/Gopher-style heuristics; constants fixed, SQL-portable.
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val lenScore = least(nChars / 500.0, lit(1.0))
+    val alpha = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    val alphaRatio = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
+    val nTok = tokenCount(c).cast("double")
+    val stopHits = size(filter(tokens(c),
+      t => t.isin(langProfiles.head._2.map(lit): _*))).cast("double")
+    val stopRatio = least(when(nTok > 0, stopHits / nTok * 4.0)
+      .otherwise(lit(0.0)), lit(1.0))
+    round((lenScore + alphaRatio + stopRatio) / 3.0, 6)
+  }
+
+  /** Document fingerprint: 60-bit hash of the normalized token stream
+    * (case/punct/whitespace-insensitive content identity). */
+  def fingerprint(c: Column): Column =
+    hash60(concat_ws(" ", tokens(c)))
+
+  /** Word k-shingles ("w1 w2 w3" strings) of the token array; short
+    * docs (< k tokens) collapse to a single whole-doc shingle. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Distinct shingle hash set — basis for Jaccard / MinHash. */
+  def shingleHashes(c: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(c, k), s => hash60(s)))
+}
