@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic derivation of the reference's two tables —
+  * `web_pages` (the crawled corpus, reference `models.py:22-41`) and
+  * `jobs` (the crawl ledger, `models.py:43-55`) — from the driver's
+  * shared parquet testdata, so every serving query is
+  * oracle-checkable: the identical derivation is emitted as a SQL CTE
+  * prefix ([[webPagesCte]] / [[jobsCte]]) for DuckDB.
+  *
+  * Faithfulness notes (SURVEY quirks): title is NULL for id%7==0 rows
+  * so the null-strict FTS concat (Q5) is exercised; meta_tags stores
+  * tag NAMES only (Q3); file_type/embedding_type follow the
+  * reference's html/pdf/image + text/vision domains
+  * (`dynamic_spider.py:75`, `file_handler.py:37-62`).
+  */
+object Corpus {
+
+  val NDomains = 20
+
+  /** web_pages ← part. Purely scalar derivation → identical rows in
+    * Spark and DuckDB; scales with the part table. */
+  def webPages(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val id = col("p_partkey")
+    p.select(
+      id.as("id"),
+      concat(lit("https://d"), pmod(id, lit(NDomains)), lit(".test/p/"), id)
+        .as("url"),
+      concat(lit("d"), pmod(id, lit(NDomains)), lit(".test")).as("domain"),
+      when(pmod(id, lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(col("p_name")).as("title"),
+      col("p_type").as("meta_description"),
+      when(pmod(id, lit(3)) === 0, array(lit("description")))
+        .otherwise(array(lit("description"), lit("keywords")))
+        .as("meta_tags"),
+      concat_ws(" ", col("p_name"), col("p_type"), lit("brand"),
+        col("p_brand")).as("content"),
+      when(pmod(id, lit(10)) < 8, lit("html"))
+        .when(pmod(id, lit(10)) === 8, lit("pdf"))
+        .otherwise(lit("image")).as("file_type"),
+      when(pmod(id, lit(10)) === 9, lit("vision"))
+        .otherwise(lit("text")).as("embedding_type"),
+      expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0, p_partkey % 86400)")
+        .as("last_crawled"))
+  }
+
+  /** The same derivation as ANSI SQL for the DuckDB oracle. */
+  val webPagesCte: String =
+    """web_pages AS (
+      |  SELECT p_partkey AS id,
+      |    'https://d' || (p_partkey % 20) || '.test/p/' || p_partkey AS url,
+      |    'd' || (p_partkey % 20) || '.test' AS domain,
+      |    CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_name END AS title,
+      |    p_type AS meta_description,
+      |    CASE WHEN p_partkey % 3 = 0 THEN ['description']
+      |         ELSE ['description', 'keywords'] END AS meta_tags,
+      |    p_name || ' ' || p_type || ' brand ' || p_brand AS content,
+      |    CASE WHEN p_partkey % 10 < 8 THEN 'html'
+      |         WHEN p_partkey % 10 = 8 THEN 'pdf' ELSE 'image' END AS file_type,
+      |    CASE WHEN p_partkey % 10 = 9 THEN 'vision' ELSE 'text' END AS embedding_type,
+      |    TIMESTAMP '2025-01-01 00:00:00'
+      |      + (p_partkey % 86400) * INTERVAL 1 SECOND AS last_crawled
+      |  FROM part)""".stripMargin
+
+  /** jobs ← orders. Status machine domain: pending | queued | running
+    * | completed | failed (SURVEY §2.I Q3). */
+  def jobs(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val k = col("o_orderkey")
+    o.select(
+      concat(lit("job-"), k).as("id"),
+      when(col("o_orderstatus") === "F",
+          when(pmod(k, lit(11)) === 0, lit("failed")).otherwise(lit("completed")))
+        .when(col("o_orderstatus") === "O", lit("running"))
+        .otherwise(
+          when(pmod(k, lit(2)) === 0, lit("pending")).otherwise(lit("queued")))
+        .as("status"),
+      concat(lit("d"), pmod(col("o_custkey"), lit(NDomains)), lit(".test"))
+        .as("param_domain"),
+      (pmod(k, lit(3)) + 1).cast("int").as("param_depth"),
+      col("o_orderdate").as("created_at"),
+      (col("o_orderdate") + expr("INTERVAL 300 SECONDS"))
+        .as("updated_at"))
+  }
+
+  val jobsCte: String =
+    """jobs AS (
+      |  SELECT 'job-' || o_orderkey AS id,
+      |    CASE WHEN o_orderstatus = 'F' THEN
+      |           CASE WHEN o_orderkey % 11 = 0 THEN 'failed' ELSE 'completed' END
+      |         WHEN o_orderstatus = 'O' THEN 'running'
+      |         ELSE CASE WHEN o_orderkey % 2 = 0 THEN 'pending' ELSE 'queued' END
+      |    END AS status,
+      |    'd' || (o_custkey % 20) || '.test' AS param_domain,
+      |    CAST(o_orderkey % 3 + 1 AS INT) AS param_depth,
+      |    o_orderdate AS created_at,
+      |    o_orderdate + 300 * INTERVAL 1 SECOND AS updated_at
+      |  FROM orders)""".stripMargin
+
+  /** Corpus embeddings: web_pages joined to the shared embeddings
+    * table by id mod |embeddings| — gives every page a real unit
+    * vector deterministically. The embeddings side is small relative
+    * to the corpus (a model's output table) → broadcast it.
+    */
+  def webPagesWithEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val wp = webPages(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count() // metadata-scale count, computed once
+    wp.withColumn("vec_id", pmod(col("id"), lit(n)))
+      .join(broadcast(emb.select(col("vec_id"), col("embedding"))),
+        Seq("vec_id"))
+  }
+
+  /** CTE for [[webPagesWithEmbeddings]]; |embeddings| via scalar
+    * subquery keeps it SF-independent. */
+  val webPagesEmbCte: String =
+    webPagesCte + "," + """
+      |wp_emb AS (
+      |  SELECT w.*, e.embedding
+      |  FROM (SELECT *, id % (SELECT COUNT(*) FROM embeddings) AS vec_id
+      |        FROM web_pages) w
+      |  JOIN embeddings e USING (vec_id))""".stripMargin
+}

@@ -25,6 +25,16 @@ object SparkEntry {
     "q5_semi_anti_coverage" -> (Relational.customerOrderCoverage _),
     "q6_except_users" -> (Relational.eventSetOps _),
     "q7_event_stats" -> (Relational.eventTypeStats _),
+    "q8_dashboard" -> (Search.dashboard _),
+    "q9_listing" -> (Search.listing _),
+    "q10_semantic_search" -> (Search.semanticSearch _),
+    "q11_snippet_search" -> (Search.snippetSearch _),
+    "q12_rag_context" -> (Search.ragContext _),
+    "q13_upsert_merge" -> (Upsert.upsertMerge _),
+    "q14_job_status_counts" -> (Ledger.statusCounts _),
+    "q15_job_lookup" -> (Ledger.jobLookup _),
+    "q16_job_update" -> (Ledger.jobUpdate _),
+    "q17_job_delete" -> (Ledger.jobDelete _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +47,15 @@ object SparkEntry {
     "q5_semi_anti_coverage" -> Relational.customerOrderCoverageSql,
     "q6_except_users" -> Relational.eventSetOpsSql,
     "q7_event_stats" -> Relational.eventTypeStatsSql,
+    "q8_dashboard" -> Search.dashboardSql,
+    "q9_listing" -> Search.listingSql,
+    "q10_semantic_search" -> Search.semanticSearchSql,
+    "q11_snippet_search" -> Search.snippetSearchSql,
+    "q12_rag_context" -> Search.ragContextSql,
+    "q13_upsert_merge" -> Upsert.upsertMergeSql,
+    "q14_job_status_counts" -> Ledger.statusCountsSql,
+    "q15_job_lookup" -> Ledger.jobLookupSql,
+    "q16_job_update" -> Ledger.jobUpdateSql,
+    "q17_job_delete" -> Ledger.jobDeleteSql,
   )
 }

@@ -164,22 +164,21 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** Set ops (§2.G): users who signed up but never purchased
-    * (EXCEPT), plus intersect/union counts as scalar columns. */
+  /** Set ops (§2.G): (user, day) pairs with a purchase but no error
+    * that day — EXCEPT over a derived composite key. */
   def eventSetOps(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
-    val signup = e.filter(col("event_type") === "signup")
-      .select(col("user_id")).distinct()
-    val purchase = e.filter(col("event_type") === "purchase")
-      .select(col("user_id")).distinct()
-    signup.except(purchase).orderBy(col("user_id"))
+    def days(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+    days("purchase").except(days("error"))
+      .orderBy(col("user_id"), col("d"))
   }
 
   val eventSetOpsSql: String =
-    """SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase'
       |EXCEPT
-      |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-      |ORDER BY user_id""".stripMargin
+      |SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'error'
+      |ORDER BY user_id, d""".stripMargin
 
   /** Conditional aggregation in one pass (A3 shape — the reference's
     * dashboard runs 4 separate queries; ours is a single scan). */
