@@ -35,6 +35,17 @@ object SparkEntry {
     "q15_job_lookup" -> (Ledger.jobLookup _),
     "q16_job_update" -> (Ledger.jobUpdate _),
     "q17_job_delete" -> (Ledger.jobDelete _),
+    "q18_lang_id" -> (TextAnalysis.langIdConfusion _),
+    "q19_quality_by_source" -> (TextAnalysis.qualityBySource _),
+    "q20_token_stats" -> (TextAnalysis.tokenStats _),
+    "q21_fingerprints" -> (TextAnalysis.fingerprints _),
+    "q22_exact_dedup" -> (Dedup.exactDedup _),
+    "q23_jaccard_pairs" -> (Dedup.jaccardPairs _),
+    "q24_minhash_lsh" -> (Dedup.minhashLsh _),
+    "q25_simhash_pairs" -> (Dedup.simhashPairs _),
+    "q26_knn_brute_force" -> (Similarity.knnBruteForce _),
+    "q27_embedding_near_dup" -> (Similarity.embeddingNearDup _),
+    "q28_knn_ivf" -> (Similarity.knnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +68,16 @@ object SparkEntry {
     "q15_job_lookup" -> Ledger.jobLookupSql,
     "q16_job_update" -> Ledger.jobUpdateSql,
     "q17_job_delete" -> Ledger.jobDeleteSql,
+    "q18_lang_id" -> TextAnalysis.langIdConfusionSql,
+    "q19_quality_by_source" -> TextAnalysis.qualityBySourceSql,
+    "q20_token_stats" -> TextAnalysis.tokenStatsSql,
+    "q21_fingerprints" -> TextAnalysis.fingerprintsSql,
+    "q22_exact_dedup" -> Dedup.exactDedupSql,
+    "q23_jaccard_pairs" -> Dedup.jaccardPairsSql,
+    "q24_minhash_lsh" -> Dedup.minhashLshSql,
+    "q25_simhash_pairs" -> Dedup.simhashPairsSql,
+    "q26_knn_brute_force" -> Similarity.knnBruteForceSql,
+    "q27_embedding_near_dup" -> Similarity.embeddingNearDupSql,
+    "q28_knn_ivf" -> Similarity.knnIvfSql,
   )
 }

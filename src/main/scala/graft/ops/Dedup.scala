@@ -1,0 +1,282 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the `documents` table — the core
+  * training-data-pipeline family: exact (fingerprint groupBy),
+  * n-gram Jaccard pair similarity, MinHash+LSH near-dup, SimHash.
+  *
+  * Test corpora are the shared documents table plus deterministic
+  * mutated copies (upper-cased for exact-dup, token-appended for
+  * near-dup), derived identically in the SQL oracle, so each
+  * algorithm provably finds the planted duplicates.
+  *
+  * Scale design: every algorithm is a scan → per-row signature →
+  * shuffle on signature/band key → within-bucket verification. No
+  * all-pairs product ever materializes: candidates come from
+  * hash-bucket joins (shingle, band, bit-prefix), which is the
+  * standard 100 TB-safe shape; the verification join touches only
+  * candidate pairs.
+  */
+object Dedup {
+
+  private val P31 = 2147483647L // 2^31-1, MinHash modulus
+
+  /** Fixed MinHash coefficients — deterministic LCG, shared verbatim
+    * with the generated oracle SQL. */
+  val minhashCoeffs: Seq[(Long, Long)] = {
+    var x = 42L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 33) % P31
+    }
+    Seq.fill(16)((math.max(1L, next()), next()))
+  }
+
+  // ---- corpora -------------------------------------------------
+
+  /** documents ∪ upper-cased copies of id%7==0 (fingerprint-identical
+    * dups) — exercises case/whitespace-insensitive exact dedup. */
+  private def corpusExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          upper(col("text")).as("text")))
+  }
+
+  private val corpusExactCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, upper(text) AS text
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** documents ∪ near-dup copies of id%10==0 (three tokens appended →
+    * Jaccard ≈ 0.9 against the original). */
+  private def corpusNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" near dup tail")).as("text")))
+  }
+
+  private val corpusNearCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' near dup tail' AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val tokSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"
+
+  /** shingle-hash list SQL (3-gram, distinct, md5-based 60-bit). */
+  private val shingleSql =
+    s"""list_distinct(list_transform(
+       |  CASE WHEN len($tokSql) < 3 THEN [array_to_string($tokSql, ' ')]
+       |       ELSE list_transform(generate_series(1, len($tokSql) - 2),
+       |              i -> array_to_string(($tokSql)[i:i+2], ' ')) END,
+       |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))""".stripMargin
+
+  // ---- 1. exact dedup ------------------------------------------
+
+  /** Exact dedup via normalized fingerprint: groups, keeps min id as
+    * canonical, reports collapse stats. One shuffle on the 60-bit
+    * fingerprint — the exact shape that holds at 100 TB. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    corpusExact(spark, sfDir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(
+        count(lit(1)).as("copies"), min(col("doc_id")).as("canonical_id"))
+      .agg(
+        count(lit(1)).as("distinct_docs"),
+        sum(col("copies")).as("total_docs"),
+        count(when(col("copies") > 1, 1)).as("dup_groups"),
+        sum(when(col("copies") > 1, col("copies") - 1).otherwise(lit(0L)))
+          .as("docs_removed"),
+        sum(col("canonical_id")).as("canonical_id_sum"))
+
+  val exactDedupSql: String =
+    s"""WITH $corpusExactCte,
+      |fps AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(array_to_string($tokSql, ' ')), 1, 15))::BIGINT AS fp
+      |  FROM corpus),
+      |groups AS (
+      |  SELECT fp, COUNT(*) AS copies, MIN(doc_id) AS canonical_id
+      |  FROM fps GROUP BY fp)
+      |SELECT COUNT(*) AS distinct_docs, SUM(copies) AS total_docs,
+      |  COUNT(*) FILTER (WHERE copies > 1) AS dup_groups,
+      |  SUM(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS docs_removed,
+      |  SUM(canonical_id) AS canonical_id_sum
+      |FROM groups""".stripMargin
+
+  // ---- 2. n-gram Jaccard pairs ---------------------------------
+
+  /** Near-dup pairs by exact 3-gram Jaccard ≥ 0.6. Candidates come
+    * from an inverted shingle→doc index self-joined per shingle (no
+    * all-pairs); the pair count per shingle bucket bounds the blowup,
+    * and the final Jaccard uses pre-computed set sizes. */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = corpusNear(spark, sfDir)
+      .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("sh"))
+    val sized = docs.withColumn("n_sh", size(col("sh")))
+    val inv = sized.select(col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("h"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .withColumn("jaccard", round(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val jaccardPairsSql: String =
+    s"""WITH $corpusNearCte,
+      |sh AS (SELECT doc_id, $shingleSql AS sh FROM corpus),
+      |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,
+      |    COUNT(*) AS shared
+      |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT a_id, b_id,
+      |  ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+      |FROM pairs
+      |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- 3. MinHash + LSH ----------------------------------------
+
+  /** 16-permutation MinHash signature, banded 4×4; band-bucket join
+    * yields candidates, exact Jaccard ≥ 0.5 verifies. The signature
+    * is 16 longs per doc regardless of doc length — the property that
+    * makes near-dedup feasible at 100 TB (shuffle carries signatures,
+    * not shingle sets). */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = corpusNear(spark, sfDir)
+      .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("sh"))
+    val sig = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("sh"),
+        x => (lit(a) * pmod(x, lit(P31)) + lit(b)) % lit(P31))).as(s"m$i")
+    }
+    val signed = docs.select(col("doc_id") +: col("sh") +: sig: _*)
+    val bands = (0 until 4).map { bi =>
+      concat_ws("-", (0 until 4).map(ri => col(s"m${bi * 4 + ri}")): _*)
+        .as(s"band$bi")
+    }
+    val banded = signed.select(
+      (col("doc_id") +: col("sh") +: bands) :+ size(col("sh")).as("n_sh"): _*)
+    val inv = banded.select(col("doc_id"), col("sh"), col("n_sh"),
+      explode(array((0 until 4).map(bi =>
+        concat_ws(":", lit(bi), col(s"band$bi"))): _*)).as("bkey"))
+    val cand = inv.as("a").join(inv.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .distinct()
+    cand
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val minhashLshSql: String = {
+    val sigExprs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(sh, x -> ($a * (x % $P31) + $b) % $P31)) AS m$i"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until 4).map { bi =>
+      val cols = (0 until 4).map(ri => s"m${bi * 4 + ri}")
+      s"$bi || ':' || ${cols.mkString(" || '-' || ")} AS band$bi"
+    }.mkString(",\n    ")
+    s"""WITH $corpusNearCte,
+      |sh AS (SELECT doc_id, $shingleSql AS sh FROM corpus),
+      |sig AS (
+      |  SELECT doc_id, sh, len(sh) AS n_sh,
+      |    $sigExprs
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, sh, n_sh,
+      |    $bandExprs
+      |  FROM sig),
+      |inv AS (
+      |  SELECT doc_id, sh, n_sh, unnest([band0, band1, band2, band3]) AS bkey
+      |  FROM banded),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.sh AS sha, b.sh AS shb, a.n_sh AS na, b.n_sh AS nb
+      |  FROM inv a JOIN inv b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id,
+      |  ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+      |FROM (SELECT a_id, b_id, na, nb,
+      |        len(list_intersect(sha, shb)) AS shared FROM cand)
+      |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---- 4. SimHash ----------------------------------------------
+
+  /** 32-bit SimHash over distinct token hashes; near-dups = pairs
+    * with equal high-16-bit bucket and Hamming distance ≤ 6. The
+    * bucket join is the scale path (multi-probe banding generalizes
+    * it); Hamming check via bit_count(xor). */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val hs = array_distinct(transform(TextOps.tokens(col("text")),
+      t => TextOps.hash60(t)))
+    val simhash = (0 until 32).map { j =>
+      when(aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L)
+          .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val docs = corpusNear(spark, sfDir)
+      .select(col("doc_id"), hs.as("hs"))
+      .withColumn("simhash", simhash)
+      .withColumn("bucket", shiftright(col("simhash"), 16))
+      .select(col("doc_id"), col("simhash"), col("bucket"))
+    docs.as("a").join(docs.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val simhashPairsSql: String = {
+    val bitTerms = (0 until 32).map { j =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n      + ")
+    s"""WITH $corpusNearCte,
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform($tokSql,
+      |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS hs
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT doc_id,
+      |    ($bitTerms) AS simhash
+      |  FROM hs),
+      |docs AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+}

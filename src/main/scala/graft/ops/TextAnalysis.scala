@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over the `documents` table — the per-document
+  * scalar stage of a training-data pipeline: language ID, quality
+  * scoring, token counting, fingerprinting. All single-pass scans
+  * with codegen'd expressions; aggregations are partial-agg friendly
+  * (groupBy on low-cardinality keys).
+  *
+  * The oracle SQL for language ID / quality is GENERATED from the
+  * same [[TextOps.langProfiles]] constants the Spark expressions use,
+  * so the two can never drift.
+  */
+object TextAnalysis {
+
+  private val tokSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"
+
+  /** Language-ID confusion matrix: actual lang × predicted lang. */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), TextOps.langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+
+  val langIdConfusionSql: String = {
+    val scores = TextOps.langProfiles.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(toks, $arr)) AS s_$lang"
+    }.mkString(",\n      ")
+    val mx = TextOps.langProfiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
+    val cases = TextOps.langProfiles
+      .map(p => s"WHEN mx > 0 AND s_${p._1} = mx THEN '${p._1}'")
+      .mkString("\n        ")
+    s"""WITH scored AS (
+      |  SELECT *, $mx AS mx FROM (
+      |    SELECT lang,
+      |      ${scores.replace("toks", tokSql)}
+      |    FROM documents)),
+      |pred AS (
+      |  SELECT lang, CASE $cases ELSE 'und' END AS pred FROM scored)
+      |SELECT lang, pred, COUNT(*) AS n FROM pred
+      |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  }
+
+  /** Quality-score rollup per source: exact-decimal mean of the
+    * bounded heuristic score. */
+  def qualityBySource(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), TextOps.qualityScore(col("text")).as("q"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("q").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_quality"),
+        min(col("q")).as("min_quality"),
+        max(col("q")).as("max_quality"))
+      .orderBy(col("source"))
+
+  val qualityBySourceSql: String = {
+    val stop = TextOps.langProfiles.head._2.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""WITH q AS (
+      |  SELECT source, ROUND((
+      |      LEAST(length(text) / 500.0, 1.0)
+      |      + CASE WHEN length(text) > 0
+      |             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+      |             ELSE 0.0 END
+      |      + LEAST(CASE WHEN len($tokSql) > 0
+      |              THEN len(list_filter($tokSql, t -> list_contains($stop, t)))
+      |                   / CAST(len($tokSql) AS DOUBLE) * 4.0
+      |              ELSE 0.0 END, 1.0)
+      |    ) / 3.0, 6) AS q
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+      |  MIN(q) AS min_quality, MAX(q) AS max_quality
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Token-count statistics per language. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), TextOps.tokenCount(col("text")).as("nt"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        max(col("nt")).as("max_tokens"),
+        round(sum(col("nt")).cast("double") / count(lit(1)), 2)
+          .as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  val tokenStatsSql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(nt) AS total_tokens, MAX(nt) AS max_tokens,
+      |  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 2) AS avg_tokens
+      |FROM (SELECT lang, len($tokSql) AS nt FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Document fingerprints (rolling content identity) for a key slice. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintsSql: String =
+    s"""SELECT doc_id,
+      |  ('0x' || substr(md5(array_to_string($tokSql, ' ')), 1, 15))::BIGINT AS fp
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+}
