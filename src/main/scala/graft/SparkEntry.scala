@@ -46,6 +46,11 @@ object SparkEntry {
     "q26_knn_brute_force" -> (Similarity.knnBruteForce _),
     "q27_embedding_near_dup" -> (Similarity.embeddingNearDup _),
     "q28_knn_ivf" -> (Similarity.knnIvf _),
+    "q29_crawl_bfs" -> (Crawl.frontierBfs _),
+    "q30_route_extract" -> (Html.routeAndExtract _),
+    "q31_featurized" -> (TextAnalysis.featurized _),
+    "q32_structured_extract" -> (Html.structuredExtract _),
+    "q33_media_features" -> (Media.mediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +84,10 @@ object SparkEntry {
     "q26_knn_brute_force" -> Similarity.knnBruteForceSql,
     "q27_embedding_near_dup" -> Similarity.embeddingNearDupSql,
     "q28_knn_ivf" -> Similarity.knnIvfSql,
+    "q29_crawl_bfs" -> Crawl.frontierBfsSql,
+    "q30_route_extract" -> Html.routeAndExtractSql,
+    "q31_featurized" -> TextAnalysis.featurizedSql,
+    "q32_structured_extract" -> Html.structuredExtractSql,
+    "q33_media_features" -> Media.mediaFeaturesSql,
   )
 }

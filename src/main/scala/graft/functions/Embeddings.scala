@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text-embedding featurizer — the testable stand-in
+  * for the reference's Ollama embedding calls (P5/P6,
+  * `embeddings.py:12-43`): hash each token into one of `dims`
+  * signed buckets, count, L2-normalize. Same trait a batched-HTTP
+  * implementation would fill in production; this one is pure Catalyst
+  * expressions (md5-hash → bucket/sign → per-dim signed count), so
+  * it is codegen-friendly, shuffle-free, and oracle-expressible.
+  */
+object Embeddings {
+
+  val Dims = 64
+
+  /** Signed hashed bag-of-words, L2-normalized. */
+  def featurize(text: Column, dims: Int = Dims): Column = {
+    val toks = TextOps.tokens(text)
+    val hashes = transform(toks, t => TextOps.hash60(t))
+    val raw = transform(sequence(lit(0), lit(dims - 1)), i =>
+      aggregate(hashes, lit(0.0), (acc, h) =>
+        acc + when(pmod(h, lit(dims)) === i,
+          when(pmod(shiftright(h, 6), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))).otherwise(lit(0.0))))
+    VectorOps.l2Normalize(raw)
+  }
+
+  /** The reference's full chain: featurize → L2 normalize → truncate
+    * or zero-pad (quirk Q1 order). */
+  def embedText(text: Column, dims: Int = Dims): Column =
+    VectorOps.truncateOrPad(featurize(text, dims), dims)
+
+  /** SQL rendering of [[featurize]] for the DuckDB oracle: a CTE
+    * chain mapping `src(keyCol, textCol)` → `feat(keyCol, v)`. */
+  def featurizeCtes(src: String, keyCol: String, textCol: String,
+      dims: Int = Dims): String = {
+    val tok = s"list_filter(string_split_regex(lower($textCol), '[^a-z0-9_]+'), x -> x != '')"
+    s"""_h AS (
+       |  SELECT $keyCol, list_transform($tok,
+       |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+       |  FROM $src),
+       |_raw AS (
+       |  SELECT $keyCol, list_transform(generate_series(0, ${dims - 1}), i ->
+       |      CAST(len(list_filter(hs, h -> h % $dims = i AND (h >> 6) % 2 = 0)) AS DOUBLE)
+       |      - len(list_filter(hs, h -> h % $dims = i AND (h >> 6) % 2 = 1))) AS raw
+       |  FROM _h),
+       |feat AS (
+       |  SELECT $keyCol, list_transform(raw, x -> x / nrm) AS v
+       |  FROM (SELECT $keyCol, raw, sqrt(list_dot_product(raw, raw)) AS nrm
+       |        FROM _raw))""".stripMargin
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl frontier expansion (S1 + J3): BFS over a link graph with
+  * per-depth dedup — the Spark shape of the reference's Scrapy
+  * spider + dupefilter (`dynamic_spider.py:13-25`, depth-limited by
+  * `DEPTH_LIMIT`, `settings.py:10`).
+  *
+  * The link graph derives from lineitem (order page → part page
+  * links, keys folded mod 2000), the BFS is a driver-side loop of
+  * `join frontier → distinct → anti-join visited → union`, one
+  * DataFrame stage per depth level — partition-parallel fetch with a
+  * set-semantics frontier, which is how an iterative crawl scales
+  * (frontier shuffles on node id; visited set stays distributed).
+  * Oracle: DuckDB recursive CTE with the same edge derivation.
+  */
+object Crawl {
+
+  val MaxDepth = 3
+
+  /** (src, dst) edge list folded onto 2000 synthetic page ids. */
+  private def edges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(pmod(col("l_orderkey"), lit(2000)).as("src"),
+        pmod(col("l_partkey"), lit(2000)).as("dst"))
+      .distinct()
+
+  /** BFS from page 0: every reachable page with its minimum depth
+    * ≤ 3, plus the per-depth frontier size the reference exposes as
+    * crawl stats (A5). */
+  def frontierBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val es = edges(spark, sfDir).cache()
+    try {
+      var visited = spark.range(1).select(lit(0L).as("node"),
+        lit(0).as("depth"))
+      var frontier = visited.select(col("node"))
+      for (d <- 1 to MaxDepth) {
+        val next = es.join(frontier, col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+        visited = visited.unionByName(
+          next.withColumn("depth", lit(d))).localCheckpoint()
+        frontier = next.select(col("node"))
+      }
+      visited.groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("node")).as("node_sum"))
+        .orderBy(col("depth"))
+    } finally es.unpersist()
+  }
+
+  val frontierBfsSql: String =
+    s"""WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+      |  FROM lineitem),
+      |bfs AS (
+      |  SELECT 0::BIGINT AS node, 0 AS depth
+      |  UNION
+      |  SELECT e.dst AS node, b.depth + 1 AS depth
+      |  FROM bfs b JOIN edges e ON e.src = b.node
+      |  WHERE b.depth < $MaxDepth),
+      |mind AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node)
+      |SELECT depth, COUNT(*) AS n_pages, CAST(SUM(node) AS BIGINT) AS node_sum
+      |FROM mind GROUP BY depth ORDER BY depth""".stripMargin
+}

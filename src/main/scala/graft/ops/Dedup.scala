@@ -110,10 +110,10 @@ object Dedup {
       |groups AS (
       |  SELECT fp, COUNT(*) AS copies, MIN(doc_id) AS canonical_id
       |  FROM fps GROUP BY fp)
-      |SELECT COUNT(*) AS distinct_docs, SUM(copies) AS total_docs,
+      |SELECT COUNT(*) AS distinct_docs, CAST(SUM(copies) AS BIGINT) AS total_docs,
       |  COUNT(*) FILTER (WHERE copies > 1) AS dup_groups,
-      |  SUM(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS docs_removed,
-      |  SUM(canonical_id) AS canonical_id_sum
+      |  CAST(SUM(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+      |  CAST(SUM(canonical_id) AS BIGINT) AS canonical_id_sum
       |FROM groups""".stripMargin
 
   // ---- 2. n-gram Jaccard pairs ---------------------------------
@@ -254,7 +254,7 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= 6)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("hamming"))
+        col("hamming").cast("long").as("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -274,7 +274,7 @@ object Dedup {
       |  FROM hs),
       |docs AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       |FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
       |ORDER BY a_id, b_id""".stripMargin

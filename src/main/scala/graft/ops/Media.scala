@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted per
+  * partition — the Spark-side shape (schema, partitioning, typed
+  * batch iteration) of a media pipeline.
+  *
+  * The DECODE STEP IS A DETERMINISTIC STUB: real pixel/sample
+  * decoding needs image/audio libraries this container doesn't ship,
+  * so `decodeFeatures` computes bytewise statistics standing in for
+  * "decode then featurize". Everything around it — the binary
+  * column, the metadata columns, the `mapPartitions` batch loop with
+  * a case-class row type, the downstream aggregation — is the real
+  * plumbing a codec-backed implementation would keep unchanged.
+  */
+object Media {
+
+  case class MediaRow(id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int)
+  case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
+      mean_byte: Double, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** Synthetic media table: 16 deterministic bytes per row (md5 of
+    * the part name — both engines can derive them), typed metadata. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir).select(
+      col("p_partkey").as("id"),
+      when(pmod(col("p_partkey"), lit(3)) === 0, lit("audio"))
+        .otherwise(lit("image")).as("kind"),
+      unhex(md5(col("p_name"))).as("content"),
+      (lit(64) + pmod(col("p_partkey"), lit(512)).cast("int")).as("width"),
+      (lit(64) + pmod(col("p_partkey") * 7, lit(512)).cast("int"))
+        .as("height"))
+
+  /** STUB decode: bytewise mean + 4-bucket histogram (by top 2 bits).
+    * A real implementation would decode pixels/samples here; the
+    * iterator shape (per-partition batch, no driver collect) is what
+    * matters for scale. */
+  private def decodeFeatures(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val bytes = r.content.map(_ & 0xff)
+      val hist = new Array[Int](4)
+      bytes.foreach(b => hist(b >> 6) += 1)
+      MediaFeatures(r.id, r.kind, bytes.length,
+        math.round(bytes.sum.toDouble / bytes.length * 10000.0) / 10000.0,
+        hist(0), hist(1), hist(2), hist(3))
+    }
+
+  /** The media feature-extraction query: typed mapPartitions over the
+    * binary column, then a per-kind rollup. */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[MediaRow] = mediaTable(spark, sfDir).as[MediaRow]
+    val feats = ds.mapPartitions(decodeFeatures).toDF()
+    feats.groupBy(col("kind")).agg(
+      count(lit(1)).as("n_media"),
+      round(sum(col("mean_byte").cast("decimal(18,4)")).cast("double")
+        / count(lit(1)), 4).as("avg_mean_byte"),
+      sum(col("h0")).as("h0"), sum(col("h1")).as("h1"),
+      sum(col("h2")).as("h2"), sum(col("h3")).as("h3"))
+      .orderBy(col("kind"))
+  }
+
+  /** Oracle: identical byte math from the md5 hex string (DuckDB
+    * derives the same 16 bytes as hex digit pairs). */
+  val mediaFeaturesSql: String =
+    """WITH media AS (
+      |  SELECT p_partkey AS id,
+      |    CASE WHEN p_partkey % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
+      |    md5(p_name) AS hx
+      |  FROM part),
+      |bytes AS (
+      |  SELECT id, kind,
+      |    list_transform(generate_series(0, 15),
+      |      i -> ('0x' || substr(hx, 2 * i + 1, 2))::INT) AS bs
+      |  FROM media),
+      |feats AS (
+      |  SELECT id, kind,
+      |    ROUND(CAST(list_sum(bs) AS DOUBLE) / 16, 4) AS mean_byte,
+      |    len(list_filter(bs, b -> b // 64 = 0)) AS h0,
+      |    len(list_filter(bs, b -> b // 64 = 1)) AS h1,
+      |    len(list_filter(bs, b -> b // 64 = 2)) AS h2,
+      |    len(list_filter(bs, b -> b // 64 = 3)) AS h3
+      |  FROM bytes)
+      |SELECT kind, COUNT(*) AS n_media,
+      |  ROUND(CAST(SUM(CAST(mean_byte AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_mean_byte,
+      |  CAST(SUM(h0) AS BIGINT) AS h0, CAST(SUM(h1) AS BIGINT) AS h1, CAST(SUM(h2) AS BIGINT) AS h2, CAST(SUM(h3) AS BIGINT) AS h3
+      |FROM feats GROUP BY kind ORDER BY kind""".stripMargin
+}

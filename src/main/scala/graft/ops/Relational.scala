@@ -123,7 +123,7 @@ object Relational {
         col("o_totalprice"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 40 && col("rn") <= 60)
-      .select(col("rn"), col("o_orderkey"), col("o_custkey"),
+      .select(col("rn").cast("long").as("rn"), col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
       .orderBy(col("rn"))
   }

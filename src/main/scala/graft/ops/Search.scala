@@ -88,7 +88,7 @@ object Search {
         Window.partitionBy()))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 10 && col("rn") <= 20)
-      .select(col("total"), col("rn"), col("id"), col("url"), col("domain"),
+      .select(col("total"), col("rn").cast("long").as("rn"), col("id"), col("url"), col("domain"),
         col("title"), unix_timestamp(col("last_crawled")).as("crawled_s"))
       .orderBy(col("rn"))
   }

@@ -34,8 +34,8 @@ object Similarity {
         Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("n_id"), round(col("sim"), 6).as("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -129,8 +129,8 @@ object Similarity {
         Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("n_id"), round(col("sim"), 6).as("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
 

@@ -88,14 +88,14 @@ object TextAnalysis {
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("nt")).as("total_tokens"),
-        max(col("nt")).as("max_tokens"),
+        max(col("nt")).cast("long").as("max_tokens"),
         round(sum(col("nt")).cast("double") / count(lit(1)), 2)
           .as("avg_tokens"))
       .orderBy(col("lang"))
 
   val tokenStatsSql: String =
     s"""SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(nt) AS total_tokens, MAX(nt) AS max_tokens,
+      |  CAST(SUM(nt) AS BIGINT) AS total_tokens, CAST(MAX(nt) AS BIGINT) AS max_tokens,
       |  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 2) AS avg_tokens
       |FROM (SELECT lang, len($tokSql) AS nt FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
@@ -111,4 +111,26 @@ object TextAnalysis {
     s"""SELECT doc_id,
       |  ('0x' || substr(md5(array_to_string($tokSql, ' ')), 1, 15))::BIGINT AS fp
       |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+
+  /** Deterministic text-embedding featurizer (P5 stand-in) exploded
+    * to (doc_id, dim, value) — verifies the full hash-bucket → signed
+    * count → L2-normalize chain per dimension. */
+  def featurized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Embeddings.featurize(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("dim"),
+        round(col("col"), 6).as("v"))
+      .orderBy(col("doc_id"), col("dim"))
+
+  val featurizedSql: String = {
+    val ctes = graft.functions.Embeddings.featurizeCtes(
+      "(SELECT doc_id, text FROM documents WHERE doc_id < 10)",
+      "doc_id", "text")
+    s"""WITH $ctes
+      |SELECT doc_id, i - 1 AS dim, ROUND(v[i], 6) AS v
+      |FROM feat CROSS JOIN generate_series(1, 64) AS t(i)
+      |ORDER BY doc_id, dim""".stripMargin
+  }
 }

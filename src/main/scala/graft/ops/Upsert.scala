@@ -73,7 +73,7 @@ object Upsert {
       |SELECT COUNT(*) AS n_rows,
       |  COUNT(*) FILTER (WHERE content LIKE 'updated %') AS n_updated,
       |  COUNT(*) FILTER (WHERE content = 'fresh page') AS n_inserted,
-      |  SUM(id) AS id_sum,
+      |  CAST(SUM(id) AS BIGINT) AS id_sum,
       |  CAST(epoch(MAX(last_crawled)) AS BIGINT) AS max_crawled_s
       |FROM merged""".stripMargin
 }
