@@ -12,9 +12,28 @@ import graft.ops._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. Semantic search over the documents corpus (E2 shape). */
-  def entry(spark: SparkSession): DataFrame =
-    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+    * rows>0. The reference's E2 semantic search end-to-end: featurize
+    * the query string, score the featurized document corpus with
+    * negative-inner-product distance, top-5, snippet around the first
+    * query-term hit (`search.py:77-99`). */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Embeddings, TextOps, VectorOps}
+    val sfDir = "/root/testdata/sf0.001"
+    val query = "fast merge window"
+    val corpus = Tables.documents(spark, sfDir)
+      .withColumn("embedding", Embeddings.embedText(col("text")))
+    val q = spark.range(1)
+      .select(Embeddings.embedText(lit(query)).as("q_emb"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("distance",
+        VectorOps.negDot(col("embedding"), col("q_emb")))
+      .filter(col("distance") <= 0.05)
+      .orderBy(col("distance"), col("doc_id"))
+      .limit(5)
+      .select(col("doc_id"), round(col("distance"), 6).as("distance"),
+        TextOps.snippet(col("text"), lit(query)).as("snippet"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.functions.{Embeddings, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest — the Spark shape of the reference's
+  * Celery/Redis pipeline (SURVEY §2.I): every scraped PageItem flows
+  * through embed → normalize/truncate → upsert, at-least-once with an
+  * idempotent sink, so effectively exactly-once (Q2). The per-item
+  * queue becomes micro-batch partition parallelism; ordering is
+  * arrival order, no event-time/watermark semantics (Q4), matching
+  * the reference.
+  *
+  * `transformBatch` is the pure per-batch pipeline (unit-testable,
+  * shared between streaming and batch backfill); [[run]] wires it to
+  * any streaming source via foreachBatch + [[upsertInto]], the
+  * url-keyed newest-wins merge (S5).
+  */
+object Ingest {
+
+  /** The embed stage of E1: drop rows the reference's task guards
+    * drop (`tasks.py:66-74`: null url, or null content on non-image
+    * rows), derive domain, embed text content, normalize-then-pad
+    * (quirk Q1 order), stamp processing time. */
+  def transformBatch(items: DataFrame, batchTime: java.sql.Timestamp): DataFrame =
+    items
+      .filter(col("url").isNotNull &&
+        (col("content").isNotNull || col("file_type") === "image"))
+      .withColumn("domain", TextOps.domainOf(col("url")))
+      .withColumn("embedding",
+        when(col("embedding_type") === "text",
+          Embeddings.embedText(col("content")))
+          .otherwise(Embeddings.embedText(col("url")))) // vision stand-in
+      .withColumn("last_crawled", lit(batchTime))
+
+  /** S5 upsert-merge of a processed batch into the corpus state:
+    * union + keep newest per url. Partitioned by the merge key —
+    * the only shuffle — and idempotent (re-applying a batch is a
+    * no-op), which is what makes retry-based delivery exactly-once
+    * in effect. */
+  def upsertInto(state: DataFrame, batch: DataFrame): DataFrame = {
+    val cols = state.columns
+    state.unionByName(batch.select(cols.map(col): _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("url"))
+          .orderBy(col("last_crawled").desc)))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Job-ledger state transition (Q3): pending|queued → running →
+    * completed/failed, driven per batch. */
+  def transition(ledger: DataFrame, jobId: String, to: String,
+      at: java.sql.Timestamp): DataFrame =
+    ledger.withColumn("status",
+        when(col("id") === jobId, lit(to)).otherwise(col("status")))
+      .withColumn("updated_at",
+        when(col("id") === jobId, lit(at)).otherwise(col("updated_at")))
+
+  /** Wire a streaming PageItem source through the pipeline into a
+    * parquet-backed corpus dir, one upsert-merge per micro-batch. */
+  def run(spark: SparkSession, source: DataFrame, corpusDir: String,
+      checkpointDir: String) = {
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // monotonic batch stamp → newest-wins merge is deterministic
+        // across retries (real deployments use ingestion time)
+        val t = new java.sql.Timestamp(batchId)
+        val processed = transformBatch(batch, t)
+        val sess = batch.sparkSession
+        val existing =
+          try sess.read.parquet(corpusDir)
+          catch { case _: Throwable => processed.limit(0) }
+        upsertInto(existing, processed)
+          .write.mode("overwrite").parquet(corpusDir + ".tmp")
+        // atomic-ish swap: rewrite target from tmp (test-scale; a
+        // table format with transactional commit replaces this at
+        // production scale)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          sess.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(corpusDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(corpusDir + ".tmp"), dst)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup finds exactly the planted upper-case copies") {
+    val row = Dedup.exactDedup(spark, sfDir).collect().head
+    val planted = Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(7)) === 0).count()
+    assert(row.getAs[Long]("docs_removed") === planted)
+    assert(row.getAs[Long]("dup_groups") === planted)
+    assert(row.getAs[Long]("total_docs") ===
+      row.getAs[Long]("distinct_docs") + planted)
+  }
+
+  test("jaccardPairs finds every planted near-dup at high similarity") {
+    val pairs = Dedup.jaccardPairs(spark, sfDir).collect()
+    val planted = Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(10)) === 0)
+      .select("doc_id").as[Long].collect()
+    // every planted (orig, orig+100000) pair surfaces with high overlap
+    // (other organically-similar pairs may surface too — that's correct)
+    val pairSet = pairs.map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    planted.foreach { id => assert(pairSet.contains((id, id + 100000))) }
+    pairs.filter(r => r.getAs[Long]("b_id") === r.getAs[Long]("a_id") + 100000)
+      .foreach(r => assert(r.getAs[Double]("jaccard") >= 0.6))
+  }
+
+  test("minhashLsh recovers the planted pairs jaccardPairs finds") {
+    val exact = Dedup.jaccardPairs(spark, sfDir)
+      .filter($"b_id" >= 100000 && $"jaccard" >= 0.6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Dedup.minhashLsh(spark, sfDir)
+      .filter($"b_id" >= 100000)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // LSH with 4 bands of 4 at jaccard≈0.9 has ≳99.9% recall
+    assert(exact.subsetOf(lsh) || (exact -- lsh).size <= exact.size / 10)
+  }
+
+  test("simhash assigns close hashes to planted near-dups") {
+    val planted = Dedup.simhashPairs(spark, sfDir)
+      .filter($"b_id" === $"a_id" + 100000).collect()
+    assert(planted.nonEmpty)
+    planted.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
+  }
+
+  test("embeddingNearDup finds all planted perturbed vectors") {
+    val pairs = Similarity.embeddingNearDup(spark, sfDir).collect()
+    val planted = Tables.embeddings(spark, sfDir)
+      .filter(pmod($"vec_id", lit(20)) === 0).count()
+    val plantedPairs = pairs.filter(r =>
+      r.getAs[Long]("b_id") === r.getAs[Long]("a_id") + 10000)
+    assert(plantedPairs.length === planted)
+    plantedPairs.foreach(r => assert(r.getAs[Double]("sim") >= 0.95))
+  }
+
+  test("knn brute force: no self-matches, ranks descending") {
+    val rows = Similarity.knnBruteForce(spark, sfDir).collect()
+    assert(rows.length === 9)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      rs.foreach(r => assert(r.getAs[Long]("n_id") !== q))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
