@@ -122,17 +122,29 @@ object TextOps {
   def fingerprint(c: Column): Column =
     hash60(concat_ws(" ", tokens(c)))
 
-  /** Word k-shingles ("w1 w2 w3" strings) of the token array; short
-    * docs (< k tokens) collapse to a single whole-doc shingle. */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val toks = tokens(c)
+  /** Word k-shingles over an ALREADY-MATERIALIZED token-array column.
+    * Callers should bind `tokens(text)` to a column first and pass
+    * the attribute: inlining the tokenizer subtree here (it is
+    * referenced 3×) multiplies the expression tree and costs tens of
+    * seconds of whole-stage-codegen compilation. */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column = {
     val n = size(toks)
     when(n < k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), n - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** Distinct shingle hash set — basis for Jaccard / MinHash. */
+  /** Word k-shingles of the text (convenience; see
+    * [[shinglesFromTokens]] for the codegen note). */
+  def shingles(c: Column, k: Int = 3): Column =
+    shinglesFromTokens(tokens(c), k)
+
+  /** Distinct shingle hash set from a token-array column — basis for
+    * Jaccard / MinHash. */
+  def shingleHashesFromTokens(toks: Column, k: Int = 3): Column =
+    array_distinct(transform(shinglesFromTokens(toks, k), s => hash60(s)))
+
+  /** Distinct shingle hash set — convenience wrapper. */
   def shingleHashes(c: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(c, k), s => hash60(s)))
+    shingleHashesFromTokens(tokens(c), k)
 }

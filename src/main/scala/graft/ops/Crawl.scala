@@ -41,9 +41,12 @@ object Crawl {
         val next = es.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
+        // eager checkpoint truncates lineage per level; the next
+        // frontier reads the materialized checkpoint, so no level's
+        // joins are ever recomputed
         visited = visited.unionByName(
           next.withColumn("depth", lit(d))).localCheckpoint()
-        frontier = next.select(col("node"))
+        frontier = visited.filter(col("depth") === d).select(col("node"))
       }
       visited.groupBy(col("depth"))
         .agg(count(lit(1)).as("n_pages"), sum(col("node")).as("node_sum"))

@@ -118,22 +118,53 @@ object Dedup {
 
   // ---- 2. n-gram Jaccard pairs ---------------------------------
 
-  /** Near-dup pairs by exact 3-gram Jaccard ≥ 0.6. Candidates come
-    * from an inverted shingle→doc index self-joined per shingle (no
-    * all-pairs); the pair count per shingle bucket bounds the blowup,
-    * and the final Jaccard uses pre-computed set sizes. */
+  /** Near-dup pairs by exact 3-gram Jaccard ≥ 0.6, via PREFIX
+    * FILTERING (Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection"): rank each doc's shingles by global
+    * document frequency ascending; a pair with Jaccard ≥ t MUST share
+    * a shingle within each side's first n-⌈t·n⌉+1 rarest shingles, so
+    * candidates come only from those prefixes — the rare end of the
+    * df distribution, where bucket sizes are tiny. This keeps the
+    * candidate join linear-ish at 100 TB where a naive inverted-index
+    * self-join explodes on frequent shingles. Verification is exact
+    * (array_intersect on full shingle sets); the result set is
+    * IDENTICAL to the naive algorithm. */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // repartition: the source is one small parquet file → one input
+    // partition; the md5-shingle computation is CPU-bound and must
+    // spread across cores. cache: the shingled docs subtree feeds the
+    // inverted index AND both sides of the verification join — without
+    // it the most expensive stage recomputes 4×.
     val docs = corpusNear(spark, sfDir)
-      .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("sh"))
-    val sized = docs.withColumn("n_sh", size(col("sh")))
-    val inv = sized.select(col("doc_id"), col("n_sh"),
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        TextOps.shingleHashesFromTokens(col("toks")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .cache()
+    val inv = docs.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("h"))
-    val pairs = inv.as("a").join(inv.as("b"),
+    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // prefix length n - ceil(0.6 n) + 1, integer arithmetic
+    val prefix = inv.join(dfreq, Seq("h"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("h"))))
+      .filter(col("r") <=
+        col("n_sh") - ((col("n_sh") * 6 + 9) / 10).cast("long") + 1)
+      .select(col("doc_id"), col("h"))
+      .cache() // both sides of the candidate self-join
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+        col("n_sh").as("na")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+        col("n_sh").as("nb")), Seq("b_id"))
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(col("shared").cast("double")
         / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jaccard") >= 0.6)
@@ -144,15 +175,28 @@ object Dedup {
   val jaccardPairsSql: String =
     s"""WITH $corpusNearCte,
       |sh AS (SELECT doc_id, $shingleSql AS sh FROM corpus),
-      |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sh),
-      |pairs AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,
-      |    COUNT(*) AS shared
-      |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4)
+      |docs AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+      |inv AS (SELECT doc_id, n_sh, unnest(sh) AS h FROM docs),
+      |dfreq AS (SELECT h, COUNT(*) AS df FROM inv GROUP BY h),
+      |prefix AS (
+      |  SELECT doc_id, h FROM (
+      |    SELECT i.doc_id, i.h, i.n_sh,
+      |      ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.h) AS r
+      |    FROM inv i JOIN dfreq d ON i.h = d.h)
+      |  WHERE r <= n_sh - (n_sh * 6 + 9) // 10 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.a_id, c.b_id,
+      |    len(list_intersect(da.sh, db.sh)) AS shared,
+      |    da.n_sh AS na, db.n_sh AS nb
+      |  FROM cand c
+      |  JOIN docs da ON da.doc_id = c.a_id
+      |  JOIN docs db ON db.doc_id = c.b_id)
       |SELECT a_id, b_id,
       |  ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
-      |FROM pairs
+      |FROM verified
       |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6
       |ORDER BY a_id, b_id""".stripMargin
 
@@ -165,7 +209,11 @@ object Dedup {
     * not shingle sets). */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = corpusNear(spark, sfDir)
-      .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("sh"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        TextOps.shingleHashesFromTokens(col("toks")).as("sh"))
+      .cache() // feeds signatures + both verification joins
     val sig = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("sh"),
         x => (lit(a) * pmod(x, lit(P31)) + lit(b)) % lit(P31))).as(s"m$i")
@@ -175,18 +223,23 @@ object Dedup {
       concat_ws("-", (0 until 4).map(ri => col(s"m${bi * 4 + ri}")): _*)
         .as(s"band$bi")
     }
-    val banded = signed.select(
-      (col("doc_id") +: col("sh") +: bands) :+ size(col("sh")).as("n_sh"): _*)
-    val inv = banded.select(col("doc_id"), col("sh"), col("n_sh"),
+    val banded = signed.select(col("doc_id") +: bands: _*)
+    // candidates carry only ids through the band join + distinct;
+    // shingle arrays join back once per surviving pair (shuffling
+    // signatures, not shingle sets — the property that scales)
+    val inv = banded.select(col("doc_id"),
       explode(array((0 until 4).map(bi =>
         concat_ws(":", lit(bi), col(s"band$bi"))): _*)).as("bkey"))
     val cand = inv.as("a").join(inv.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    val sized = docs.withColumn("n_sh", size(col("sh")))
     cand
+      .join(sized.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+        col("n_sh").as("na")), Seq("a_id"))
+      .join(sized.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+        col("n_sh").as("nb")), Seq("b_id"))
       .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(col("shared").cast("double")
         / (col("na") + col("nb") - col("shared")), 6))
@@ -210,20 +263,26 @@ object Dedup {
       |    $sigExprs
       |  FROM sh),
       |banded AS (
-      |  SELECT doc_id, sh, n_sh,
+      |  SELECT doc_id,
       |    $bandExprs
       |  FROM sig),
       |inv AS (
-      |  SELECT doc_id, sh, n_sh, unnest([band0, band1, band2, band3]) AS bkey
+      |  SELECT doc_id, unnest([band0, band1, band2, band3]) AS bkey
       |  FROM banded),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-      |    a.sh AS sha, b.sh AS shb, a.n_sh AS na, b.n_sh AS nb
-      |  FROM inv a JOIN inv b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM inv a JOIN inv b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+      |verified AS (
+      |  SELECT c.a_id, c.b_id,
+      |    len(list_intersect(da.sh, db.sh)) AS shared,
+      |    da.n_sh AS na, db.n_sh AS nb
+      |  FROM cand c
+      |  JOIN sized da ON da.doc_id = c.a_id
+      |  JOIN sized db ON db.doc_id = c.b_id)
       |SELECT a_id, b_id,
       |  ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
-      |FROM (SELECT a_id, b_id, na, nb,
-      |        len(list_intersect(sha, shb)) AS shared FROM cand)
+      |FROM verified
       |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
   }
@@ -243,10 +302,12 @@ object Dedup {
           .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val docs = corpusNear(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), hs.as("hs"))
       .withColumn("simhash", simhash)
       .withColumn("bucket", shiftright(col("simhash"), 16))
       .select(col("doc_id"), col("simhash"), col("bucket"))
+      .cache() // both sides of the bucket self-join
     docs.as("a").join(docs.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
