@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryMinus}
+import graft.expressions.DotProduct
+
+/** Session extension point — registers the engine's native SQL
+  * functions so `spark.sql("SELECT vec_dot(a, b) ...")` works:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_negdot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_negdot"),
+      (args: Seq[Expression]) => UnaryMinus(DotProduct(args(0), args(1)))))
+  }
+}
