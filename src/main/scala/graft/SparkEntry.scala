@@ -70,6 +70,11 @@ object SparkEntry {
     "q31_featurized" -> (TextAnalysis.featurized _),
     "q32_structured_extract" -> (Html.structuredExtract _),
     "q33_media_features" -> (Media.mediaFeatures _),
+    "q34_rollup_type_day" -> (Events.rollupTypeDay _),
+    "q35_tumbling_daily" -> (Events.tumblingDaily _),
+    "q36_sessionize" -> (Events.sessionize _),
+    "q37_json_decode" -> (Events.jsonDecode _),
+    "q38_crawl_stats" -> (Events.crawlStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +113,10 @@ object SparkEntry {
     "q31_featurized" -> TextAnalysis.featurizedSql,
     "q32_structured_extract" -> Html.structuredExtractSql,
     "q33_media_features" -> Media.mediaFeaturesSql,
+    "q34_rollup_type_day" -> Events.rollupTypeDaySql,
+    "q35_tumbling_daily" -> Events.tumblingDailySql,
+    "q36_sessionize" -> Events.sessionizeSql,
+    "q37_json_decode" -> Events.jsonDecodeSql,
+    "q38_crawl_stats" -> Events.crawlStatsSql,
   )
 }
