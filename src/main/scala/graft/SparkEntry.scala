@@ -75,6 +75,7 @@ object SparkEntry {
     "q36_sessionize" -> (Events.sessionize _),
     "q37_json_decode" -> (Events.jsonDecode _),
     "q38_crawl_stats" -> (Events.crawlStats _),
+    "q39_salted_join" -> (Skew.saltedHotKeyJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,5 +119,6 @@ object SparkEntry {
     "q36_sessionize" -> Events.sessionizeSql,
     "q37_json_decode" -> Events.jsonDecodeSql,
     "q38_crawl_stats" -> Events.crawlStatsSql,
+    "q39_salted_join" -> Skew.saltedHotKeyJoinSql,
   )
 }
