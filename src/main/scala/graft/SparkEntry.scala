@@ -76,6 +76,7 @@ object SparkEntry {
     "q37_json_decode" -> (Events.jsonDecode _),
     "q38_crawl_stats" -> (Events.crawlStats _),
     "q39_salted_join" -> (Skew.saltedHotKeyJoin _),
+    "q40_feature_flags" -> (Flags.flagGatedPlan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +121,6 @@ object SparkEntry {
     "q37_json_decode" -> Events.jsonDecodeSql,
     "q38_crawl_stats" -> Events.crawlStatsSql,
     "q39_salted_join" -> Skew.saltedHotKeyJoinSql,
+    "q40_feature_flags" -> Flags.flagGatedPlanSql,
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the scale contract, checked in CI:
+  * pushdown reaches the scans, dims broadcast, top-k never global
+  * sorts, and the KNN corpus side never shuffles.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1 scan gets predicate pushdown and column pruning") {
+    val p = plan(ops.Relational.pricingSummary(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double"),
+      "schema not pruned to used columns")
+    assert(!p.contains("l_partkey"), "unused column read")
+  }
+
+  test("q2 dims join as broadcast, not shuffle") {
+    val p = plan(ops.Relational.revenueByNation(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "dim join degraded to sort-merge")
+  }
+
+  test("top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan(ops.Relational.topOrdersByRevenue(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("semantic search: query broadcast, corpus not shuffled, top-k heap") {
+    val p = plan(ops.Search.semanticSearch(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("partial aggregation (map-side combine) before the shuffle") {
+    val p = plan(ops.Relational.pricingSummary(spark, sfDir))
+    assert(p.contains("partial_sum"),
+      "no partial aggregation before exchange")
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipeline") {
+    val df = ops.Relational.pricingSummary(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val codegen = df.queryExecution.executedPlan.toString
+    // WholeStageCodegen markers appear as '*(n)' prefixes
+    assert(codegen.contains("*("), s"no whole-stage codegen spans:\n$codegen")
+  }
+}
