@@ -20,6 +20,28 @@ object Corpus {
 
   val NDomains = 20
 
+  /** Typed row for the corpus — the `Dataset[T]` boundary the
+    * reference models with Pydantic (`models.py:57-75`). */
+  case class WebPage(
+      id: Long,
+      url: String,
+      domain: String,
+      title: Option[String],
+      meta_description: String,
+      meta_tags: Seq[String],
+      content: String,
+      file_type: String,
+      embedding_type: String,
+      last_crawled: java.sql.Timestamp)
+
+  /** Typed view of [[webPages]] — compile-time field checks for
+    * API-boundary code; the DataFrame plan underneath is unchanged. */
+  def typedWebPages(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.Dataset[WebPage] = {
+    import spark.implicits._
+    webPages(spark, sfDir).as[WebPage]
+  }
+
   /** web_pages ← part. Purely scalar derivation → identical rows in
     * Spark and DuckDB; scales with the part table. */
   def webPages(spark: SparkSession, sfDir: String): DataFrame = {
