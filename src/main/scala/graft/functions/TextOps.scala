@@ -25,6 +25,14 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish subword token estimate: words fragment into ≤4-char
+    * pieces (the ~4-chars-per-token heuristic real BPE vocabularies
+    * land on), so the estimate is Σ ⌈len(word)/4⌉ — deterministic and
+    * SQL-portable, used for corpus token budgeting. */
+  def tokenCountBpe(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => acc + ((length(t) + lit(3)) / lit(4)).cast("long"))
+
   /** Full-text match (F2): any query token appears in the text's token
     * set. The reference delegates to Postgres tsvector/tsquery over
     * `title || ' ' || domain || ' ' || url` (`search.py:60-63`,

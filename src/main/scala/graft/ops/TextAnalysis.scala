@@ -84,20 +84,25 @@ object TextAnalysis {
   /** Token-count statistics per language. */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("lang"), TextOps.tokenCount(col("text")).as("nt"))
+      .select(col("lang"), TextOps.tokenCount(col("text")).as("nt"),
+        TextOps.tokenCountBpe(col("text")).as("bpe"))
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("nt")).as("total_tokens"),
         max(col("nt")).cast("long").as("max_tokens"),
         round(sum(col("nt")).cast("double") / count(lit(1)), 2)
-          .as("avg_tokens"))
+          .as("avg_tokens"),
+        sum(col("bpe")).as("total_bpe_tokens"))
       .orderBy(col("lang"))
 
   val tokenStatsSql: String =
     s"""SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(nt) AS BIGINT) AS total_tokens, CAST(MAX(nt) AS BIGINT) AS max_tokens,
-      |  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 2) AS avg_tokens
-      |FROM (SELECT lang, len($tokSql) AS nt FROM documents)
+      |  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 2) AS avg_tokens,
+      |  CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens
+      |FROM (SELECT lang, len($tokSql) AS nt,
+      |        list_sum(list_transform($tokSql, t -> (length(t) + 3) // 4)) AS bpe
+      |      FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Document fingerprints (rolling content identity) for a key slice. */
