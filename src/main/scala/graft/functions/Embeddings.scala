@@ -32,6 +32,7 @@ object Embeddings {
   def embedText(text: Column, dims: Int = Dims): Column =
     VectorOps.truncateOrPad(featurize(text, dims), dims)
 
+
   /** SQL rendering of [[featurize]] for the DuckDB oracle: a CTE
     * chain mapping `src(keyCol, textCol)` → `feat(keyCol, v)`. */
   def featurizeCtes(src: String, keyCol: String, textCol: String,
