@@ -77,6 +77,8 @@ object SparkEntry {
     "q38_crawl_stats" -> (Events.crawlStats _),
     "q39_salted_join" -> (Skew.saltedHotKeyJoin _),
     "q40_feature_flags" -> (Flags.flagGatedPlan _),
+    "q41_kmeans_clusters" -> (KMeans.clusterSummary _),
+    "q42_knn_ivf_kmeans" -> (KMeans.knnIvfKmeans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +124,7 @@ object SparkEntry {
     "q38_crawl_stats" -> Events.crawlStatsSql,
     "q39_salted_join" -> Skew.saltedHotKeyJoinSql,
     "q40_feature_flags" -> Flags.flagGatedPlanSql,
+    "q41_kmeans_clusters" -> KMeans.clusterSummarySql,
+    "q42_knn_ivf_kmeans" -> KMeans.knnIvfKmeansSql,
   )
 }
