@@ -79,6 +79,9 @@ object SparkEntry {
     "q40_feature_flags" -> (Flags.flagGatedPlan _),
     "q41_kmeans_clusters" -> (KMeans.clusterSummary _),
     "q42_knn_ivf_kmeans" -> (KMeans.knnIvfKmeans _),
+    "q43_topk_per_group" -> (Advanced.topOrdersPerPriority _),
+    "q44_asof_join" -> (Advanced.asofJoin _),
+    "q45_pivot" -> (Advanced.pivotEventCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +129,8 @@ object SparkEntry {
     "q40_feature_flags" -> Flags.flagGatedPlanSql,
     "q41_kmeans_clusters" -> KMeans.clusterSummarySql,
     "q42_knn_ivf_kmeans" -> KMeans.knnIvfKmeansSql,
+    "q43_topk_per_group" -> Advanced.topOrdersPerPrioritySql,
+    "q44_asof_join" -> Advanced.asofJoinSql,
+    "q45_pivot" -> Advanced.pivotEventCountsSql,
   )
 }
