@@ -82,6 +82,11 @@ object SparkEntry {
     "q43_topk_per_group" -> (Advanced.topOrdersPerPriority _),
     "q44_asof_join" -> (Advanced.asofJoin _),
     "q45_pivot" -> (Advanced.pivotEventCounts _),
+    "q46_percentiles" -> (Stats.percentiles _),
+    "q47_moving_window" -> (Stats.movingWindow _),
+    "q48_edit_distance" -> (Stats.editDistancePairs _),
+    "q49_corr_stats" -> (Stats.corrStats _),
+    "q50_histogram" -> (Stats.histogram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,5 +137,10 @@ object SparkEntry {
     "q43_topk_per_group" -> Advanced.topOrdersPerPrioritySql,
     "q44_asof_join" -> Advanced.asofJoinSql,
     "q45_pivot" -> Advanced.pivotEventCountsSql,
+    "q46_percentiles" -> Stats.percentilesSql,
+    "q47_moving_window" -> Stats.movingWindowSql,
+    "q48_edit_distance" -> Stats.editDistancePairsSql,
+    "q49_corr_stats" -> Stats.corrStatsSql,
+    "q50_histogram" -> Stats.histogramSql,
   )
 }

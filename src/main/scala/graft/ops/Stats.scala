@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical and windowed analytics: exact percentiles, moving
+  * windows, edit-distance similarity, correlation/stddev built from
+  * exact component sums (the decimal trick extended to second-order
+  * statistics), and value histograms.
+  */
+object Stats {
+
+  private def dsum(c: Column, scale: Int = 10) =
+    sum(c.cast(s"decimal(38,$scale)")).cast("double")
+
+  /** q46: exact linear-interpolation percentiles of event value per
+    * type (both engines use the (n-1)·p index formula). */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy(col("event_type"))
+
+  val percentilesSql: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.75), 6) AS p75,
+      |  ROUND(quantile_cont(value, 0.95), 6) AS p95
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q47: moving-window analytics — per-user 3-row moving average of
+    * purchase values and running total, ordered by time. */
+  def movingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("user_id") < 10)
+    purchases
+      .withColumn("running_total",
+        round(sum(col("value").cast("decimal(28,10)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"), 2))
+      .withColumn("mov_avg3",
+        round((sum(col("value").cast("decimal(28,10)"))
+            .over(w.rowsBetween(-2, 0)).cast("double")
+          / count(lit(1)).over(w.rowsBetween(-2, 0))), 6))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("running_total"), col("mov_avg3"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val movingWindowSql: String =
+    """SELECT user_id, event_id, value,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10)))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+      |FROM events
+      |WHERE event_type = 'purchase' AND user_id < 10
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** q48: fuzzy title matching — part-name pairs within edit distance
+    * 2, blocked on (first char, length bucket) so candidates stay
+    * bounded (the blocking+verify shape again, now for edit
+    * distance). */
+  def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.part(spark, sfDir).select(col("p_name")).distinct()
+    // plant one-char typos (trailing char replaced) so the operator
+    // demonstrably finds near-matches; same derivation in the oracle
+    val typos = base
+      .filter(pmod(length(col("p_name")), lit(3)) === 0)
+      .select(concat(substring(col("p_name"), lit(1),
+        length(col("p_name")) - 1), lit("x")).as("p_name"))
+    val names = base.unionByName(typos).distinct()
+      .withColumn("blk", concat(substring(col("p_name"), 1, 1),
+        (length(col("p_name")) / 3).cast("int")))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk")
+          && col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= 2)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val editDistancePairsSql: String =
+    """WITH base AS (SELECT DISTINCT p_name FROM part),
+      |typos AS (
+      |  SELECT substr(p_name, 1, length(p_name) - 1) || 'x' AS p_name
+      |  FROM base WHERE length(p_name) % 3 = 0),
+      |names AS (
+      |  SELECT p_name,
+      |    substr(p_name, 1, 1) || CAST(length(p_name) // 3 AS VARCHAR) AS blk
+      |  FROM (SELECT p_name FROM base UNION SELECT p_name FROM typos))
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  /** q49: correlation + stddev from exact component sums — the
+    * decimal-determinism trick extended to second-order moments:
+    * Σx, Σy, Σxy, Σx², Σy² accumulate exactly, the closed forms
+    * combine in double. */
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(col("l_quantity")).as("sx"),
+      dsum(col("l_extendedprice")).as("sy"),
+      dsum(col("l_quantity") * col("l_extendedprice"), 6).as("sxy"),
+      dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+      dsum(col("l_extendedprice") * col("l_extendedprice"), 4).as("syy"))
+    agg.select(col("l_returnflag"),
+      col("n").cast("long").as("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy"))
+        / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("corr_qty_price"),
+      round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+        / (col("n") * (col("n") - 1.0))), 6).as("stddev_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val corrStatsSql: String =
+    """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  ROUND((n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+      |  ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty
+      |FROM (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q50: value histogram — fixed-width bins per event type. */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("bin", floor(col("value") / 50.0).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  val histogramSql: String =
+    """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+}
