@@ -87,6 +87,8 @@ object SparkEntry {
     "q48_edit_distance" -> (Stats.editDistancePairs _),
     "q49_corr_stats" -> (Stats.corrStats _),
     "q50_histogram" -> (Stats.histogram _),
+    "q51_hash_sample" -> (Sampling.hashSample _),
+    "q52_stemmed_vocab" -> (Sampling.stemmedVocab _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,5 +144,7 @@ object SparkEntry {
     "q48_edit_distance" -> Stats.editDistancePairsSql,
     "q49_corr_stats" -> Stats.corrStatsSql,
     "q50_histogram" -> Stats.histogramSql,
+    "q51_hash_sample" -> Sampling.hashSampleSql,
+    "q52_stemmed_vocab" -> Sampling.stemmedVocabSql,
   )
 }
