@@ -90,6 +90,7 @@ object SparkEntry {
     "q51_hash_sample" -> (Sampling.hashSample _),
     "q52_stemmed_vocab" -> (Sampling.stemmedVocab _),
     "q53_dedup_groups" -> (Components.dedupGroups _),
+    "q54_range_join" -> (RangeJoin.eventsInCampaigns _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,5 +149,6 @@ object SparkEntry {
     "q51_hash_sample" -> Sampling.hashSampleSql,
     "q52_stemmed_vocab" -> Sampling.stemmedVocabSql,
     "q53_dedup_groups" -> Components.dedupGroupsSql,
+    "q54_range_join" -> RangeJoin.eventsInCampaignsSql,
   )
 }
