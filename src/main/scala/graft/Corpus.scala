@@ -130,8 +130,13 @@ object Corpus {
   def webPagesWithEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
     val wp = webPages(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
-    val n = emb.count() // metadata-scale count, computed once
-    wp.withColumn("vec_id", pmod(col("id"), lit(n)))
+    // |embeddings| as a lazy 1-row broadcast (no driver action at
+    // plan-build time — the count runs inside the job, like the
+    // oracle's scalar subquery)
+    val n = emb.agg(count(lit(1)).as("n_emb"))
+    wp.crossJoin(broadcast(n))
+      .withColumn("vec_id", pmod(col("id"), col("n_emb")))
+      .drop("n_emb")
       .join(broadcast(emb.select(col("vec_id"), col("embedding"))),
         Seq("vec_id"))
   }

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryMinus}
-import graft.expressions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryMinus}
+import graft.expressions.{DotProduct, HashFeaturize}
 
 /** Session extension point — registers the engine's native SQL
   * functions so `spark.sql("SELECT vec_dot(a, b) ...")` works:
@@ -23,5 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_negdot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_negdot"),
       (args: Seq[Expression]) => UnaryMinus(DotProduct(args(0), args(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_featurize"),
+      new ExpressionInfo(classOf[HashFeaturize].getName, "vec_featurize"),
+      (args: Seq[Expression]) => {
+        val dims = args.lift(1) match {
+          case None => graft.functions.Embeddings.Dims
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"vec_featurize dims must be an integer literal, got $other")
+        }
+        HashFeaturize(args.head, dims)
+      }))
   }
 }

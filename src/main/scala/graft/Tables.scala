@@ -20,11 +20,12 @@ object Tables {
   /** events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's vector
     * reader refuses; read nanos as long and floor-convert to
     * microsecond timestamps — exactly what DuckDB does natively, so
-    * the oracle sees identical values. */
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * the oracle sees identical values. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * ([[GraftSession]] sets it; plan construction must not mutate
+    * session config as a side effect). */
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -14,12 +14,14 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   * role pgvector's `<#>` C implementation plays in the reference,
   * `db.py:79-86`).
   *
-  * Semantics match the HOF formulation in
-  * [[graft.functions.VectorOps.dot]] exactly: each element cast to
-  * double, accumulated left-to-right (IEEE order-preserving, so
-  * results stay bit-identical with the DuckDB oracle). Lengths are
-  * folded to the shorter array, mirroring `zip_with` + null-dropping
-  * on our equal-length inputs. Generated code is a tight primitive
+  * Semantics match the HOF formulation
+  * ([[graft.functions.VectorOps.dotHof]]) exactly: each element cast
+  * to double, accumulated left-to-right (IEEE order-preserving, so
+  * results stay bit-identical with the DuckDB oracle); mismatched
+  * lengths → NULL (zip_with pads the shorter side with null, and the
+  * fold propagates it); any null element → NULL. The null checks are
+  * emitted only when the array type says elements can be null, so
+  * the hot path on containsNull=false arrays stays a tight primitive
   * loop — no lambda dispatch per element, which is what makes it
   * ~3-5× the HOF version on wide vectors.
   */
@@ -43,15 +45,21 @@ case class DotProduct(left: Expression, right: Expression)
         s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
+  private def containsNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
+    val checkNulls = containsNull(left) || containsNull(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xi * yi
@@ -68,13 +76,25 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // element null checks only when the schema allows null elements
+      val nullCheck =
+        if (containsNull(left) || containsNull(right))
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

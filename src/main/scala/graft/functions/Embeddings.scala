@@ -15,8 +15,19 @@ object Embeddings {
 
   val Dims = 64
 
-  /** Signed hashed bag-of-words, L2-normalized. */
-  def featurize(text: Column, dims: Int = Dims): Column = {
+  /** Signed hashed bag-of-words, L2-normalized. Native single-pass
+    * Catalyst expression ([[graft.expressions.HashFeaturize]]) —
+    * one token walk into a dims-slot accumulator; equivalence with
+    * the HOF formulation is property-tested (HashFeaturizeSpec). */
+  def featurize(text: Column, dims: Int = Dims): Column =
+    graft.expressions.HashFeaturize.featurize(text, dims)
+
+  /** HOF formulation of [[featurize]] — kept as the portable
+    * reference implementation. It unrolls one `aggregate` per output
+    * dimension (a dims× duplicated subtree), so it is ~3 orders of
+    * magnitude slower than the native expression at dims=64: use only
+    * for equivalence testing. */
+  def featurizeHof(text: Column, dims: Int = Dims): Column = {
     val toks = TextOps.tokens(text)
     val hashes = transform(toks, t => TextOps.hash60(t))
     val raw = transform(sequence(lit(0), lit(dims - 1)), i =>

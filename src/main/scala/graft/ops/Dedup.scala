@@ -165,10 +165,13 @@ object Dedup {
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb"),
         col("n_sh").as("nb")), Seq("b_id"))
       .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", round(col("shared").cast("double")
-        / (col("na") + col("nb") - col("shared")), 6))
-      .filter(col("jaccard") >= 0.6)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      // filter on the UNROUNDED ratio (mirrors the oracle, which only
+      // rounds in the projection — rounding first would admit pairs in
+      // [t - 5e-7, t) that the oracle rejects)
+      .withColumn("jac_raw", col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac_raw") >= 0.6)
+      .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -241,10 +244,11 @@ object Dedup {
       .join(sized.select(col("doc_id").as("b_id"), col("sh").as("shb"),
         col("n_sh").as("nb")), Seq("b_id"))
       .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", round(col("shared").cast("double")
-        / (col("na") + col("nb") - col("shared")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      // unrounded filter, round only in the projection (see jaccardPairs)
+      .withColumn("jac_raw", col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac_raw") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -112,30 +112,27 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** Deterministic LIMIT/OFFSET pagination via row_number (O2 shape —
-    * reference `search.py:68-72`): total order includes the unique key
-    * as tiebreak, offset 40 / limit 20. */
+  /** Deterministic LIMIT/OFFSET pagination (O2 shape — reference
+    * `search.py:68-72`): total order includes the unique key as
+    * tiebreak, offset 40 / limit 20. Planned as TakeOrderedAndProject
+    * with offset — per-partition (offset+limit)-row heaps, then one
+    * driver-side merge of k·P rows. No global-window single-partition
+    * funnel, so the plan survives a 100× scale-up (the previous
+    * row_number-over-everything formulation did not). */
   def paginateOrders(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(spark, sfDir)
-    val w = Window.orderBy(col("o_orderdate").desc, col("o_orderkey"))
-    o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-        col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 40 && col("rn") <= 60)
-      .select(col("rn").cast("long").as("rn"), col("o_orderkey"), col("o_custkey"),
+    o.select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
-      .orderBy(col("rn"))
+      .orderBy(col("o_date").desc, col("o_orderkey"))
+      .offset(40).limit(20)
   }
 
   val paginateOrdersSql: String =
-    """SELECT rn, o_orderkey, o_custkey, o_date, o_totalprice FROM (
-      |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date,
-      |         o_totalprice,
-      |         ROW_NUMBER() OVER (ORDER BY o_orderdate DESC, o_orderkey) AS rn
-      |  FROM orders)
-      |WHERE rn > 40 AND rn <= 60
-      |ORDER BY rn""".stripMargin
+    """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+      |       o_totalprice
+      |FROM orders
+      |ORDER BY o_date DESC, o_orderkey
+      |LIMIT 20 OFFSET 40""".stripMargin
 
   /** Semi/anti join (J3 / dedup shape): per-segment counts of
     * customers with and without orders, one pass each side. */

@@ -3,7 +3,6 @@ package graft.ops
 import graft.{Corpus, Tables}
 import graft.functions.{TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's serving layer re-expressed Spark-first:
@@ -72,26 +71,56 @@ object Search {
       |  (SELECT COUNT(*) FROM jobs WHERE status = 'running') AS running_crawlers,
       |  (SELECT COUNT(*) FROM jobs WHERE status = 'completed') AS jobs_completed""".stripMargin
 
-  /** Web-pages listing (E3): FTS predicate over the null-strict
-    * `title || domain || url` concat (quirk Q5 — NULL title hides the
-    * row), total count as a window, dynamic sort last_crawled desc
-    * with id tiebreak, offset 10 / limit 10 via row_number. */
-  def listing(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Columns a caller may sort the listing by — everything on the
+    * web_pages schema that has a total-orderable type. The reference
+    * interpolates the caller's string raw (quirk Q6, `search.py:68`)
+    * and its API default names a column that doesn't exist
+    * (`main.py:96`); ours validates against the schema and falls back
+    * to the frontend's actual choice, `last_crawled`. */
+  private val sortableCols =
+    Set("id", "url", "domain", "title", "last_crawled", "file_type",
+      "embedding_type", "meta_description")
+
+  /** Resolve a caller-chosen sort column (O2 quirk Q6): unknown or
+    * null → `last_crawled`. */
+  def resolveSortColumn(sortBy: String): String =
+    if (sortBy != null && sortableCols(sortBy)) sortBy else "last_crawled"
+
+  /** Parameterized web-pages listing (E3): FTS predicate over the
+    * null-strict `title || domain || url` concat (quirk Q5 — NULL
+    * title hides the row), caller-chosen sort column (validated, id
+    * tiebreak), LIMIT/OFFSET page, plus the listing total as a
+    * separate aggregate (the reference also runs a separate COUNT
+    * query, `search.py:65-66`).
+    *
+    * Scale shape: the page is TakeOrderedAndProject with offset —
+    * per-partition (offset+limit)-row heaps, no single-partition
+    * global window; the total is a partial-agg count; the two meet in
+    * a 1-row broadcast cross join. */
+  def listingPage(spark: SparkSession, sfDir: String, query: String,
+      sortBy: String = "last_crawled", asc: Boolean = false,
+      offset: Int = 0, limit: Int = 10): DataFrame = {
     val wp = Corpus.webPages(spark, sfDir)
     val hay = concat(col("title"), lit(" "), col("domain"), lit(" "),
       col("url"))
-    val filtered = wp.filter(
-      TextOps.ftsMatch(hay, lit("widget")) === true)
-    val w = Window.orderBy(col("last_crawled").desc, col("id"))
-    filtered
-      .withColumn("total", count(lit(1)).over(
-        Window.partitionBy()))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 10 && col("rn") <= 20)
-      .select(col("total"), col("rn").cast("long").as("rn"), col("id"), col("url"), col("domain"),
-        col("title"), unix_timestamp(col("last_crawled")).as("crawled_s"))
-      .orderBy(col("rn"))
+    val filtered = wp.filter(TextOps.ftsMatch(hay, lit(query)) === true)
+    val sortCol = col(resolveSortColumn(sortBy))
+    val page = filtered
+      .orderBy(if (asc) sortCol.asc else sortCol.desc, col("id"))
+      .offset(offset).limit(limit)
+      .select(col("id"), col("url"), col("domain"), col("title"),
+        unix_timestamp(col("last_crawled")).as("crawled_s"))
+    val total = filtered.agg(count(lit(1)).as("total"))
+    page.crossJoin(broadcast(total))
+      .select(col("total"), col("id"), col("url"), col("domain"),
+        col("title"), col("crawled_s"))
   }
+
+  /** The declared listing query: page 2 (offset 10 / limit 10) of the
+    * 'widget' search, default sort. */
+  def listing(spark: SparkSession, sfDir: String): DataFrame =
+    listingPage(spark, sfDir, "widget", sortBy = "last_crawled",
+      asc = false, offset = 10, limit = 10)
 
   val listingSql: String =
     s"""WITH ${Corpus.webPagesCte},
@@ -100,13 +129,11 @@ object Search {
       |  WHERE len(list_intersect(
       |    list_filter(string_split_regex(lower(title || ' ' || domain || ' ' || url), '[^a-z0-9_]+'), x -> x != ''),
       |    ['widget'])) > 0)
-      |SELECT total, rn, id, url, domain, title, crawled_s FROM (
-      |  SELECT (SELECT COUNT(*) FROM filtered) AS total,
-      |    ROW_NUMBER() OVER (ORDER BY last_crawled DESC, id) AS rn,
-      |    id, url, domain, title, CAST(epoch(last_crawled) AS BIGINT) AS crawled_s
-      |  FROM filtered)
-      |WHERE rn > 10 AND rn <= 20
-      |ORDER BY rn""".stripMargin
+      |SELECT (SELECT COUNT(*) FROM filtered) AS total,
+      |  id, url, domain, title, CAST(epoch(last_crawled) AS BIGINT) AS crawled_s
+      |FROM filtered
+      |ORDER BY last_crawled DESC, id
+      |LIMIT 10 OFFSET 10""".stripMargin
 
   /** Snippet search (P11 + F2) over the documents table: filter docs
     * containing any query token, emit the ±100-char window around the

@@ -53,11 +53,42 @@ object Similarity {
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  /** Fixed hyperplane-LSH family for cosine near-dup blocking:
+    * [[NHyperplanes]] Rademacher (±1) hyperplanes whose signs come
+    * from the engine's md5 hash rule (`TextOps.hash60("hp{j}_{i}") %
+    * 2`), so both engines materialize the identical planes as
+    * literals. Banded [[NBands]] × [[BandBits]]: a pair is a
+    * candidate iff all [[BandBits]] sign-bits of SOME band agree —
+    * the standard recall/candidate-count dial (pairs at cosine ≥ 0.95
+    * escape all 4 bands with probability < 2%; at the planted pairs'
+    * typical cosine ≈ 0.99, < 0.1%). */
+  val NHyperplanes = 16
+  val BandBits = 4
+  val NBands: Int = NHyperplanes / BandBits
+
+  /** hyperplanes(j)(i) ∈ {-1.0, +1.0}, j < NHyperplanes, i < 64. */
+  lazy val hyperplanes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NHyperplanes).map { j =>
+      (0 until 64).map { i =>
+        val hex = md.digest(s"hp${j}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        if (h % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
   /** Embedding-cosine near-dup: corpus ∪ perturbed copies (last
     * component zeroed, renormalized → cosine ≈ sqrt(1-v64²) ≈ 1);
-    * emit pairs with cosine ≥ 0.95. Bucketed by vector fingerprint
-    * prefix in a real pipeline; at test SF an a<b self-join on the
-    * block key (vec_id mod) keeps candidates bounded. */
+    * emit pairs with cosine ≥ 0.95.
+    *
+    * Blocking is CONTENT-derived: per-band sign-bit keys of the fixed
+    * hyperplane projections — band rows carry (vec_id, band, key)
+    * only, candidates come from per-band equi-joins (shuffle on the
+    * 4-bit key, vector payload joined back afterwards by id), then
+    * exact cosine verification. No id-derived key anywhere: two
+    * similar vectors block together regardless of their ids. */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
@@ -66,19 +97,47 @@ object Similarity {
         VectorOps.l2Normalize(concat(slice(col("v"), 1, 63),
           array(lit(0.0)))).as("v"))
     val corpus = e.unionByName(perturbed)
-      .withColumn("block", pmod(col("vec_id"), lit(10000)))
-    corpus.as("a").join(corpus.as("b"),
-        col("a.block") === col("b.block")
+    // (vec_id, band, key): key = 4 sign bits of the band's projections
+    val bandKeys = (0 until NBands).map { b =>
+      val key = (0 until BandBits).map { k =>
+        val j = b * BandBits + k
+        (VectorOps.dot(col("v"), typedlit(hyperplanes(j))) >= 0)
+          .cast("int") * lit(1 << k)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bandRows = corpus
+      .select(col("vec_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", VectorOps.dot(col("a.v"), col("b.v")))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
+      .join(corpus.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))
+      .withColumn("sim", VectorOps.dot(col("va"), col("vb")))
       .filter(col("sim") >= 0.95)
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val embeddingNearDupSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The identical hyperplanes as SQL literals (generated from
+    * [[hyperplanes]], so Spark and the oracle can never drift). */
+  private def hyperplaneSqlList(j: Int): String =
+    hyperplanes(j).map(x => if (x > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  val embeddingNearDupSql: String = {
+    val bandSelects = (0 until NBands).map { b =>
+      val key = (0 until BandBits).map { k =>
+        val j = b * BandBits + k
+        s"(CASE WHEN list_dot_product(v, ${hyperplaneSqlList(j)}) >= 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM corpus"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |pert AS (
       |  SELECT vec_id + 10000 AS vec_id,
       |    list_transform(pv, x -> x / nrm) AS v
@@ -87,16 +146,22 @@ object Similarity {
       |    FROM (SELECT vec_id, list_append(v[1:63], 0.0::DOUBLE) AS pv
       |          FROM e WHERE vec_id % 20 = 0))),
       |corpus AS (
-      |  SELECT vec_id, v, vec_id % 10000 AS block FROM (
-      |    SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert)),
+      |  SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
       |pairs AS (
-      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |    list_dot_product(a.v, b.v) AS sim
-      |  FROM corpus a JOIN corpus b
-      |    ON a.block = b.block AND a.vec_id < b.vec_id)
+      |  SELECT c.a_id, c.b_id, list_dot_product(va.v, vb.v) AS sim
+      |  FROM cand c
+      |  JOIN corpus va ON va.vec_id = c.a_id
+      |  JOIN corpus vb ON vb.vec_id = c.b_id)
       |SELECT a_id, b_id, ROUND(sim, 6) AS sim
       |FROM pairs WHERE sim >= 0.95
       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** IVF-style ANN: per-label centroids (the "inverted lists" — the
     * label column stands in for a k-means assignment), query probes

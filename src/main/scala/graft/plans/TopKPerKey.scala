@@ -59,34 +59,54 @@ object TopKPerKey {
 
     override def output: Seq[Attribute] = child.output
 
-    private def keyAttrs: Seq[Attribute] =
-      keyCols.map(n => child.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"unknown key column $n")))
+    /** Name → attribute, FAILING on ambiguity: after e.g. a self-join
+      * the child output can carry duplicate names, and silently
+      * picking the first would bind the wrong column. */
+    private def resolve(n: String): Int = {
+      val idxs = child.output.zipWithIndex.collect {
+        case (a, i) if a.name == n => i }
+      idxs match {
+        case Seq(i) => i
+        case Seq() => throw new IllegalArgumentException(
+          s"unknown column $n in ${child.output.map(_.name)}")
+        case _ => throw new IllegalArgumentException(
+          s"ambiguous column $n (${idxs.size} matches) — " +
+            "disambiguate with aliases before topKPerKey")
+      }
+    }
+
+    private def keyAttrs: Seq[Attribute] = keyCols.map(n => child.output(resolve(n)))
 
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(keyAttrs) :: Nil
 
     override protected def doExecute(): RDD[InternalRow] = {
       val out = child.output
-      val keyIdx = keyCols.map(n => out.indexWhere(_.name == n))
+      val keyIdx = keyCols.map(resolve)
       val keyTypes = keyIdx.map(out(_).dataType)
-      val ordIdx = out.indexWhere(_.name == orderCol)
-      require(ordIdx >= 0, s"unknown order column $orderCol")
+      val ordIdx = resolve(orderCol)
       val ordType = out(ordIdx).dataType
-      val (kk, descF) = (k, desc)
+      val kk = k
+      // typed extraction + ordering: integral columns compare as Long
+      // (no double coercion — values above 2^53 stay distinct)
+      val extract: InternalRow => Any = ordType match {
+        case DoubleType => r => r.getDouble(ordIdx)
+        case FloatType => r => r.getFloat(ordIdx).toDouble
+        case LongType => r => r.getLong(ordIdx)
+        case IntegerType => r => r.getInt(ordIdx).toLong
+        case other => throw new IllegalArgumentException(
+          s"unsupported order type $other")
+      }
+      val goodness: Ordering[Any] = {
+        val base: Ordering[Any] = ordType match {
+          case DoubleType | FloatType =>
+            Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+          case _ => Ordering.Long.on[Any](_.asInstanceOf[Long])
+        }
+        if (desc) base else base.reverse
+      }
 
       child.execute().mapPartitions({ iter =>
-        def score(row: InternalRow): Double = {
-          val s = ordType match {
-            case DoubleType => row.getDouble(ordIdx)
-            case FloatType => row.getFloat(ordIdx).toDouble
-            case LongType => row.getLong(ordIdx).toDouble
-            case IntegerType => row.getInt(ordIdx).toDouble
-            case other => throw new IllegalArgumentException(
-              s"unsupported order type $other")
-          }
-          if (descF) s else -s
-        }
         def keyOf(row: InternalRow): Seq[Any] =
           keyIdx.zip(keyTypes).map { case (i, dt) =>
             row.get(i, dt) match {
@@ -94,16 +114,21 @@ object TopKPerKey {
               case x => x
             }
           }
-        // min-score-at-head heaps: evict the smallest retained score
+        // worst-retained-at-head heaps; ties at the boundary keep the
+        // first-arrived row (documented: arrival order within equal
+        // scores is partition-dependent — add a tiebreak column for
+        // full determinism)
+        val heapOrd = goodness.on[(Any, InternalRow)](_._1).reverse
         val heaps = mutable.HashMap
-          .empty[Seq[Any], mutable.PriorityQueue[(Double, InternalRow)]]
+          .empty[Seq[Any], mutable.PriorityQueue[(Any, InternalRow)]]
         iter.foreach { row =>
-          val s = score(row)
+          val s = extract(row)
           val h = heaps.getOrElseUpdate(keyOf(row),
-            mutable.PriorityQueue.empty[(Double, InternalRow)](
-              Ordering.by(t => -t._1)))
+            mutable.PriorityQueue.empty[(Any, InternalRow)](heapOrd))
           if (h.size < kk) h.enqueue((s, row.copy()))
-          else if (s > h.head._1) { h.dequeue(); h.enqueue((s, row.copy())) }
+          else if (goodness.gt(s, h.head._1)) {
+            h.dequeue(); h.enqueue((s, row.copy()))
+          }
         }
         heaps.valuesIterator.flatMap(_.iterator.map(_._2))
       }, preservesPartitioning = true)

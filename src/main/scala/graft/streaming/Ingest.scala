@@ -59,16 +59,28 @@ object Ingest {
         when(col("id") === jobId, lit(at)).otherwise(col("updated_at")))
 
   /** Wire a streaming PageItem source through the pipeline into a
-    * parquet-backed corpus dir, one upsert-merge per micro-batch. */
+    * parquet-backed corpus dir, one upsert-merge per micro-batch.
+    *
+    * Batch stamps are `base + batchId` millis where `base` is one
+    * past the newest `last_crawled` already in the corpus (epoch for
+    * an empty one): monotonic across batches, deterministic on
+    * within-run retry of the same batchId (idempotent merge), and
+    * never older than pre-seeded rows — so pointing the stream at a
+    * backfilled corpus cannot silently drop every update. */
   def run(spark: SparkSession, source: DataFrame, corpusDir: String,
       checkpointDir: String) = {
+    val base: Long =
+      try {
+        val m = spark.read.parquet(corpusDir)
+          .agg(org.apache.spark.sql.functions.max(col("last_crawled")))
+          .collect().head
+        if (m.isNullAt(0)) 0L else m.getTimestamp(0).getTime + 1L
+      } catch { case _: Throwable => 0L }
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // monotonic batch stamp → newest-wins merge is deterministic
-        // across retries (real deployments use ingestion time)
-        val t = new java.sql.Timestamp(batchId)
+        val t = new java.sql.Timestamp(base + batchId)
         val processed = transformBatch(batch, t)
         val sess = batch.sparkSession
         val existing =
@@ -76,14 +88,18 @@ object Ingest {
           catch { case _: Throwable => processed.limit(0) }
         upsertInto(existing, processed)
           .write.mode("overwrite").parquet(corpusDir + ".tmp")
-        // atomic-ish swap: rewrite target from tmp (test-scale; a
-        // table format with transactional commit replaces this at
-        // production scale)
+        // swap via backup rename: the target is never the only copy —
+        // if the process dies mid-swap, either corpusDir or
+        // corpusDir.old holds the previous state (a transactional
+        // table format replaces this at production scale)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           sess.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(corpusDir)
-        fs.delete(dst, true)
+        val old = new org.apache.hadoop.fs.Path(corpusDir + ".old")
+        fs.delete(old, true)
+        if (fs.exists(dst)) fs.rename(dst, old)
         fs.rename(new org.apache.hadoop.fs.Path(corpusDir + ".tmp"), dst)
+        fs.delete(old, true)
         ()
       }
       .start()

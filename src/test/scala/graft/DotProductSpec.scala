@@ -34,6 +34,21 @@ class DotProductSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("mismatched lengths yield null, exactly like the HOF") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(VectorOps.dot($"a", $"b").as("n"),
+      VectorOps.dotHof($"a", $"b").as("h")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("null elements yield null, exactly like the HOF") {
+    val df = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(1.0), Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+    val r = df.select(VectorOps.dot($"a", $"b").as("n"),
+      VectorOps.dotHof($"a", $"b").as("h")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("null input array yields null (nullIntolerant)") {
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
       .toDF("a", "b")

@@ -39,6 +39,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("pagination plans TakeOrderedAndProject with offset — no global window") {
+    val p4 = plan(ops.Relational.paginateOrders(spark, sfDir))
+    assert(p4.contains("TakeOrderedAndProject"), s"q4 not top-k planned:\n$p4")
+    assert(!p4.contains("Window"), s"q4 still uses a window:\n$p4")
+    val p9 = plan(ops.Search.listing(spark, sfDir))
+    assert(p9.contains("TakeOrderedAndProject"), s"q9 not top-k planned:\n$p9")
+    assert(!p9.contains("Window"), s"q9 still uses a window:\n$p9")
+  }
+
   test("partial aggregation (map-side combine) before the shuffle") {
     val p = plan(ops.Relational.pricingSummary(spark, sfDir))
     assert(p.contains("partial_sum"),

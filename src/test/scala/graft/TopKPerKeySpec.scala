@@ -51,6 +51,24 @@ class TopKPerKeySpec extends SparkSpec {
     assert(df.count() === scored.filter($"vec_id" < 8).count())
   }
 
+  test("ambiguous column names fail instead of binding the first match") {
+    val dup = scored.select($"q_id", $"sim")
+      .crossJoin(scored.select($"sim").limit(1))
+    val e = intercept[Exception] {
+      TopKPerKey.perKey(dup, Seq("q_id"), "sim", 3).collect()
+    }
+    assert(e.getMessage.contains("ambiguous") ||
+      e.getCause != null && e.getCause.getMessage.contains("ambiguous"))
+  }
+
+  test("long order columns above 2^53 keep full precision") {
+    val big = (1L << 53) // 2^53: +1 and +2 collapse in double
+    val df = Seq(("a", big + 1), ("a", big + 2), ("a", big)).toDF("k", "v")
+    val top = TopKPerKey.perKey(df, Seq("k"), "v", 2)
+      .select("v").as[Long].collect().toSet
+    assert(top === Set(big + 2, big + 1))
+  }
+
   test("ascending mode keeps the smallest scores") {
     val asc = TopKPerKey.perKey(scored, Seq("q_id"), "sim", 2, desc = false)
       .groupBy("q_id").agg(max($"sim").as("worst"))
