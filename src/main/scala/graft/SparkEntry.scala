@@ -97,6 +97,10 @@ object SparkEntry {
     "q52_stemmed_vocab" -> (Sampling.stemmedVocab _),
     "q53_dedup_groups" -> (Components.dedupGroups _),
     "q54_range_join" -> (RangeJoin.eventsInCampaigns _),
+    "q55_pdf_extract" -> (Pdf.pdfExtract _),
+    "q56_vision_embed" -> (Media.visionEmbed _),
+    "q57_knn_1024" -> (Search.knn1024 _),
+    "q58_structured_registry" -> (Html.structuredRegistry _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,5 +160,9 @@ object SparkEntry {
     "q52_stemmed_vocab" -> Sampling.stemmedVocabSql,
     "q53_dedup_groups" -> Components.dedupGroupsSql,
     "q54_range_join" -> RangeJoin.eventsInCampaignsSql,
+    "q55_pdf_extract" -> Pdf.pdfExtractSql,
+    "q56_vision_embed" -> Media.visionEmbedSql,
+    "q57_knn_1024" -> Search.knn1024Sql,
+    "q58_structured_registry" -> Html.structuredRegistrySql,
   )
 }

@@ -43,24 +43,41 @@ object Embeddings {
   def embedText(text: Column, dims: Int = Dims): Column =
     VectorOps.truncateOrPad(featurize(text, dims), dims)
 
+  /** Deterministic stand-in for the reference's image FETCH
+    * (`embeddings.py:22-23` GETs the url): 16 bytes derived from the
+    * url. A real deployment swaps this one expression for an HTTP
+    * fetch; everything downstream operates on the bytes. */
+  def fetchImageBytes(url: Column): Column = unhex(md5(url))
+
+  /** Vision embedding over image BYTES (P6): models the reference's
+    * fetch → RGB/JPEG re-encode → base64 → vision model chain
+    * (`embeddings.py:18-43`) deterministically — the bytes are
+    * base64-encoded (the representation the reference ships to the
+    * model) and hash-featurized. Consumes the binary column, not the
+    * url string. */
+  def embedVision(bytes: Column, dims: Int = Dims): Column =
+    VectorOps.truncateOrPad(featurize(base64(bytes), dims), dims)
+
 
   /** SQL rendering of [[featurize]] for the DuckDB oracle: a CTE
-    * chain mapping `src(keyCol, textCol)` → `feat(keyCol, v)`. */
+    * chain mapping `src(keyCol, textCol)` → `${prefix}feat(keyCol, v)`.
+    * Distinct `prefix`es let several featurize chains coexist in one
+    * statement (e.g. corpus + query side of a KNN). */
   def featurizeCtes(src: String, keyCol: String, textCol: String,
-      dims: Int = Dims): String = {
+      dims: Int = Dims, prefix: String = ""): String = {
     val tok = s"list_filter(string_split_regex(lower($textCol), '[^a-z0-9_]+'), x -> x != '')"
-    s"""_h AS (
+    s"""${prefix}_h AS (
        |  SELECT $keyCol, list_transform($tok,
        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
        |  FROM $src),
-       |_raw AS (
+       |${prefix}_raw AS (
        |  SELECT $keyCol, list_transform(generate_series(0, ${dims - 1}), i ->
        |      CAST(len(list_filter(hs, h -> h % $dims = i AND (h >> 6) % 2 = 0)) AS DOUBLE)
        |      - len(list_filter(hs, h -> h % $dims = i AND (h >> 6) % 2 = 1))) AS raw
-       |  FROM _h),
-       |feat AS (
+       |  FROM ${prefix}_h),
+       |${prefix}feat AS (
        |  SELECT $keyCol, list_transform(raw, x -> x / nrm) AS v
        |  FROM (SELECT $keyCol, raw, sqrt(list_dot_product(raw, raw)) AS nrm
-       |        FROM _raw))""".stripMargin
+       |        FROM ${prefix}_raw))""".stripMargin
   }
 }

@@ -65,6 +65,33 @@ object Media {
       .orderBy(col("kind"))
   }
 
+  /** Vision embedding over the media table's BINARY column (P6/S4):
+    * the bytes are base64-encoded (the representation the reference
+    * ships to its vision model, `embeddings.py:28-31`) and
+    * hash-featurized — the deterministic byte-consuming twin of the
+    * Ollama llava call. Exploded to (id, dim, v) like q31 so the
+    * oracle verifies every component. */
+  def visionEmbed(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .filter(col("kind") === "image" && col("id") < 30)
+      .select(col("id"), posexplode(
+        graft.functions.Embeddings.embedVision(col("content"))))
+      .select(col("id"), col("pos").cast("long").as("dim"),
+        round(col("col"), 6).as("v"))
+      .orderBy(col("id"), col("dim"))
+
+  val visionEmbedSql: String = {
+    val ctes = graft.functions.Embeddings.featurizeCtes(
+      """(SELECT p_partkey AS id, to_base64(unhex(md5(p_name))) AS b64
+        |      FROM part
+        |      WHERE p_partkey % 3 <> 0 AND p_partkey < 30)""".stripMargin,
+      "id", "b64")
+    s"""WITH $ctes
+      |SELECT id, i - 1 AS dim, ROUND(v[i], 6) AS v
+      |FROM feat CROSS JOIN generate_series(1, 64) AS t(i)
+      |ORDER BY id, dim""".stripMargin
+  }
+
   /** Oracle: identical byte math from the md5 hex string (DuckDB
     * derives the same 16 bytes as hex digit pairs). */
   val mediaFeaturesSql: String =

@@ -48,6 +48,61 @@ object Search {
       |ORDER BY distance, id
       |LIMIT 5""".stripMargin
 
+  /** The reference's true embedding dimensionality: pgvector
+    * `Vector(1024)` (`models.py:32`); the embedding model emits more
+    * dims, and the pipeline normalizes THEN truncates to 1024 (quirk
+    * Q1 — stored vectors are intentionally not unit-norm). */
+  val RefDims = 1024
+  /** Stand-in "model output" width (> RefDims so the truncation is
+    * honest, like Ollama's 3072-d llama3.2 output vs the 1024 column). */
+  val ModelDims = 1280
+
+  /** Semantic search at REFERENCE dimensionality (E2 at 1024-d):
+    * featurize document text at [[ModelDims]] (the featurizer output
+    * is unit-norm, i.e. already L2-normalized), truncate to
+    * [[RefDims]] (quirk Q1 order — the stored vectors are not unit
+    * norm), same for the query literal, then the negative-inner-
+    * product range + top-k chain. The corpus side is a single
+    * codegen'd scan (native featurizer + native dot product, 1024-d);
+    * the query side is a broadcast 1-row cross join. */
+  def knn1024(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Embeddings
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), VectorOps.truncateOrPad(
+        Embeddings.featurize(col("text"), ModelDims), RefDims).as("v"))
+    val q = spark.range(1).select(VectorOps.truncateOrPad(
+      Embeddings.featurize(lit("fast merge window"), ModelDims), RefDims)
+      .as("qv"))
+    docs.crossJoin(broadcast(q))
+      .withColumn("distance", VectorOps.negDot(col("v"), col("qv")))
+      .filter(col("distance") <= 0.05)
+      .orderBy(col("distance"), col("doc_id"))
+      .limit(5)
+      .select(col("doc_id"), round(col("distance"), 6).as("distance"))
+  }
+
+  val knn1024Sql: String = {
+    import graft.functions.Embeddings
+    val docCtes = Embeddings.featurizeCtes(
+      "(SELECT doc_id, text FROM documents WHERE doc_id < 100)",
+      "doc_id", "text", dims = 1280)
+    val qCtes = Embeddings.featurizeCtes(
+      "(SELECT 0 AS qid, 'fast merge window' AS qt)",
+      "qid", "qt", dims = 1280, prefix = "q")
+    s"""WITH $docCtes,
+      |$qCtes,
+      |d AS (SELECT doc_id, v[1:1024] AS v FROM feat),
+      |q AS (SELECT v[1:1024] AS qv FROM qfeat),
+      |scored AS (
+      |  SELECT doc_id, -list_dot_product(d.v, q.qv) AS distance
+      |  FROM d CROSS JOIN q)
+      |SELECT doc_id, ROUND(distance, 6) AS distance
+      |FROM scored WHERE distance <= 0.05
+      |ORDER BY distance, doc_id
+      |LIMIT 5""".stripMargin
+  }
+
   /** Dashboard analytics (A1-A3): the reference runs four separate
     * queries over one connection; here it's one pass per table and a
     * 1×1 cross join — two tiny aggregates, no wide shuffle. */

@@ -22,8 +22,11 @@ object Ingest {
 
   /** The embed stage of E1: drop rows the reference's task guards
     * drop (`tasks.py:66-74`: null url, or null content on non-image
-    * rows), derive domain, embed text content, normalize-then-pad
-    * (quirk Q1 order), stamp processing time. */
+    * rows), derive domain, embed — text content through the text
+    * featurizer, image rows through the BYTE path (fetch the image by
+    * url, base64, vision-featurize — `tasks.py:79-84` dispatch,
+    * `embeddings.py:18-43` chain), normalize-then-pad (quirk Q1
+    * order), stamp processing time. */
   def transformBatch(items: DataFrame, batchTime: java.sql.Timestamp): DataFrame =
     items
       .filter(col("url").isNotNull &&
@@ -32,7 +35,8 @@ object Ingest {
       .withColumn("embedding",
         when(col("embedding_type") === "text",
           Embeddings.embedText(col("content")))
-          .otherwise(Embeddings.embedText(col("url")))) // vision stand-in
+          .otherwise(Embeddings.embedVision(
+            Embeddings.fetchImageBytes(col("url")))))
       .withColumn("last_crawled", lit(batchTime))
 
   /** S5 upsert-merge of a processed batch into the corpus state:

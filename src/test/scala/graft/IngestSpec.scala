@@ -30,6 +30,20 @@ class IngestSpec extends SparkSpec {
     assert(out.select(size($"embedding")).as[Int].collect().forall(_ === 64))
   }
 
+  test("vision path consumes image bytes, not the url string") {
+    import graft.functions.Embeddings
+    val batch = items(
+      PageItem("https://a.test/img.jpg", None, None, None, "image", "vision"))
+    val got = Ingest.transformBatch(batch, t0)
+      .select($"embedding").as[Seq[Double]].head()
+    val viaBytes = batch.select(Embeddings.embedVision(
+        Embeddings.fetchImageBytes($"url"))).as[Seq[Double]].head()
+    val viaUrlText = batch.select(Embeddings.embedText($"url"))
+      .as[Seq[Double]].head()
+    assert(got === viaBytes)   // fetch -> base64 -> featurize over bytes
+    assert(got !== viaUrlText) // NOT the old url-string stand-in
+  }
+
   test("upsertInto: newest wins per url, idempotent (S5/Q2)") {
     val state = Ingest.transformBatch(items(
       PageItem("https://a.test/1", None, None, Some("old"), "html", "text")), t0)
