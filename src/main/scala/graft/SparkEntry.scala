@@ -101,6 +101,11 @@ object SparkEntry {
     "q56_vision_embed" -> (Media.visionEmbed _),
     "q57_knn_1024" -> (Search.knn1024 _),
     "q58_structured_registry" -> (Html.structuredRegistry _),
+    "q59_chunk_docs" -> (Pipeline.chunkDocs _),
+    "q60_repetition" -> (Pipeline.repetitionScore _),
+    "q61_pii_scrub" -> (Pipeline.piiScrub _),
+    "q62_domain_quota" -> (Pipeline.domainQuota _),
+    "q63_contamination" -> (Pipeline.contamination _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -164,5 +169,10 @@ object SparkEntry {
     "q56_vision_embed" -> Media.visionEmbedSql,
     "q57_knn_1024" -> Search.knn1024Sql,
     "q58_structured_registry" -> Html.structuredRegistrySql,
+    "q59_chunk_docs" -> Pipeline.chunkDocsSql,
+    "q60_repetition" -> Pipeline.repetitionScoreSql,
+    "q61_pii_scrub" -> Pipeline.piiScrubSql,
+    "q62_domain_quota" -> Pipeline.domainQuotaSql,
+    "q63_contamination" -> Pipeline.contaminationSql,
   )
 }

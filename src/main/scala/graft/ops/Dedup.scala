@@ -293,10 +293,16 @@ object Dedup {
 
   // ---- 4. SimHash ----------------------------------------------
 
-  /** 32-bit SimHash over distinct token hashes; near-dups = pairs
-    * with equal high-16-bit bucket and Hamming distance ≤ 6. The
-    * bucket join is the scale path (multi-probe banding generalizes
-    * it); Hamming check via bit_count(xor). */
+  /** 32-bit SimHash over distinct token hashes; near-dups = pairs at
+    * Hamming distance ≤ 6, candidates via MULTI-PROBE banding: 4
+    * bands of 8 bits each, a pair is a candidate iff SOME band is
+    * equal. Pigeonhole: any pair at Hamming ≤ 3 has an untouched band
+    * → guaranteed found; at distance 4-6 the differing bits must
+    * spread across all four bands to escape. (The previous single
+    * high-16 bucket required ALL differing bits to fall in the low
+    * half — strictly lower recall; banding is its scale
+    * generalization.) Shuffle carries (doc_id, simhash, band, key8)
+    * only — signature-sized, length-independent. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val hs = array_distinct(transform(TextOps.tokens(col("text")),
       t => TextOps.hash60(t)))
@@ -309,16 +315,24 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), hs.as("hs"))
       .withColumn("simhash", simhash)
-      .withColumn("bucket", shiftright(col("simhash"), 16))
-      .select(col("doc_id"), col("simhash"), col("bucket"))
-      .cache() // both sides of the bucket self-join
-    docs.as("a").join(docs.as("b"),
-        col("a.bucket") === col("b.bucket")
+      .select(col("doc_id"), col("simhash"))
+      .cache() // both sides of the band self-join
+    val banded = docs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-      .filter(col("hamming") <= 6)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("sha"), col("b.simhash").as("shb"))
+      .distinct() // a pair can match in several bands
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a_id"), col("b_id"),
         col("hamming").cast("long").as("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -327,6 +341,9 @@ object Dedup {
     val bitTerms = (0 until 32).map { j =>
       s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("\n      + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS key FROM sh"
+    }.mkString("\n      |  UNION ALL ")
     s"""WITH $corpusNearCte,
       |hs AS (
       |  SELECT doc_id,
@@ -337,11 +354,17 @@ object Dedup {
       |  SELECT doc_id,
       |    ($bitTerms) AS simhash
       |  FROM hs),
-      |docs AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      |FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      |banded AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.simhash AS sha, b.simhash AS shb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id,
+      |  CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(sha, shb)) <= 6
       |ORDER BY a_id, b_id""".stripMargin
   }
 }

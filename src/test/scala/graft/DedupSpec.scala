@@ -50,6 +50,39 @@ class DedupSpec extends SparkSpec {
     planted.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
   }
 
+  test("simhash multi-probe: every Hamming<=3 pair is found (pigeonhole)") {
+    // brute-force ground truth at this SF, then assert the banded
+    // candidate scheme cannot miss a pair with <=3 differing bits
+    // (4 bands of 8: three flips leave at least one band untouched)
+    val pairs = Dedup.simhashPairs(spark, sfDir)
+      .select("a_id", "b_id", "hamming").collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    import graft.functions.TextOps
+    val hs = array_distinct(transform(TextOps.tokens($"text"),
+      t => TextOps.hash60(t)))
+    val sim = (0 until 32).map { j =>
+      when(aggregate($"hs", lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L)
+          .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .unionByName(Tables.documents(spark, sfDir)
+        .filter(pmod($"doc_id", lit(10)) === 0)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          concat($"text", lit(" near dup tail")).as("text")))
+      .select($"doc_id", hs.as("hs")).withColumn("simhash", sim)
+      .select("doc_id", "simhash").cache()
+    val close = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter($"hamming" <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(close.subsetOf(found),
+      s"missed guaranteed pairs: ${(close -- found).take(5)}")
+  }
+
   test("embeddingNearDup finds all planted perturbed vectors") {
     val pairs = Similarity.embeddingNearDup(spark, sfDir).collect()
     val planted = Tables.embeddings(spark, sfDir)

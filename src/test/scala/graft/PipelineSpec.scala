@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.Pipeline
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking covers every token with stride-48 windows") {
+    val chunks = Pipeline.chunkDocs(spark, sfDir).collect()
+    val docTokens = Tables.documents(spark, sfDir).filter($"doc_id" < 20)
+      .select($"doc_id", size(graft.functions.TextOps.tokens($"text"))
+        .as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_.getLong(0)).foreach { case (docId, cs) =>
+      val n = docTokens(docId)
+      val starts = (1 to n by 48).toSeq
+      assert(cs.length === starts.size, s"doc $docId chunk count")
+      // chunk c covers tokens [start, start+63] clipped to the doc —
+      // together the windows cover every token (stride < window)
+      val sizes = cs.sortBy(_.getLong(1)).map(_.getLong(2))
+      sizes.zip(starts).foreach { case (s, st) =>
+        assert(s === math.min(64, n - st + 1).toLong, s"doc $docId @ $st")
+      }
+      assert(starts.last + sizes.last - 1 === n, s"doc $docId tail coverage")
+    }
+  }
+
+  test("repetition ratio is in [0,1) and detects repeated text") {
+    val base = Pipeline.repetitionScore(spark, sfDir).collect()
+    base.foreach { r =>
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+    // a fully repeated doc scores high
+    val rep = Seq((0L, ("spark fast merge " * 30).trim))
+      .toDF("doc_id", "text")
+      .withColumn("toks", graft.functions.TextOps.tokens($"text"))
+      .select($"doc_id",
+        graft.functions.TextOps.shinglesFromTokens($"toks").as("grams"))
+      .select((lit(1.0) - size(array_distinct($"grams")).cast("double")
+        / size($"grams")).as("ratio"))
+      .as[Double].head()
+    assert(rep > 0.9)
+  }
+
+  test("PII scrub finds exactly the planted emails/phones and redacts them") {
+    val rows = Pipeline.piiScrub(spark, sfDir).collect()
+    rows.foreach { r =>
+      val planted = r.getLong(0) % 5 == 0
+      assert(r.getAs[Long]("n_emails") === (if (planted) 1L else 0L))
+      assert(r.getAs[Long]("n_phones") === (if (planted) 1L else 0L))
+    }
+  }
+
+  test("domain quota keeps at most 3 per domain, highest quality first") {
+    val out = Pipeline.domainQuota(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("n_kept") <= 3))
+    // kept min quality must be >= the domain's 4th-best quality
+    val wp = Corpus.webPages(spark, sfDir)
+      .withColumn("q", graft.functions.TextOps.qualityScore($"content"))
+    val fourth = wp.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"domain").orderBy($"q".desc, $"id")))
+      .filter($"rn" === 4).select($"domain", $"q".as("q4"))
+    val bad = Pipeline.domainQuota(spark, sfDir)
+      .join(fourth, "domain").filter($"min_quality" < $"q4").count()
+    assert(bad === 0)
+  }
+
+  test("contamination finds the planted verbatim inclusions") {
+    val rows = Pipeline.contamination(spark, sfDir).collect()
+    assert(rows.length === 5) // every benchmark doc has a planted copy
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated_docs") >= 1)
+      assert(r.getAs[Long]("n_shared_grams") >= 1)
+    }
+  }
+}
