@@ -106,6 +106,7 @@ object SparkEntry {
     "q61_pii_scrub" -> (Pipeline.piiScrub _),
     "q62_domain_quota" -> (Pipeline.domainQuota _),
     "q63_contamination" -> (Pipeline.contamination _),
+    "q64_session_window" -> (Events.sessionWindows _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -174,5 +175,6 @@ object SparkEntry {
     "q61_pii_scrub" -> Pipeline.piiScrubSql,
     "q62_domain_quota" -> Pipeline.domainQuotaSql,
     "q63_contamination" -> Pipeline.contaminationSql,
+    "q64_session_window" -> Events.sessionWindowsSql,
   )
 }

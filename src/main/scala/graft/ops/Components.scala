@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * mile: pairs are not enough, the pipeline needs dup GROUPS with one
   * canonical representative each (keep min-id, drop the rest).
   *
-  * Algorithm: min-label propagation, a fixed 6 iterations (dup-group
-  * diameters are tiny; 6 ≥ diameter at test scale, and the oracle
-  * unrolls the identical 6 rounds — fixpoint-free determinism). Each
-  * iteration is one join + groupBy on the label — at 100 TB this is
-  * the standard large-star/small-star family's simple cousin, with
-  * per-level checkpointing exactly like the crawl BFS.
+  * Algorithm: min-label propagation to CONVERGENCE (stop as soon as a
+  * round changes no label), capped at 6 rounds so the result is
+  * identical to the oracle's unrolled 6 rounds even on a
+  * pathologically deep graph (extra rounds past the fixpoint are
+  * no-ops, so early exit cannot change the answer). Each iteration is
+  * one join + groupBy on the label, per-level localCheckpoint to cut
+  * lineage; the convergence probe is a count over the already-
+  * materialized checkpoint — at 100 TB you pay one cheap action per
+  * round instead of blindly running worst-case depth.
   */
 object Components {
 
@@ -33,13 +36,18 @@ object Components {
     try {
       var labels = es.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
-      for (_ <- 1 to Rounds) {
+      var converged = false
+      var round = 0
+      while (round < Rounds && !converged) {
         val neighborMin = es.join(labels, col("dst") === col("node"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-        labels = labels.join(neighborMin, col("node") === col("src"), "left")
-          .select(col("node"),
+        val next = labels.join(neighborMin, col("node") === col("src"), "left")
+          .select(col("node"), col("lbl").as("old_lbl"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+          .localCheckpoint() // eager: materializes the round once
+        converged = next.filter(col("lbl") < col("old_lbl")).isEmpty
+        labels = next.select(col("node"), col("lbl"))
+        round += 1
       }
       labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(

@@ -108,6 +108,48 @@ object Events {
       |WHERE user_id < 20
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Native session windows (the engine-managed twin of the
+    * lag-based [[sessionize]]): Spark's `session_window` merges
+    * events whose start falls strictly before the previous window's
+    * end (= last event + gap, exact microsecond comparison); the
+    * oracle replays the identical rule as an epoch_us island query.
+    * One session row per (user, session), windows via the same
+    * operator Structured Streaming uses (StreamingSessionSpec drives
+    * it on a stream). */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("s_start"),
+        unix_timestamp(col("w.end")).as("s_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("s_start"))
+
+  val sessionWindowsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE user_id < 10),
+      |marked AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0
+      |            END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |sessions AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  MIN(us) // 1000000 AS s_start,
+      |  (MAX(us) + 1800000000) // 1000000 AS s_end,
+      |  COUNT(*) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_value
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   /** JSON payload decode (P13 shape: per-record JSON parse → field
     * extraction → filter/aggregate). */
   def jsonDecode(spark: SparkSession, sfDir: String): DataFrame =

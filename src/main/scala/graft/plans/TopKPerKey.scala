@@ -80,6 +80,15 @@ object TopKPerKey {
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(keyAttrs) :: Nil
 
+    // rows pass through unchanged, so the child's hash partitioning
+    // survives — without this the default UnknownPartitioning forces
+    // a REDUNDANT exchange into any same-key aggregation above
+    // (observed in the q62 plan: two back-to-back hashpartitioning
+    // (domain) exchanges)
+    override def outputPartitioning:
+        org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+      child.outputPartitioning
+
     override protected def doExecute(): RDD[InternalRow] = {
       val out = child.output
       val keyIdx = keyCols.map(resolve)

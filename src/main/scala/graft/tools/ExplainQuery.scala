@@ -1,0 +1,20 @@
+package graft.tools
+
+/** Dev utility: print the executed plan of named SparkEntry queries.
+  *
+  * {{{ sbt "runMain graft.tools.ExplainQuery /root/testdata/sf0.01 q27_embedding_near_dup" }}}
+  */
+object ExplainQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.GraftSession.builder("8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      println(s"===== $name =====")
+      println(df.queryExecution.executedPlan.toString.take(8000))
+    }
+    spark.stop()
+  }
+}

@@ -45,6 +45,20 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort [sim"), s"unexpected sort:\n$plan")
   }
 
+  test("same-key aggregation above the operator reuses its partitioning") {
+    val agg = TopKPerKey.perKey(scored, Seq("q_id"), "sim", 3)
+      .groupBy("q_id").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(q_id".r
+      .findAllIn(plan).size
+    val plans = "TopKPerKey".r.findAllIn(plan).size
+    // one exchange per printed plan copy (AQE prints final+initial):
+    // the exec preserves child partitioning, so the aggregation above
+    // must NOT re-shuffle on the same key
+    assert(exchanges <= plans, s"redundant exchange above TopKPerKey:\n$plan")
+  }
+
   test("k larger than group size returns whole groups") {
     val df = TopKPerKey.perKey(scored.filter($"vec_id" < 8),
       Seq("q_id"), "sim", 1000)
