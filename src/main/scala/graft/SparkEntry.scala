@@ -107,6 +107,8 @@ object SparkEntry {
     "q62_domain_quota" -> (Pipeline.domainQuota _),
     "q63_contamination" -> (Pipeline.contamination _),
     "q64_session_window" -> (Events.sessionWindows _),
+    "q65_bm25" -> (Ranking.bm25 _),
+    "q66_pagerank" -> (Graph.pageRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,5 +178,7 @@ object SparkEntry {
     "q62_domain_quota" -> Pipeline.domainQuotaSql,
     "q63_contamination" -> Pipeline.contaminationSql,
     "q64_session_window" -> Events.sessionWindowsSql,
+    "q65_bm25" -> Ranking.bm25Sql,
+    "q66_pagerank" -> Graph.pageRankSql,
   )
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance ranking: BM25 (k1=1.2, b=0.75) over the
+  * documents table — the scoring layer the reference's tsvector
+  * matching lacks (its FTS is boolean, `search.py:60-63`).
+  *
+  * Shape: one scan computes per-doc term frequencies for the query
+  * terms (explode over a 3-literal array, not over the corpus
+  * vocabulary); document frequencies and corpus stats are tiny
+  * aggregates broadcast back; the final score is a per-doc sum and a
+  * top-k heap. No shuffle ever carries token arrays — at 100 TB the
+  * heavy side streams through scan → project → partial agg.
+  *
+  * Determinism: idf and each term contribution are rounded to 9
+  * decimals (ln differs across libm implementations in the last ulp),
+  * per-doc sums accumulate in DECIMAL, avgdl is fixed to 6 decimals —
+  * both engines compute bit-identical scores.
+  */
+object Ranking {
+
+  val QueryTerms: Seq[String] = Seq("merge", "window", "fast")
+  val K1 = 1.2
+  val B = 0.75
+
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      round(sum(col("dl").cast("decimal(28,6)")).cast("double")
+        / count(lit(1)), 6).as("avgdl"))
+    val terms = array(QueryTerms.map(lit): _*)
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(transform(terms, t => struct(t.as("term"),
+          size(filter(col("toks"), x => x === t)).cast("double").as("tf"))))
+          .as("t"))
+      .select(col("doc_id"), col("dl"), col("t.term"), col("t.tf"))
+      .filter(col("tf") > 0)
+    val df_ = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 9))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * lit(K1 + 1.0))
+          / (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))), 9))
+    contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c").cast("decimal(28,12)")).cast("double"), 6)
+        .as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val bm25Sql: String = {
+    val tokSql =
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"
+    val termsSql = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH docs AS (
+      |  SELECT doc_id, $tokSql AS toks,
+      |    CAST(len($tokSql) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    ROUND(CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avgdl
+      |  FROM docs),
+      |tf AS (
+      |  SELECT doc_id, dl, term,
+      |    CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf
+      |  FROM docs CROSS JOIN unnest($termsSql) AS t(term)
+      |  WHERE len(list_filter(toks, x -> x = term)) > 0),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    ROUND(ROUND(ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 9)
+      |      * (tf.tf * ${K1 + 1.0})
+      |      / (tf.tf + $K1 * (1.0 - $B + $B * tf.dl / avgdl)), 9) AS c
+      |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+      |SELECT doc_id,
+      |  ROUND(CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS score,
+      |  COUNT(*) AS n_terms_hit
+      |FROM contrib
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 10""".stripMargin
+  }
+}
