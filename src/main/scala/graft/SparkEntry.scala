@@ -109,6 +109,7 @@ object SparkEntry {
     "q64_session_window" -> (Events.sessionWindows _),
     "q65_bm25" -> (Ranking.bm25 _),
     "q66_pagerank" -> (Graph.pageRank _),
+    "q67_pq_ann" -> (PQ.pqAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -180,5 +181,6 @@ object SparkEntry {
     "q64_session_window" -> Events.sessionWindowsSql,
     "q65_bm25" -> Ranking.bm25Sql,
     "q66_pagerank" -> Graph.pageRankSql,
+    "q67_pq_ann" -> PQ.pqAnnSql,
   )
 }

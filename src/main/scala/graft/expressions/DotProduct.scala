@@ -30,6 +30,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // can return NULL even for non-null inputs (length mismatch, null
+  // element) — without this, codegen binds ev.isNull to the `false`
+  // literal for non-nullable children and the `isNull = true` branch
+  // fails to COMPILE, silently dropping the whole projection to
+  // interpreted mode
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType

@@ -3,6 +3,7 @@ package graft
 import graft.ops.{Graph, Ranking}
 
 class RankingSpec extends SparkSpec {
+  import spark.implicits._
 
   test("bm25: scores positive, descending, hit counts within query size") {
     val rows = Ranking.bm25(spark, sfDir).collect()
@@ -29,6 +30,31 @@ class RankingSpec extends SparkSpec {
     val ranks = rows.map(_.getAs[Double]("rank"))
     assert(ranks.forall(r => r > 0 && r < 1))
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("pq ann: approximate distances ascend and select closer-than-average vectors") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val rows = ops.PQ.pqAnn(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val ds = rows.map(_.getAs[Double]("approx_d2"))
+    assert(ds.forall(_ >= 0))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    // quality: the PQ-selected neighbors must be genuinely closer to
+    // the query than a random vector, measured with EXACT distances
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val exact = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        (VectorOps.dot($"v", $"v") - lit(2.0) * VectorOps.dot($"v", $"qv")
+          + VectorOps.dot($"qv", $"qv")).as("d2"))
+    val avgAll = exact.agg(avg($"d2")).as[Double].head()
+    val picked = rows.map(_.getAs[Long]("n_id")).toSeq
+    val avgPicked = exact.filter($"vec_id".isin(picked: _*))
+      .agg(avg($"d2")).as[Double].head()
+    assert(avgPicked < avgAll,
+      s"PQ picked no-better-than-random neighbors: $avgPicked vs $avgAll")
   }
 
   test("pagerank: a heavily-linked hub outranks the uniform floor") {
