@@ -37,9 +37,12 @@ object Graph {
         .localCheckpoint()
       val outdeg = es.groupBy(col("src"))
         .agg(count(lit(1)).cast("double").as("deg"))
-      val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
-      var ranks = nodes.crossJoin(broadcast(nDf))
-        .select(col("node"), round(lit(1.0) / col("n"), 12).as("rank"))
+      // one count up front (the loop materializes checkpoints anyway —
+      // this is an iterative job, not a lazy plan), shared by every
+      // iteration instead of a per-iteration 1-row cross join
+      val n = nodes.count().toDouble
+      var ranks = nodes
+        .select(col("node"), round(lit(1.0) / lit(n), 12).as("rank"))
         .localCheckpoint()
       for (_ <- 1 to Iters) {
         val contribs = es
@@ -49,10 +52,10 @@ object Graph {
         val inbound = contribs.groupBy(col("dst")).agg(
           round(sum(col("c").cast("decimal(28,14)")).cast("double"), 12)
             .as("insum"))
-        ranks = nodes.crossJoin(broadcast(nDf))
+        ranks = nodes
           .join(inbound, col("node") === col("dst"), "left")
           .select(col("node"),
-            round(lit(1.0 - Damping) / col("n")
+            round(lit(1.0 - Damping) / lit(n)
               + lit(Damping) * coalesce(col("insum"), lit(0.0)), 12)
               .as("rank"))
           .localCheckpoint()
