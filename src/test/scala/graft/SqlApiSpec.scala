@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL face of the library: tables registered as temp views +
+  * the injected native functions give users a pure-SQL workflow
+  * (`spark.sql("...")`) equivalent to the DataFrame API. */
+class SqlApiSpec extends SparkSpec {
+
+  private def installFunctions(): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val sessionState = spark.getClass.getMethod("sessionState").invoke(spark)
+    val registry = sessionState.getClass.getMethod("functionRegistry")
+      .invoke(sessionState)
+      .asInstanceOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry]
+    ext.getClass.getMethod("registerFunctions",
+        classOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
+      .invoke(ext, registry)
+  }
+
+  test("semantic search expressed entirely in SQL matches the DataFrame API") {
+    installFunctions()
+    Corpus.webPagesWithEmbeddings(spark, sfDir)
+      .createOrReplaceTempView("wp_emb")
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      """SELECT id, url, ROUND(distance, 6) AS distance FROM (
+        |  SELECT w.id, w.url,
+        |    vec_negdot(w.embedding,
+        |      (SELECT first(embedding) FROM emb WHERE vec_id = 0)) AS distance
+        |  FROM wp_emb w)
+        |WHERE distance <= 0.05
+        |ORDER BY distance, id
+        |LIMIT 5""".stripMargin).collect().toSeq
+    val viaDf = ops.Search.semanticSearch(spark, sfDir).collect().toSeq
+    assert(viaSql === viaDf)
+  }
+
+  test("featurize + score pipeline in pure SQL") {
+    installFunctions()
+    Tables.documents(spark, sfDir).createOrReplaceTempView("docs")
+    val rows = spark.sql(
+      """SELECT doc_id,
+        |  ROUND(vec_dot(vec_featurize(text), vec_featurize('merge window')), 6) AS sim
+        |FROM docs WHERE doc_id < 5
+        |ORDER BY doc_id""".stripMargin).collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+  }
+}
