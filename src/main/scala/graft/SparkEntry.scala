@@ -110,6 +110,7 @@ object SparkEntry {
     "q65_bm25" -> (Ranking.bm25 _),
     "q66_pagerank" -> (Graph.pageRank _),
     "q67_pq_ann" -> (PQ.pqAnn _),
+    "q68_crawl_restricted" -> (Crawl.frontierBfsRestricted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,5 +183,6 @@ object SparkEntry {
     "q65_bm25" -> Ranking.bm25Sql,
     "q66_pagerank" -> Graph.pageRankSql,
     "q67_pq_ann" -> PQ.pqAnnSql,
+    "q68_crawl_restricted" -> Crawl.frontierBfsRestrictedSql,
   )
 }

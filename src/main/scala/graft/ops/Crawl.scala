@@ -67,4 +67,52 @@ object Crawl {
       |mind AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node)
       |SELECT depth, COUNT(*) AS n_pages, CAST(SUM(node) AS BIGINT) AS node_sum
       |FROM mind GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** Spider restrictions the plain BFS ignores: the reference's
+    * LinkExtractor only follows links inside `allowed_domains`
+    * (`dynamic_spider.py:13-25`, `tasks.py:35-39` builds them from
+    * the job's domain) and the crawler obeys robots.txt
+    * (`ROBOTSTXT_OBEY`, `settings.py:7-10`). Model: page domain =
+    * node % 20, allowed = domains 0-9, robots-disallowed = node %
+    * 97 == 3 (a per-URL disallow rule). Disallowed/off-domain links
+    * are PRUNED AT EXPANSION — they never enter the frontier, exactly
+    * like the spider never enqueuing them. */
+  val AllowedDomains = 10 // domains 0..9 of 20
+  def frontierBfsRestricted(spark: SparkSession, sfDir: String): DataFrame = {
+    val allowed = (dst: org.apache.spark.sql.Column) =>
+      pmod(dst, lit(20)) < AllowedDomains && pmod(dst, lit(97)) =!= 3
+    val es = edges(spark, sfDir).filter(allowed(col("dst"))).cache()
+    try {
+      var visited = spark.range(1).select(lit(0L).as("node"),
+        lit(0).as("depth"))
+      var frontier = visited.select(col("node"))
+      for (d <- 1 to MaxDepth) {
+        val next = es.join(frontier, col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+        visited = visited.unionByName(
+          next.withColumn("depth", lit(d))).localCheckpoint()
+        frontier = visited.filter(col("depth") === d).select(col("node"))
+      }
+      visited.groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("node")).as("node_sum"))
+        .orderBy(col("depth"))
+    } finally es.unpersist()
+  }
+
+  val frontierBfsRestrictedSql: String =
+    s"""WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+      |    FROM lineitem)
+      |  WHERE dst % 20 < $AllowedDomains AND dst % 97 <> 3),
+      |bfs AS (
+      |  SELECT 0::BIGINT AS node, 0 AS depth
+      |  UNION
+      |  SELECT e.dst AS node, b.depth + 1 AS depth
+      |  FROM bfs b JOIN edges e ON e.src = b.node
+      |  WHERE b.depth < $MaxDepth),
+      |mind AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node)
+      |SELECT depth, COUNT(*) AS n_pages, CAST(SUM(node) AS BIGINT) AS node_sum
+      |FROM mind GROUP BY depth ORDER BY depth""".stripMargin
 }
