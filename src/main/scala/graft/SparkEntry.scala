@@ -111,6 +111,7 @@ object SparkEntry {
     "q66_pagerank" -> (Graph.pageRank _),
     "q67_pq_ann" -> (PQ.pqAnn _),
     "q68_crawl_restricted" -> (Crawl.frontierBfsRestricted _),
+    "q69_unigram_logprob" -> (Ranking.unigramLogprob _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,5 +185,6 @@ object SparkEntry {
     "q66_pagerank" -> Graph.pageRankSql,
     "q67_pq_ann" -> PQ.pqAnnSql,
     "q68_crawl_restricted" -> Crawl.frontierBfsRestrictedSql,
+    "q69_unigram_logprob" -> Ranking.unigramLogprobSql,
   )
 }

@@ -61,6 +61,60 @@ object Ranking {
       .limit(10)
   }
 
+  /** Unigram log-probability scoring — the deterministic stand-in for
+    * KenLM-style perplexity filtering: train add-1-smoothed unigram
+    * probabilities on the corpus itself, score each document by its
+    * mean token log-probability, surface the most "surprising"
+    * (lowest mean logprob) documents. Shape: one explode → one join
+    * to the (token, count) model → per-doc partial-agg mean; the
+    * model table is corpus-vocabulary-sized and broadcastable.
+    * Determinism: per-token ln rounded to 9, per-doc sums in DECIMAL. */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    unigramLogprobOf(Tables.documents(spark, sfDir))
+
+  /** Core scoring over any (doc_id, text) relation. */
+  def unigramLogprobOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val stats = vocab.agg(
+      sum(col("cnt")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("vsize"))
+    val scored = toks.join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("lp", round(
+        log((col("cnt").cast("double") + 1.0)
+          / (col("total") + col("vsize"))), 9))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy(col("avg_logprob"), col("doc_id"))
+      .limit(10)
+  }
+
+  val unigramLogprobSql: String = {
+    val tokSql =
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |stats AS (
+      |  SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+      |    CAST(COUNT(*) AS DOUBLE) AS vsize
+      |  FROM vocab),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    ROUND(ln((CAST(v.cnt AS DOUBLE) + 1.0) / (s.total + s.vsize)), 9) AS lp
+      |  FROM toks t JOIN vocab v USING (tok) CROSS JOIN stats s)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY avg_logprob, doc_id
+      |LIMIT 10""".stripMargin
+  }
+
   val bm25Sql: String = {
     val tokSql =
       "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"

@@ -57,6 +57,19 @@ class RankingSpec extends SparkSpec {
       s"PQ picked no-better-than-random neighbors: $avgPicked vs $avgAll")
   }
 
+  test("unigram logprob: rare-token documents score as more surprising") {
+    val docs = Seq(
+      (1L, "the the the and and of of to to a a"), // all common tokens
+      (2L, "the and of to a"),                     // common, shorter
+      (3L, "zyxqf wvutk jqmbn plgdh xcvbz"))       // singletons only
+      .toDF("doc_id", "text")
+    val rows = Ranking.unigramLogprobOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(rows(3L) < rows(1L) && rows(3L) < rows(2L),
+      s"gibberish doc not most surprising: $rows")
+    assert(rows.values.forall(_ < 0))
+  }
+
   test("pagerank: a heavily-linked hub outranks the uniform floor") {
     val rows = Graph.pageRank(spark, sfDir).collect()
     // top-10 of a 2000-node graph must all clear 1/N (they attract
