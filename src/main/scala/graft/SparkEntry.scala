@@ -112,6 +112,7 @@ object SparkEntry {
     "q67_pq_ann" -> (PQ.pqAnn _),
     "q68_crawl_restricted" -> (Crawl.frontierBfsRestricted _),
     "q69_unigram_logprob" -> (Ranking.unigramLogprob _),
+    "q70_source_mix" -> ((s: SparkSession, d: String) => Pipeline.sourceMix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +187,6 @@ object SparkEntry {
     "q67_pq_ann" -> PQ.pqAnnSql,
     "q68_crawl_restricted" -> Crawl.frontierBfsRestrictedSql,
     "q69_unigram_logprob" -> Ranking.unigramLogprobSql,
+    "q70_source_mix" -> Pipeline.sourceMixSql,
   )
 }

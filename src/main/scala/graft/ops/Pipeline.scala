@@ -183,7 +183,63 @@ object Pipeline {
       |FROM kept GROUP BY domain ORDER BY domain""".stripMargin
   }
 
-  // ---- 5. benchmark contamination ------------------------------
+  // ---- 5. source mixture sampling ------------------------------
+
+  /** Temperature-scaled source mixing (the data-mixing step of a
+    * training run): per-source weights w_s = n_s^0.7 (temperature
+    * 0.7 up-weights small sources relative to proportional
+    * sampling), normalized to shares, converted to per-source keep
+    * rates for a fixed target size, then drawn with the auditable
+    * deterministic hash rule (same doc always in or out). One
+    * aggregate for the mixture table (broadcast back), one filtered
+    * scan for the draw. */
+  def sourceMix(spark: SparkSession, sfDir: String,
+      target: Int = 500): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val bySource = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(pow(col("n_docs").cast("double"), 0.7), 6))
+    val norm = bySource.agg(
+      round(sum(col("w").cast("decimal(28,8)")).cast("double"), 6).as("norm"))
+    val rates = bySource.crossJoin(broadcast(norm))
+      .withColumn("share", round(col("w") / col("norm"), 6))
+      .withColumn("rate", least(lit(1.0),
+        round(col("share") * target / col("n_docs"), 6)))
+      .select(col("source"), col("n_docs"), col("share"), col("rate"))
+    val sampled = d.join(broadcast(rates), Seq("source"))
+      .filter(pmod(TextOps.hash60(concat(lit("mix"), col("doc_id"))),
+        lit(1000000L)).cast("double") < col("rate") * 1e6)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("share"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val sourceMixSql: String =
+    """WITH by_source AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    ROUND(pow(CAST(COUNT(*) AS DOUBLE), 0.7), 6) AS w
+      |  FROM documents GROUP BY source),
+      |norm AS (
+      |  SELECT ROUND(CAST(SUM(CAST(w AS DECIMAL(28,8))) AS DOUBLE), 6) AS norm
+      |  FROM by_source),
+      |rates AS (
+      |  SELECT source, n_docs,
+      |    ROUND(w / norm, 6) AS share,
+      |    LEAST(1.0, ROUND(ROUND(w / norm, 6) * 500 / n_docs, 6)) AS rate
+      |  FROM by_source CROSS JOIN norm),
+      |sampled AS (
+      |  SELECT d.source, COUNT(*) AS n_sampled
+      |  FROM documents d JOIN rates r ON r.source = d.source
+      |  WHERE CAST(('0x' || substr(md5('mix' || d.doc_id), 1, 15))::BIGINT % 1000000 AS DOUBLE)
+      |        < r.rate * 1e6
+      |  GROUP BY d.source)
+      |SELECT source, n_docs, share, COALESCE(n_sampled, 0) AS n_sampled
+      |FROM rates LEFT JOIN sampled USING (source)
+      |ORDER BY source""".stripMargin
+
+  // ---- 6. benchmark contamination ------------------------------
 
   /** Contamination check: which corpus documents contain an 8-gram of
     * a held-out benchmark set? (The decontamination step every

@@ -69,6 +69,27 @@ class PipelineSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("source mix: temperature up-weights small sources, draw lands near target") {
+    // target below the corpus size so rates stay < 1 (sf0.001 has
+    // exactly 500 docs — the default target would keep everything)
+    val rows = Pipeline.sourceMix(spark, sfDir, target = 100).collect()
+    val shares = rows.map(r => r.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 0.001)
+    // temperature 0.7 < 1: every source's share exceeds proportional
+    // share iff it's smaller than average — check the extremes
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val smallest = rows.minBy(_.getAs[Long]("n_docs"))
+    val largest = rows.maxBy(_.getAs[Long]("n_docs"))
+    if (smallest.getAs[Long]("n_docs") != largest.getAs[Long]("n_docs")) {
+      assert(smallest.getAs[Double]("share") >
+        smallest.getAs[Long]("n_docs") / total)
+      assert(largest.getAs[Double]("share") <
+        largest.getAs[Long]("n_docs") / total)
+    }
+    val drawn = rows.map(_.getAs[Long]("n_sampled")).sum
+    assert(drawn > 0 && drawn < total)
+  }
+
   test("contamination finds the planted verbatim inclusions") {
     val rows = Pipeline.contamination(spark, sfDir).collect()
     assert(rows.length === 5) // every benchmark doc has a planted copy
