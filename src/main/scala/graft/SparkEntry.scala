@@ -113,6 +113,7 @@ object SparkEntry {
     "q68_crawl_restricted" -> (Crawl.frontierBfsRestricted _),
     "q69_unigram_logprob" -> (Ranking.unigramLogprob _),
     "q70_source_mix" -> ((s: SparkSession, d: String) => Pipeline.sourceMix(s, d)),
+    "q71_incremental_rollup" -> (Incremental.incrementalRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,5 +189,6 @@ object SparkEntry {
     "q68_crawl_restricted" -> Crawl.frontierBfsRestrictedSql,
     "q69_unigram_logprob" -> Ranking.unigramLogprobSql,
     "q70_source_mix" -> Pipeline.sourceMixSql,
+    "q71_incremental_rollup" -> Incremental.incrementalRollupSql,
   )
 }
