@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_featurize"),
       new ExpressionInfo(classOf[HashFeaturize].getName, "vec_featurize"),
       (args: Seq[Expression]) => {
+        if (args.isEmpty || args.size > 2)
+          throw new IllegalArgumentException(
+            s"vec_featurize expects (text[, dims]), got ${args.size} arguments")
         val dims = args.lift(1) match {
           case None => graft.functions.Embeddings.Dims
           case Some(Literal(v: Int, _)) => v

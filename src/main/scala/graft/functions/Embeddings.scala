@@ -65,7 +65,7 @@ object Embeddings {
     * statement (e.g. corpus + query side of a KNN). */
   def featurizeCtes(src: String, keyCol: String, textCol: String,
       dims: Int = Dims, prefix: String = ""): String = {
-    val tok = s"list_filter(string_split_regex(lower($textCol), '[^a-z0-9_]+'), x -> x != '')"
+    val tok = TextOps.tokSql(textCol)
     s"""${prefix}_h AS (
        |  SELECT $keyCol, list_transform($tok,
        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs

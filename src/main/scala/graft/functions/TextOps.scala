@@ -22,6 +22,12 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9_]+"), t => t =!= "")
 
+  /** The DuckDB rendering of [[tokens]] over source expression `src`
+    * — every oracle restatement of the tokenizer MUST come from here
+    * so the engines can never drift on tokenization. */
+  def tokSql(src: String = "text"): String =
+    s"list_filter(string_split_regex(lower($src), '[^a-z0-9_]+'), x -> x != '')"
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 

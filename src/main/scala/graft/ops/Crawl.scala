@@ -78,10 +78,16 @@ object Crawl {
     * are PRUNED AT EXPANSION — they never enter the frontier, exactly
     * like the spider never enqueuing them. */
   val AllowedDomains = 10 // domains 0..9 of 20
-  def frontierBfsRestricted(spark: SparkSession, sfDir: String): DataFrame = {
-    val allowed = (dst: org.apache.spark.sql.Column) =>
-      pmod(dst, lit(20)) < AllowedDomains && pmod(dst, lit(97)) =!= 3
-    val es = edges(spark, sfDir).filter(allowed(col("dst"))).cache()
+
+  /** The spider's fetch policy on a candidate target. */
+  def allowedTarget(dst: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(dst, lit(20)) < AllowedDomains && pmod(dst, lit(97)) =!= 3
+
+  /** (node, depth) visited set of the restricted BFS — exposed so
+    * tests can assert the policy on every fetched page, not just on
+    * the rollup checksums. */
+  def restrictedVisited(spark: SparkSession, sfDir: String): DataFrame = {
+    val es = edges(spark, sfDir).filter(allowedTarget(col("dst"))).cache()
     try {
       var visited = spark.range(1).select(lit(0L).as("node"),
         lit(0).as("depth"))
@@ -94,11 +100,15 @@ object Crawl {
           next.withColumn("depth", lit(d))).localCheckpoint()
         frontier = visited.filter(col("depth") === d).select(col("node"))
       }
-      visited.groupBy(col("depth"))
-        .agg(count(lit(1)).as("n_pages"), sum(col("node")).as("node_sum"))
-        .orderBy(col("depth"))
+      visited
     } finally es.unpersist()
   }
+
+  def frontierBfsRestricted(spark: SparkSession, sfDir: String): DataFrame =
+    restrictedVisited(spark, sfDir)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("node")).as("node_sum"))
+      .orderBy(col("depth"))
 
   val frontierBfsRestrictedSql: String =
     s"""WITH RECURSIVE edges AS (

@@ -72,8 +72,7 @@ object Dedup {
       |  SELECT doc_id + 100000 AS doc_id, text || ' near dup tail' AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  private val tokSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"
+  private val tokSql = TextOps.tokSql()
 
   /** shingle-hash list SQL (3-gram, distinct, md5-based 60-bit). */
   private val shingleSql =

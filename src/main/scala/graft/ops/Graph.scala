@@ -92,9 +92,9 @@ object Graph {
       |r0 AS (
       |  SELECT node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes),
       |$iters
-      |SELECT node, ROUND(rank, 9) AS rank
-      |FROM r$Iters
-      |ORDER BY rank DESC, node
+      |SELECT node, ROUND(rank_raw, 9) AS rank
+      |FROM (SELECT node, rank AS rank_raw FROM r$Iters)
+      |ORDER BY rank_raw DESC, node
       |LIMIT 10""".stripMargin
   }
 }

@@ -58,31 +58,33 @@ object PQ {
   /** q67: PQ-ANN — train, encode, ADC-score against query vec_id=0,
     * top-10 by approximate distance. */
   def pqAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val sub = subvecs(spark, sfDir).cache()
-    try {
-      val c0 = sub.filter(col("vec_id") < K)
-        .select(col("m"), col("vec_id").cast("int").as("cid"),
-          col("sv").as("cv"))
-      // one Lloyd iteration: assign to init, re-center exactly
-      val c1 = assign(sub, c0).groupBy(col("m"), col("cid")).agg(
-        array((0 until SubDim).map { i =>
-          round(sum(element_at(col("sv"), i + 1).cast("decimal(28,12)"))
-            .cast("double") / count(lit(1)), 9)
-        }: _*).as("cv"))
-      val codes = assign(sub, c1).select(col("vec_id"), col("m"), col("cid"))
-      val qsub = sub.filter(col("vec_id") === 0)
-        .select(col("m"), col("sv").as("qv"))
-      val table = c1.join(broadcast(qsub), Seq("m"))
-        .select(col("m"), col("cid"), d2(col("qv"), col("cv")).as("t"))
-      codes.filter(col("vec_id") =!= 0)
-        .join(broadcast(table), Seq("m", "cid"))
-        .groupBy(col("vec_id"))
-        .agg(round(sum(col("t").cast("decimal(28,12)")).cast("double"), 9)
-          .as("approx_d2"))
-        .orderBy(col("approx_d2"), col("vec_id"))
-        .limit(10)
-        .select(col("vec_id").as("n_id"), col("approx_d2"))
-    } finally sub.unpersist()
+    // eager localCheckpoint, not cache: the returned plan is lazy, so
+    // a cache()+unpersist() pair around plan CONSTRUCTION would be
+    // dropped before the first action; the checkpoint materializes
+    // the exploded subvectors once for their ~5 downstream uses
+    val sub: DataFrame = subvecs(spark, sfDir).localCheckpoint()
+    val c0 = sub.filter(col("vec_id") < K)
+      .select(col("m"), col("vec_id").cast("int").as("cid"),
+        col("sv").as("cv"))
+    // one Lloyd iteration: assign to init, re-center exactly
+    val c1 = assign(sub, c0).groupBy(col("m"), col("cid")).agg(
+      array((0 until SubDim).map { i =>
+        round(sum(element_at(col("sv"), i + 1).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)), 9)
+      }: _*).as("cv"))
+    val codes = assign(sub, c1).select(col("vec_id"), col("m"), col("cid"))
+    val qsub = sub.filter(col("vec_id") === 0)
+      .select(col("m"), col("sv").as("qv"))
+    val table = c1.join(broadcast(qsub), Seq("m"))
+      .select(col("m"), col("cid"), d2(col("qv"), col("cv")).as("t"))
+    codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(table), Seq("m", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("t").cast("decimal(28,12)")).cast("double"), 9)
+        .as("approx_d2"))
+      .orderBy(col("approx_d2"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id").as("n_id"), col("approx_d2"))
   }
 
   val pqAnnSql: String = {

@@ -14,8 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private val tokSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"
+  private val tokSql = TextOps.tokSql()
 
   // ---- 1. token-window chunking --------------------------------
 
@@ -156,8 +155,7 @@ object Pipeline {
     // web_pages content, with the id tiebreak in the window ORDER BY
     val stop = TextOps.langProfiles.head._2.map(w => s"'$w'")
       .mkString("[", ", ", "]")
-    val tokC =
-      "list_filter(string_split_regex(lower(content), '[^a-z0-9_]+'), x -> x != '')"
+    val tokC = TextOps.tokSql("content")
     s"""WITH ${Corpus.webPagesCte},
       |scored AS (
       |  SELECT id, domain, ROUND((

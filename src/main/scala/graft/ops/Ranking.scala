@@ -94,8 +94,7 @@ object Ranking {
   }
 
   val unigramLogprobSql: String = {
-    val tokSql =
-      "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"
+    val tokSql = TextOps.tokSql()
     s"""WITH toks AS (
       |  SELECT doc_id, unnest($tokSql) AS tok FROM documents),
       |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
@@ -116,8 +115,7 @@ object Ranking {
   }
 
   val bm25Sql: String = {
-    val tokSql =
-      "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"
+    val tokSql = TextOps.tokSql()
     val termsSql = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
     s"""WITH docs AS (
       |  SELECT doc_id, $tokSql AS toks,

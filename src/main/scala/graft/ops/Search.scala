@@ -39,14 +39,16 @@ object Search {
 
   val semanticSearchSql: String =
     s"""WITH ${Corpus.webPagesEmbCte}
-      |SELECT id, url, ROUND(distance, 6) AS distance FROM (
-      |  SELECT w.id, w.url,
-      |    -list_dot_product(CAST(w.embedding AS DOUBLE[]),
-      |      CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])) AS distance
-      |  FROM wp_emb w)
-      |WHERE distance <= 0.05
-      |ORDER BY distance, id
-      |LIMIT 5""".stripMargin
+      |SELECT id, url, ROUND(d_raw, 6) AS distance FROM (
+      |  SELECT id, url, distance AS d_raw FROM (
+      |    SELECT w.id, w.url,
+      |      -list_dot_product(CAST(w.embedding AS DOUBLE[]),
+      |        CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])) AS distance
+      |    FROM wp_emb w)
+      |  WHERE distance <= 0.05
+      |  ORDER BY distance, id
+      |  LIMIT 5)
+      |ORDER BY d_raw, id""".stripMargin
 
   /** The reference's true embedding dimensionality: pgvector
     * `Vector(1024)` (`models.py:32`); the embedding model emits more
@@ -97,10 +99,12 @@ object Search {
       |scored AS (
       |  SELECT doc_id, -list_dot_product(d.v, q.qv) AS distance
       |  FROM d CROSS JOIN q)
-      |SELECT doc_id, ROUND(distance, 6) AS distance
-      |FROM scored WHERE distance <= 0.05
-      |ORDER BY distance, doc_id
-      |LIMIT 5""".stripMargin
+      |SELECT doc_id, ROUND(d_raw, 6) AS distance FROM (
+      |  SELECT doc_id, distance AS d_raw FROM scored
+      |  WHERE distance <= 0.05
+      |  ORDER BY distance, doc_id
+      |  LIMIT 5)
+      |ORDER BY d_raw, doc_id""".stripMargin
   }
 
   /** Dashboard analytics (A1-A3): the reference runs four separate

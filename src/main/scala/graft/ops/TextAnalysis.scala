@@ -17,8 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val tokSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')"
+  private val tokSql = TextOps.tokSql()
 
   /** Language-ID confusion matrix: actual lang × predicted lang. */
   def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame =

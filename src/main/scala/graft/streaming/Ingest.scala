@@ -71,15 +71,32 @@ object Ingest {
     * within-run retry of the same batchId (idempotent merge), and
     * never older than pre-seeded rows — so pointing the stream at a
     * backfilled corpus cannot silently drop every update. */
+  /** If a previous run died between renaming the live dir away and
+    * renaming the new build in, the backup is the only copy —
+    * promote it back before anyone reads. Idempotent. */
+  private def restoreIfInterrupted(
+      fs: org.apache.hadoop.fs.FileSystem, corpusDir: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(corpusDir)
+    val old = new org.apache.hadoop.fs.Path(corpusDir + ".old")
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+  }
+
   def run(spark: SparkSession, source: DataFrame, corpusDir: String,
       checkpointDir: String) = {
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    restoreIfInterrupted(fs0, corpusDir)
     val base: Long =
-      try {
+      if (!fs0.exists(new org.apache.hadoop.fs.Path(corpusDir))) 0L
+      else {
+        // no catch-all here: a corpus that exists but can't be read is
+        // a real fault — falling back to base=0 would stamp batches
+        // older than pre-seeded rows and silently drop every update
         val m = spark.read.parquet(corpusDir)
           .agg(org.apache.spark.sql.functions.max(col("last_crawled")))
           .collect().head
         if (m.isNullAt(0)) 0L else m.getTimestamp(0).getTime + 1L
-      } catch { case _: Throwable => 0L }
+      }
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -87,18 +104,20 @@ object Ingest {
         val t = new java.sql.Timestamp(base + batchId)
         val processed = transformBatch(batch, t)
         val sess = batch.sparkSession
-        val existing =
-          try sess.read.parquet(corpusDir)
-          catch { case _: Throwable => processed.limit(0) }
-        upsertInto(existing, processed)
-          .write.mode("overwrite").parquet(corpusDir + ".tmp")
-        // swap via backup rename: the target is never the only copy —
-        // if the process dies mid-swap, either corpusDir or
-        // corpusDir.old holds the previous state (a transactional
-        // table format replaces this at production scale)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           sess.sparkContext.hadoopConfiguration)
+        restoreIfInterrupted(fs, corpusDir)
         val dst = new org.apache.hadoop.fs.Path(corpusDir)
+        val existing =
+          if (fs.exists(dst)) sess.read.parquet(corpusDir)
+          else processed.limit(0)
+        upsertInto(existing, processed)
+          .write.mode("overwrite").parquet(corpusDir + ".tmp")
+        // swap via backup rename: the previous state survives as
+        // corpusDir or corpusDir.old at every instant, and
+        // restoreIfInterrupted promotes the backup after a mid-swap
+        // crash (a transactional table format replaces this at
+        // production scale)
         val old = new org.apache.hadoop.fs.Path(corpusDir + ".old")
         fs.delete(old, true)
         if (fs.exists(dst)) fs.rename(dst, old)

@@ -20,20 +20,19 @@ class CrawlSpec extends SparkSpec {
   }
 
   test("no off-domain or robots-disallowed page is ever fetched") {
-    // re-derive the visited set shape: every non-seed visited node
-    // must satisfy the spider's restrictions
-    val sums = Crawl.frontierBfsRestricted(spark, sfDir).collect()
-    // node_sum of depth-d pages is a checksum over visited ids; verify
-    // restrictions directly on a recomputed frontier instead
     import org.apache.spark.sql.functions._
-    val es = Tables.lineitem(spark, sfDir)
-      .select(pmod(col("l_orderkey"), lit(2000)).as("src"),
-        pmod(col("l_partkey"), lit(2000)).as("dst")).distinct()
-      .filter(pmod(col("dst"), lit(20)) < Crawl.AllowedDomains &&
-        pmod(col("dst"), lit(97)) =!= 3)
-    val bad = es.filter(pmod(col("dst"), lit(20)) >= Crawl.AllowedDomains ||
-      pmod(col("dst"), lit(97)) === 3).count()
-    assert(bad === 0L)
-    assert(sums.nonEmpty)
+    val visited = Crawl.restrictedVisited(spark, sfDir)
+    // every fetched page beyond the seed satisfies the spider policy
+    val violations = visited.filter(col("depth") > 0)
+      .filter(!Crawl.allowedTarget(col("node"))).count()
+    assert(violations === 0L)
+    // and the restriction isn't vacuous: the open BFS DOES fetch
+    // pages this policy forbids
+    val open = Crawl.frontierBfs(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val restricted = visited.groupBy(col("depth")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((1 to Crawl.MaxDepth).exists(d =>
+      restricted.getOrElse(d, 0L) < open(d)))
   }
 }
