@@ -114,6 +114,7 @@ object SparkEntry {
     "q69_unigram_logprob" -> (Ranking.unigramLogprob _),
     "q70_source_mix" -> ((s: SparkSession, d: String) => Pipeline.sourceMix(s, d)),
     "q71_incremental_rollup" -> (Incremental.incrementalRollup _),
+    "q72_cube" -> (Events.cubeTypeDow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,5 +191,6 @@ object SparkEntry {
     "q69_unigram_logprob" -> Ranking.unigramLogprobSql,
     "q70_source_mix" -> Pipeline.sourceMixSql,
     "q71_incremental_rollup" -> Incremental.incrementalRollupSql,
+    "q72_cube" -> Events.cubeTypeDowSql,
   )
 }

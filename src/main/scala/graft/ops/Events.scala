@@ -39,6 +39,30 @@ object Events {
       |GROUP BY ROLLUP (event_type, day)
       |ORDER BY event_type, day""".stripMargin
 
+  /** CUBE (type × day-of-week) — the full grouping-sets lattice
+    * (rollup's sibling, all four subsets): per-cell counts plus both
+    * marginals and the grand total in one pass. */
+  def cubeTypeDow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("dow", dayofweek(col("ts")).cast("long"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow").cast("string"), lit("ALL")).as("dow"),
+        col("n"), col("total_value"))
+      .orderBy(col("event_type"), col("dow"))
+
+  val cubeTypeDowSql: String =
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+      |  COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+      |  COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_value
+      |FROM (SELECT event_type, CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow, value
+      |      FROM events)
+      |GROUP BY CUBE (event_type, dow)
+      |ORDER BY event_type, dow""".stripMargin
+
   /** Tumbling 1-day windows via the time-window operator (the batch
     * twin of the Structured Streaming windowed aggregation). */
   def tumblingDaily(spark: SparkSession, sfDir: String): DataFrame =
