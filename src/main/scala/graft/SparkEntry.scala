@@ -115,6 +115,7 @@ object SparkEntry {
     "q70_source_mix" -> ((s: SparkSession, d: String) => Pipeline.sourceMix(s, d)),
     "q71_incremental_rollup" -> (Incremental.incrementalRollup _),
     "q72_cube" -> (Events.cubeTypeDow _),
+    "q73_stratified_quota" -> ((s: SparkSession, d: String) => Pipeline.stratifiedQuota(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -192,5 +193,6 @@ object SparkEntry {
     "q70_source_mix" -> Pipeline.sourceMixSql,
     "q71_incremental_rollup" -> Incremental.incrementalRollupSql,
     "q72_cube" -> Events.cubeTypeDowSql,
+    "q73_stratified_quota" -> Pipeline.stratifiedQuotaSql,
   )
 }

@@ -237,7 +237,40 @@ object Pipeline {
       |FROM rates LEFT JOIN sampled USING (source)
       |ORDER BY source""".stripMargin
 
-  // ---- 6. benchmark contamination ------------------------------
+  // ---- 6. exact stratified quota sample ------------------------
+
+  /** Exact-size stratified sample: EXACTLY k documents per language
+    * (rate-based sampling like q51/q70 only hits sizes in
+    * expectation). Deterministic: rank within each stratum by a hash
+    * of the doc id and keep the k smallest — auditable (a doc's
+    * membership is reproducible) and executed by the custom
+    * bounded-heap operator in ascending mode: O(n log k) per
+    * partition, no per-stratum sort. */
+  def stratifiedQuota(spark: SparkSession, sfDir: String,
+      k: Int = 20): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.hash60(concat(lit("strat"), col("doc_id"))).as("hk"))
+    val kept = graft.plans.TopKPerKey.perKey(d, Seq("lang"), "hk", k,
+      desc = false)
+    kept.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("sampled_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val stratifiedQuotaSql: String =
+    """WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substr(md5('strat' || doc_id), 1, 15))::BIGINT) AS rn
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_sampled,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sampled_id_sum
+      |FROM ranked WHERE rn <= 20
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- 7. benchmark contamination ------------------------------
 
   /** Contamination check: which corpus documents contain an 8-gram of
     * a held-out benchmark set? (The decontamination step every

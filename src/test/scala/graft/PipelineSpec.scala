@@ -90,6 +90,16 @@ class PipelineSpec extends SparkSpec {
     assert(drawn > 0 && drawn < total)
   }
 
+  test("stratified quota: exactly k per stratum, membership reproducible") {
+    val a = Pipeline.stratifiedQuota(spark, sfDir, k = 7).collect()
+    assert(a.nonEmpty)
+    a.foreach(r => assert(r.getAs[Long]("n_sampled") === 7L))
+    // deterministic: a second run draws the identical sample
+    val b = Pipeline.stratifiedQuota(spark, sfDir, k = 7).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      b.map(r => (r.getString(0), r.getLong(2))).toSeq)
+  }
+
   test("contamination finds the planted verbatim inclusions") {
     val rows = Pipeline.contamination(spark, sfDir).collect()
     assert(rows.length === 5) // every benchmark doc has a planted copy
