@@ -66,8 +66,12 @@ object Ranking {
     * probabilities on the corpus itself, score each document by its
     * mean token log-probability, surface the most "surprising"
     * (lowest mean logprob) documents. Shape: one explode → one join
-    * to the (token, count) model → per-doc partial-agg mean; the
-    * model table is corpus-vocabulary-sized and broadcastable.
+    * to the (token, count) model → per-doc partial-agg mean. The
+    * model is CORPUS-VOCABULARY-sized — billions of distinct tokens
+    * at web scale (typos, urls, numerals) — so the join deliberately
+    * carries no broadcast hint: a shuffle join on `tok` is the
+    * scale-correct shape, and AQE still converts it to broadcast at
+    * runtime when the measured vocab happens to be small.
     * Determinism: per-token ln rounded to 9, per-doc sums in DECIMAL. */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
     unigramLogprobOf(Tables.documents(spark, sfDir))
@@ -80,7 +84,7 @@ object Ranking {
     val stats = vocab.agg(
       sum(col("cnt")).cast("double").as("total"),
       count(lit(1)).cast("double").as("vsize"))
-    val scored = toks.join(broadcast(vocab), Seq("tok"))
+    val scored = toks.join(vocab, Seq("tok"))
       .crossJoin(broadcast(stats))
       .withColumn("lp", round(
         log((col("cnt").cast("double") + 1.0)

@@ -54,6 +54,28 @@ class PlanSpec extends SparkSpec {
       "no partial aggregation before exchange")
   }
 
+  test("q69 vocab join carries no broadcast hint (corpus-sized model)") {
+    val df = ops.Ranking.unigramLogprob(spark, sfDir)
+    // the only broadcast hint in the plan is the 1-row stats side;
+    // the (token, count) model — billions of rows at web scale —
+    // must reach the join unhinted (shuffle on `tok`; AQE may still
+    // choose broadcast at runtime when the measured size is small)
+    val logical = df.queryExecution.optimizedPlan.toString
+    val hints = "strategy=broadcast".r.findAllIn(logical).size
+    assert(hints <= 1, s"vocab side broadcast-hinted:\n$logical")
+    // with size-based auto-broadcast off, an unhinted vocab join MUST
+    // degrade to a shuffle join (a forced hint would keep broadcasting
+    // — the 100 TB OOM); the hinted 1-row stats side still broadcasts
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val physical = plan(ops.Ranking.unigramLogprob(spark, sfDir))
+      assert(physical.contains("SortMergeJoin") ||
+        physical.contains("ShuffledHashJoin"),
+        s"vocab join not planned as a shuffle join:\n$physical")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
