@@ -117,6 +117,7 @@ object SparkEntry {
     "q71_incremental_rollup" -> (Incremental.incrementalRollup _),
     "q72_cube" -> (Events.cubeTypeDow _),
     "q73_stratified_quota" -> ((s: SparkSession, d: String) => Pipeline.stratifiedQuota(s, d)),
+    "q75_pagerank_full" -> (Graph.pageRankFull _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,5 +196,6 @@ object SparkEntry {
     "q71_incremental_rollup" -> Incremental.incrementalRollupSql,
     "q72_cube" -> Events.cubeTypeDowSql,
     "q73_stratified_quota" -> Pipeline.stratifiedQuotaSql,
+    "q75_pagerank_full" -> Graph.pageRankFullSql,
   )
 }
