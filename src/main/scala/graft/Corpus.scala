@@ -122,32 +122,55 @@ object Corpus {
       |    o_orderdate + 300 * INTERVAL 1 SECOND AS updated_at
       |  FROM orders)""".stripMargin
 
-  /** Corpus embeddings: web_pages joined to the shared embeddings
-    * table by id mod |embeddings| — gives every page a real unit
-    * vector deterministically. The embeddings side is small relative
-    * to the corpus (a model's output table) → broadcast it.
-    */
+  /** Corpus embeddings at REFERENCE dimensionality (`models.py:32`
+    * `Vector(1024)`): every page's stored vector is the deterministic
+    * featurization of its content at [[graft.functions.Embeddings.ModelDims]],
+    * normalized-then-truncated to 1024 (quirk Q1 — stored vectors are
+    * intentionally not unit norm). One codegen'd scan, no join — at
+    * 100 TB the embedding column arrives precomputed from ingest; this
+    * derivation computes the identical value on the fly so the oracle
+    * can replay it. */
   def webPagesWithEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
-    val wp = webPages(spark, sfDir)
-    val emb = Tables.embeddings(spark, sfDir)
-    // |embeddings| as a lazy 1-row broadcast (no driver action at
-    // plan-build time — the count runs inside the job, like the
-    // oracle's scalar subquery)
-    val n = emb.agg(count(lit(1)).as("n_emb"))
-    wp.crossJoin(broadcast(n))
-      .withColumn("vec_id", pmod(col("id"), col("n_emb")))
-      .drop("n_emb")
-      .join(broadcast(emb.select(col("vec_id"), col("embedding"))),
-        Seq("vec_id"))
+    import graft.functions.{Embeddings, VectorOps}
+    webPages(spark, sfDir).withColumn("embedding",
+      VectorOps.truncateOrPad(
+        Embeddings.featurize(col("content"), Embeddings.ModelDims),
+        Embeddings.RefDims))
   }
 
-  /** CTE for [[webPagesWithEmbeddings]]; |embeddings| via scalar
-    * subquery keeps it SF-independent. */
-  val webPagesEmbCte: String =
-    webPagesCte + "," + """
-      |wp_emb AS (
-      |  SELECT w.*, e.embedding
-      |  FROM (SELECT *, id % (SELECT COUNT(*) FROM embeddings) AS vec_id
-      |        FROM web_pages) w
-      |  JOIN embeddings e USING (vec_id))""".stripMargin
+  /** CTE for [[webPagesWithEmbeddings]] — the identical featurize →
+    * truncate chain over the content column, materialized once. */
+  val webPagesEmbCte: String = {
+    import graft.functions.Embeddings
+    webPagesCte + ",\n" +
+      Embeddings.featurizeCtes("web_pages", "id", "content",
+        dims = Embeddings.ModelDims, prefix = "wp") + ",\n" +
+      s"""wp_emb AS MATERIALIZED (
+        |  SELECT w.*, f.v[1:${Embeddings.RefDims}] AS embedding
+        |  FROM web_pages w JOIN wpfeat f USING (id))""".stripMargin
+  }
+
+  /** Document-corpus embeddings at reference dimensionality — the
+    * shared 1024-d input for brute-force KNN, embedding near-dup, and
+    * PQ-ANN (q26/q27/q67). `(vec_id, v)`, v not unit norm (quirk Q1). */
+  def docEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{Embeddings, VectorOps}
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("vec_id"),
+      VectorOps.truncateOrPad(
+        Embeddings.featurize(col("text"), Embeddings.ModelDims),
+        Embeddings.RefDims).as("v"))
+  }
+
+  /** CTE chain for [[docEmbeddings]] → `demb(vec_id, v)`.
+    * MATERIALIZED: the 1280-dim featurize chain is the expensive part
+    * and every consumer references demb several times. */
+  val docEmbCte: String = {
+    import graft.functions.Embeddings
+    Embeddings.featurizeCtes("documents", "doc_id", "text",
+      dims = Embeddings.ModelDims, prefix = "d") + ",\n" +
+      s"""demb AS MATERIALIZED (
+        |  SELECT doc_id AS vec_id, v[1:${Embeddings.RefDims}] AS v
+        |  FROM dfeat)""".stripMargin
+  }
 }

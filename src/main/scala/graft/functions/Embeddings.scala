@@ -15,6 +15,15 @@ object Embeddings {
 
   val Dims = 64
 
+  /** The reference's true stored dimensionality: pgvector
+    * `Vector(1024)` (`models.py:32`). */
+  val RefDims = 1024
+
+  /** Stand-in "model output" width (> RefDims so the
+    * normalize-then-truncate of quirk Q1 is honest, like Ollama's
+    * 3072-d llama3.2 output vs the 1024 column). */
+  val ModelDims = 1280
+
   /** Signed hashed bag-of-words, L2-normalized. Native single-pass
     * Catalyst expression ([[graft.expressions.HashFeaturize]]) —
     * one token walk into a dims-slot accumulator; equivalence with

@@ -19,17 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** Semantic search (E2): score corpus against the query vector with
-    * the reference's negative-inner-product distance (quirk Q2),
-    * range-filter at 0.05, top-5 ascending. Query vector = shared
-    * embedding row vec_id=0 (the deterministic stand-in for "embed
-    * the query string", which in the reference is an Ollama call).
+  /** The search string every semantic query embeds (words drawn from
+    * the corpus vocabulary so the match is real). */
+  val QueryText = "red widget bolt"
+
+  /** The embedded query: featurize at model width, normalize-then-
+    * truncate to reference width (quirk Q1) — the "embed the query
+    * string" step that is an Ollama call in the reference, as a 1-row
+    * broadcast side. */
+  private def queryVector(spark: SparkSession): DataFrame = {
+    import graft.functions.Embeddings
+    spark.range(1).select(VectorOps.truncateOrPad(
+      Embeddings.featurize(lit(QueryText), Embeddings.ModelDims),
+      Embeddings.RefDims).as("q_emb"))
+  }
+
+  private val queryVectorSql: String = {
+    import graft.functions.Embeddings
+    Embeddings.featurizeCtes(s"(SELECT 0 AS qid, '$QueryText' AS qt)",
+      "qid", "qt", dims = Embeddings.ModelDims, prefix = "q") + ",\n" +
+      s"qv AS (SELECT v[1:${Embeddings.RefDims}] AS q_emb FROM qfeat)"
+  }
+
+  /** Semantic search (E2) at reference dimensionality: featurize the
+    * query string, score the 1024-d corpus with the reference's
+    * negative-inner-product distance (quirk Q2), range-filter at
+    * 0.05, top-5 ascending. The corpus side is one codegen'd scan —
+    * featurize + dot are native expressions — with a per-partition
+    * top-k heap; no corpus shuffle.
     */
   def semanticSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Corpus.webPagesWithEmbeddings(spark, sfDir)
-    val q = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    corpus.crossJoin(broadcast(q))
+    corpus.crossJoin(broadcast(queryVector(spark)))
       .withColumn("distance", VectorOps.negDot(col("embedding"), col("q_emb")))
       .filter(col("distance") <= 0.05)
       .orderBy(col("distance"), col("id"))
@@ -38,13 +59,13 @@ object Search {
   }
 
   val semanticSearchSql: String =
-    s"""WITH ${Corpus.webPagesEmbCte}
+    s"""WITH ${Corpus.webPagesEmbCte},
+      |$queryVectorSql
       |SELECT id, url, ROUND(d_raw, 6) AS distance FROM (
       |  SELECT id, url, distance AS d_raw FROM (
       |    SELECT w.id, w.url,
-      |      -list_dot_product(CAST(w.embedding AS DOUBLE[]),
-      |        CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])) AS distance
-      |    FROM wp_emb w)
+      |      -list_dot_product(w.embedding, q.q_emb) AS distance
+      |    FROM wp_emb w CROSS JOIN qv q)
       |  WHERE distance <= 0.05
       |  ORDER BY distance, id
       |  LIMIT 5)
@@ -54,10 +75,10 @@ object Search {
     * `Vector(1024)` (`models.py:32`); the embedding model emits more
     * dims, and the pipeline normalizes THEN truncates to 1024 (quirk
     * Q1 — stored vectors are intentionally not unit-norm). */
-  val RefDims = 1024
+  val RefDims: Int = graft.functions.Embeddings.RefDims
   /** Stand-in "model output" width (> RefDims so the truncation is
     * honest, like Ollama's 3072-d llama3.2 output vs the 1024 column). */
-  val ModelDims = 1280
+  val ModelDims: Int = graft.functions.Embeddings.ModelDims
 
   /** Semantic search at REFERENCE dimensionality (E2 at 1024-d):
     * featurize document text at [[ModelDims]] (the featurizer output
@@ -228,9 +249,7 @@ object Search {
     * one ordered string aggregation. */
   def ragContext(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Corpus.webPagesWithEmbeddings(spark, sfDir)
-    val q = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    val top = corpus.crossJoin(broadcast(q))
+    val top = corpus.crossJoin(broadcast(queryVector(spark)))
       .withColumn("distance",
         round(VectorOps.negDot(col("embedding"), col("q_emb")), 6))
       .orderBy(col("distance"), col("id"))
@@ -249,13 +268,13 @@ object Search {
 
   val ragContextSql: String =
     s"""WITH ${Corpus.webPagesEmbCte},
+      |$queryVectorSql,
       |top5 AS (
       |  SELECT id, distance, 'URL: ' || url || chr(10) || 'Content: ' || content AS chunk
       |  FROM (
       |    SELECT w.id, w.url, w.content,
-      |      ROUND(-list_dot_product(CAST(w.embedding AS DOUBLE[]),
-      |        CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])), 6) AS distance
-      |    FROM wp_emb w)
+      |      ROUND(-list_dot_product(w.embedding, q.q_emb), 6) AS distance
+      |    FROM wp_emb w CROSS JOIN qv q)
       |  ORDER BY distance, id
       |  LIMIT 5)
       |SELECT string_agg(chunk, chr(10) || chr(10) ORDER BY distance, id) AS context

@@ -1,15 +1,17 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Corpus, Tables}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over the `embeddings` table (`Array[Float]` 64-d
-  * unit vectors): brute-force cosine top-k as the exact baseline, an
-  * IVF-style partition-pruned variant as the scale path, and
-  * embedding-cosine near-dup detection.
+/** Similarity search at reference dimensionality (1024-d, the
+  * featurized document corpus [[graft.Corpus.docEmbeddings]]):
+  * brute-force cosine top-k as the exact baseline and
+  * embedding-cosine near-dup detection with hyperplane-LSH blocking;
+  * plus an IVF-style partition-pruned variant over the shared 64-d
+  * `Array[Float]` embeddings table (the float-input scale path).
   *
   * Scale shape: queries are broadcast (small side), the corpus
   * streams — per-partition top-k heaps then a k·P merge
@@ -20,15 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Brute-force KNN: 3 query vectors × corpus, top-3 neighbors each
-    * (self excluded), exact cosine (= dot on unit vectors). */
+  /** Brute-force KNN at 1024-d: 3 query vectors × corpus, top-3
+    * neighbors each (self excluded), exact cosine — the stored
+    * vectors are not unit norm (quirk Q1), so the cosine normalizes
+    * explicitly; zero vectors score 0. */
   def knnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Corpus.docEmbeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", VectorOps.dot(col("embedding"), col("q_emb")))
+      .withColumn("sim", VectorOps.cosine(col("v"), col("qv")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -39,12 +43,19 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The cosine with the exact operation order of
+    * [[VectorOps.cosine]] so both engines stay bit-identical. */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+       | THEN 0.0 ELSE list_dot_product($a, $b)
+       |   / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
+
   val knnBruteForceSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+    s"""WITH ${Corpus.docEmbCte},
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM demb WHERE vec_id < 3),
       |scored AS (
-      |  SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS sim
-      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      |  SELECT q.q_id, e.vec_id, ${cosSql("e.v", "q.qv")} AS sim
+      |  FROM demb e CROSS JOIN q WHERE e.vec_id <> q.q_id),
       |ranked AS (
       |  SELECT q_id, vec_id,  sim,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
@@ -53,115 +64,151 @@ object Similarity {
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
-  /** Fixed hyperplane-LSH family for cosine near-dup blocking:
-    * [[NHyperplanes]] Rademacher (±1) hyperplanes whose signs come
-    * from the engine's md5 hash rule (`TextOps.hash60("hp{j}_{i}") %
-    * 2`), so both engines materialize the identical planes as
-    * literals. Banded [[NBands]] × [[BandBits]]: a pair is a
-    * candidate iff all [[BandBits]] sign-bits of SOME band agree —
-    * the standard recall/candidate-count dial (pairs at cosine ≥ 0.95
-    * escape all 4 bands with probability < 2%; at the planted pairs'
-    * typical cosine ≈ 0.99, < 0.1%). */
-  val NHyperplanes = 16
-  val BandBits = 4
+  /** Fixed hyperplane-LSH family for cosine near-dup blocking at
+    * [[Dims]]: [[NHyperplanes]] Rademacher (±1) hyperplanes whose
+    * signs come from the engine's md5 hash rule
+    * (`hash60("hp{j}_{i}") % 2`) — the oracle derives the identical
+    * planes from the same rule in SQL, so the engines can never
+    * drift. Banded [[NBands]] × [[BandBits]]: a pair is a candidate
+    * iff all [[BandBits]] sign-bits of SOME band agree. The band
+    * geometry is sized for a TEMPLATED corpus (real web documents
+    * cluster, and the candidate VERIFY work — one 1024-d dot per
+    * candidate — is the whole cost): 16-bit bands give 65k
+    * buckets/band, fragmenting the mid-similarity cluster mass ~12×
+    * vs 8-bit (measured at sf0.1: 4.7M → 0.4M candidates per 4
+    * bands), and 8 bands hold recall at the [[SimThreshold]] = 0.98
+    * boundary to ≈ 97% ((1-(1-acos(.98)/π)^16)^8 ≈ 0.03) — rising
+    * steeply to 1 for true near-dups (miss < 1e-9 at cosine 0.9999,
+    * the planted pairs; the recall spec pins ≥ 0.99 pairs exactly).
+    * The signature is one native expression pass
+    * ([[graft.expressions.HyperplaneBands]]); the literal-dot
+    * formulation it replaces is spec-pinned equivalent. */
+  val Dims: Int = graft.functions.Embeddings.RefDims
+  val NHyperplanes = 128
+  val BandBits = 16
   val NBands: Int = NHyperplanes / BandBits
+  /** Near-dup cosine threshold. */
+  val SimThreshold = 0.98
 
-  /** hyperplanes(j)(i) ∈ {-1.0, +1.0}, j < NHyperplanes, i < 64. */
-  lazy val hyperplanes: Seq[Seq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  /** hyperplanes(j)(i) ∈ {-1.0, +1.0}, j < NHyperplanes, i < Dims —
+    * the reference (literal) view of the planes the native expression
+    * walks; used by the equivalence spec. */
+  lazy val hyperplanes: Seq[Seq[Double]] =
     (0 until NHyperplanes).map { j =>
-      (0 until 64).map { i =>
-        val hex = md.digest(s"hp${j}_$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-        if (h % 2 == 0) 1.0 else -1.0
-      }
+      (0 until Dims).map(i =>
+        graft.expressions.HyperplaneBands.planeSign(j, i))
     }
-  }
 
-  /** Embedding-cosine near-dup: corpus ∪ perturbed copies (last
-    * component zeroed, renormalized → cosine ≈ sqrt(1-v64²) ≈ 1);
-    * emit pairs with cosine ≥ 0.95.
+  /** Embedding-cosine near-dup at 1024-d: document corpus ∪ perturbed
+    * copies (last component zeroed, renormalized); emit pairs with
+    * cosine ≥ [[SimThreshold]].
     *
     * Blocking is CONTENT-derived: per-band sign-bit keys of the fixed
-    * hyperplane projections — band rows carry (vec_id, band, key)
-    * only, candidates come from per-band equi-joins (shuffle on the
-    * 4-bit key, vector payload joined back afterwards by id), then
-    * exact cosine verification. No id-derived key anywhere: two
-    * similar vectors block together regardless of their ids. */
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    * hyperplane projections (one native-expression pass per vector).
+    * Candidate generation and verification happen INSIDE the per-band
+    * bucket join — the Spark ML approxSimilarityJoin shape: each
+    * vector ships once per band with its signature (NBands × corpus,
+    * linear), pairs materialize only inside the join's output
+    * iterator where the cosine immediately reduces them to
+    * (a_id, b_id, sim), and only threshold survivors reach the
+    * dedupe. The alternative — distinct candidate pairs joined back
+    * to vector payloads by id — shuffles two 8 KB vectors per
+    * CANDIDATE (quadratic in bucket size: measured 77 GB at sf0.1);
+    * this shape's vector shuffle is the corpus × NBands, full stop.
+    * A pair sharing several bands is verified once per shared band —
+    * redundant compute traded for the quadratic shuffle, the right
+    * trade at any scale. No id-derived key anywhere: two similar
+    * vectors block together regardless of their ids. */
+  /** The near-dup input: document embeddings ∪ perturbed copies
+    * (vec_id + 10000, last component zeroed, renormalized), each row
+    * carrying its norm. Materialized — exposed for the recall spec. */
+  private[graft] def nearDupCorpus(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    // materialize the featurized vectors FIRST: the perturbation below
+    // normalizes, and a normalize-of-featurize as one nested tree
+    // re-evaluates the norm's dot (and the featurizer under it) per
+    // array element — O(dims²) per row, measured 26 s of the original
+    // 31 s runtime at sf0.1. Staged through checkpoints/projections,
+    // every subexpression runs once per row.
+    val e = Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
     val perturbed = e.filter(pmod(col("vec_id"), lit(20)) === 0)
       .select((col("vec_id") + 10000).as("vec_id"),
-        VectorOps.l2Normalize(concat(slice(col("v"), 1, 63),
-          array(lit(0.0)))).as("v"))
-    val corpus = e.unionByName(perturbed)
-    // (vec_id, band, key): key = 4 sign bits of the band's projections
-    val bandKeys = (0 until NBands).map { b =>
-      val key = (0 until BandBits).map { k =>
-        val j = b * BandBits + k
-        (VectorOps.dot(col("v"), typedlit(hyperplanes(j))) >= 0)
-          .cast("int") * lit(1 << k)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("key"))
-    }
-    val bandRows = corpus
-      .select(col("vec_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bandRows.as("a").join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
-    cand
-      .join(corpus.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
-      .join(corpus.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))
-      .withColumn("sim", VectorOps.dot(col("va"), col("vb")))
-      .filter(col("sim") >= 0.95)
+        concat(slice(col("v"), 1, Dims - 1), array(lit(0.0))).as("pv"))
+      .withColumn("pn", VectorOps.l2Norm(col("pv")))
+      // l2Normalize over the materialized (pv, pn) columns — same
+      // arithmetic, the norm now an attribute instead of a subtree
+      .select(col("vec_id"),
+        when(col("pn") === 0.0, col("pv"))
+          .otherwise(transform(col("pv"), x => x / col("pn"))).as("v"))
+    // norms ride on the corpus rows so pair verification is one dot
+    // (identical arithmetic to the inline cosine: sqrt of the
+    // self-dot, computed once per vector instead of once per pair)
+    e.unionByName(perturbed)
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+      .localCheckpoint()
+  }
+
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expressions.HyperplaneBands
+    val corpus = nearDupCorpus(spark, sfDir)
+    val bucketed = corpus
+      .select(col("vec_id"), col("v"), col("nrm"), posexplode(
+        HyperplaneBands.bands(col("v"), NHyperplanes, BandBits)))
+      .toDF("vec_id", "v", "nrm", "band", "key")
+    val a = bucketed.select(col("band"), col("key"),
+      col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("band"), col("key"),
+      col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val denom = col("na") * col("nb")
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", when(denom === 0.0, lit(0.0))
+        .otherwise(VectorOps.dot(col("va"), col("vb")) / denom))
+      .filter(col("sim") >= SimThreshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** The identical hyperplanes as SQL literals (generated from
-    * [[hyperplanes]], so Spark and the oracle can never drift). */
-  private def hyperplaneSqlList(j: Int): String =
-    hyperplanes(j).map(x => if (x > 0) "1.0" else "-1.0")
-      .mkString("[", ", ", "]::DOUBLE[]")
-
-  val embeddingNearDupSql: String = {
-    val bandSelects = (0 until NBands).map { b =>
-      val key = (0 until BandBits).map { k =>
-        val j = b * BandBits + k
-        s"(CASE WHEN list_dot_product(v, ${hyperplaneSqlList(j)}) >= 0 THEN ${1 << k} ELSE 0 END)"
-      }.mkString(" + ")
-      s"SELECT vec_id, $b AS band, $key AS key FROM corpus"
-    }.mkString("\n      |  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  val embeddingNearDupSql: String =
+    s"""WITH ${Corpus.docEmbCte},
+      |hp AS MATERIALIZED (
+      |  SELECT j, list_transform(generate_series(0, ${Dims - 1}), i ->
+      |    CASE WHEN ('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS hv
+      |  FROM generate_series(0, ${NHyperplanes - 1}) AS t(j)),
       |pert AS (
       |  SELECT vec_id + 10000 AS vec_id,
-      |    list_transform(pv, x -> x / nrm) AS v
+      |    CASE WHEN nrm = 0 THEN pv ELSE list_transform(pv, x -> x / nrm) END AS v
       |  FROM (
       |    SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS nrm
-      |    FROM (SELECT vec_id, list_append(v[1:63], 0.0::DOUBLE) AS pv
-      |          FROM e WHERE vec_id % 20 = 0))),
-      |corpus AS (
-      |  SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+      |    FROM (SELECT vec_id, list_append(v[1:${Dims - 1}], 0.0::DOUBLE) AS pv
+      |          FROM demb WHERE vec_id % 20 = 0))),
+      |corpus AS MATERIALIZED (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+      |    SELECT vec_id, v FROM demb UNION ALL SELECT vec_id, v FROM pert)),
+      |proj AS (
+      |  SELECT c.vec_id, h.j,
+      |    CASE WHEN list_dot_product(c.v, h.hv) >= 0 THEN 1 ELSE 0 END AS s
+      |  FROM corpus c CROSS JOIN hp h),
       |bands AS (
-      |  $bandSelects),
+      |  SELECT vec_id, j // $BandBits AS band,
+      |    SUM(s * (1 << (j % $BandBits))) AS key
+      |  FROM proj GROUP BY vec_id, j // $BandBits),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
       |pairs AS (
-      |  SELECT c.a_id, c.b_id, list_dot_product(va.v, vb.v) AS sim
+      |  SELECT c.a_id, c.b_id,
+      |    CASE WHEN va.nrm * vb.nrm = 0 THEN 0.0
+      |         ELSE list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm) END AS sim
       |  FROM cand c
       |  JOIN corpus va ON va.vec_id = c.a_id
       |  JOIN corpus vb ON vb.vec_id = c.b_id)
       |SELECT a_id, b_id, ROUND(sim, 6) AS sim
-      |FROM pairs WHERE sim >= 0.95
+      |FROM pairs WHERE sim >= $SimThreshold
       |ORDER BY a_id, b_id""".stripMargin
-  }
 
   /** IVF-style ANN: per-label centroids (the "inverted lists" — the
     * label column stands in for a k-means assignment), query probes

@@ -23,12 +23,11 @@ class SqlApiSpec extends SparkSpec {
     installFunctions()
     Corpus.webPagesWithEmbeddings(spark, sfDir)
       .createOrReplaceTempView("wp_emb")
-    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
     val viaSql = spark.sql(
-      """SELECT id, url, ROUND(distance, 6) AS distance FROM (
+      s"""SELECT id, url, ROUND(distance, 6) AS distance FROM (
         |  SELECT w.id, w.url,
         |    vec_negdot(w.embedding,
-        |      (SELECT first(embedding) FROM emb WHERE vec_id = 0)) AS distance
+        |      slice(vec_featurize('${ops.Search.QueryText}', 1280), 1, 1024)) AS distance
         |  FROM wp_emb w)
         |WHERE distance <= 0.05
         |ORDER BY distance, id
