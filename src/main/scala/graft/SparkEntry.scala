@@ -117,6 +117,7 @@ object SparkEntry {
     "q71_incremental_rollup" -> (Incremental.incrementalRollup _),
     "q72_cube" -> (Events.cubeTypeDow _),
     "q73_stratified_quota" -> ((s: SparkSession, d: String) => Pipeline.stratifiedQuota(s, d)),
+    "q74_chat_stream" -> (Chat.chatStream _),
     "q75_pagerank_full" -> (Graph.pageRankFull _),
   )
 
@@ -196,6 +197,7 @@ object SparkEntry {
     "q71_incremental_rollup" -> Incremental.incrementalRollupSql,
     "q72_cube" -> Events.cubeTypeDowSql,
     "q73_stratified_quota" -> Pipeline.stratifiedQuotaSql,
+    "q74_chat_stream" -> Chat.chatStreamSql,
     "q75_pagerank_full" -> Graph.pageRankFullSql,
   )
 }

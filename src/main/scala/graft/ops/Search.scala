@@ -34,7 +34,7 @@ object Search {
       Embeddings.RefDims).as("q_emb"))
   }
 
-  private val queryVectorSql: String = {
+  private[ops] val queryVectorSql: String = {
     import graft.functions.Embeddings
     Embeddings.featurizeCtes(s"(SELECT 0 AS qid, '$QueryText' AS qt)",
       "qid", "qt", dims = Embeddings.ModelDims, prefix = "q") + ",\n" +
