@@ -119,6 +119,8 @@ object SparkEntry {
     "q73_stratified_quota" -> ((s: SparkSession, d: String) => Pipeline.stratifiedQuota(s, d)),
     "q74_chat_stream" -> (Chat.chatStream _),
     "q75_pagerank_full" -> (Graph.pageRankFull _),
+    "q76_flag_reload" -> (Flags.flagReload _),
+    "q77_job_stop" -> (Ledger.jobStop _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,5 +201,7 @@ object SparkEntry {
     "q73_stratified_quota" -> Pipeline.stratifiedQuotaSql,
     "q74_chat_stream" -> Chat.chatStreamSql,
     "q75_pagerank_full" -> Graph.pageRankFullSql,
+    "q76_flag_reload" -> Flags.flagReloadSql,
+    "q77_job_stop" -> Ledger.jobStopSql,
   )
 }

@@ -89,4 +89,43 @@ object Ledger {
       |SELECT COUNT(*) AS surviving,
       |  COUNT(*) FILTER (WHERE status = 'failed') AS failed_left
       |FROM jobs WHERE id NOT IN (SELECT id FROM jobs WHERE status = 'failed')""".stripMargin
+
+  /** q77: the stop lifecycle over the ledger — the frontend's
+    * declared stop surface (`jobs.tsx:38` lists stopping/stopped,
+    * `api.ts:69-77` posts stop per job) driven through the validated
+    * state machine ([[graft.streaming.Ingest.ValidTransitions]]):
+    * every running job of one domain gets a stop request
+    * (running → stopping), the workers acknowledge
+    * (stopping → stopped), and jobs already terminal are untouched
+    * (the request is a silent no-op, like the reference's
+    * unvalidated endpoint). Output: final status counts per domain
+    * slice plus the global machine tally. */
+  def jobStop(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.Ingest
+    val t = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    val jobs = Corpus.jobs(spark, sfDir)
+    val afterRequest =
+      Ingest.requestStop(jobs, col("param_domain") === "d3.test", t)
+    val done = Ingest.completeStops(afterRequest, t)
+    done
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("param_domain") === "d3.test", 1)).as("n_d3"))
+      .orderBy(col("status"))
+  }
+
+  val jobStopSql: String =
+    s"""WITH ${Corpus.jobsCte},
+      |s1 AS (
+      |  SELECT id, param_domain,
+      |    CASE WHEN status = 'running' AND param_domain = 'd3.test'
+      |         THEN 'stopping' ELSE status END AS status
+      |  FROM jobs),
+      |s2 AS (
+      |  SELECT id, param_domain,
+      |    CASE WHEN status = 'stopping' THEN 'stopped' ELSE status END AS status
+      |  FROM s1)
+      |SELECT status, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE param_domain = 'd3.test') AS n_d3
+      |FROM s2 GROUP BY status ORDER BY status""".stripMargin
 }

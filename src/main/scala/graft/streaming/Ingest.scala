@@ -53,14 +53,56 @@ object Ingest {
       .filter(col("rn") === 1).drop("rn")
   }
 
-  /** Job-ledger state transition (Q3): pending|queued → running →
-    * completed/failed, driven per batch. */
+  /** The full job state machine (Q3 + the stop surface the frontend
+    * declares — `jobs.tsx:38` lists `stopping`/`stopped` and
+    * `api.ts:69-77` posts to the stop endpoint): pending|queued →
+    * running → completed|failed, and running → stopping → stopped.
+    * Terminal states have no exits. */
+  val ValidTransitions: Map[String, Set[String]] = Map(
+    "pending"   -> Set("queued", "running"),
+    "queued"    -> Set("running"),
+    "running"   -> Set("completed", "failed", "stopping"),
+    "stopping"  -> Set("stopped"),
+    "completed" -> Set.empty,
+    "failed"    -> Set.empty,
+    "stopped"   -> Set.empty)
+
+  /** Job-ledger state transition (Q3): rows matching `jobId` move to
+    * `to` only when the machine allows it (an invalid request is a
+    * silent no-op — the semantics of the reference's stop endpoint,
+    * which the frontend calls but the backend never validates). */
   def transition(ledger: DataFrame, jobId: String, to: String,
-      at: java.sql.Timestamp): DataFrame =
-    ledger.withColumn("status",
-        when(col("id") === jobId, lit(to)).otherwise(col("status")))
-      .withColumn("updated_at",
-        when(col("id") === jobId, lit(at)).otherwise(col("updated_at")))
+      at: java.sql.Timestamp): DataFrame = {
+    val fromStates = ValidTransitions.collect {
+      case (from, tos) if tos(to) => from
+    }.toSeq
+    val hit = col("id") === jobId && col("status").isin(fromStates.map(lit): _*)
+    ledger.withColumn("updated_at",
+        when(hit, lit(at)).otherwise(col("updated_at")))
+      .withColumn("status",
+        when(hit, lit(to)).otherwise(col("status")))
+  }
+
+  /** Stop request (POST /stop-crawler): every running job matching
+    * `pred` moves to `stopping`. */
+  def requestStop(ledger: DataFrame, pred: org.apache.spark.sql.Column,
+      at: java.sql.Timestamp): DataFrame = {
+    val hit = pred && col("status") === "running"
+    ledger.withColumn("updated_at",
+        when(hit, lit(at)).otherwise(col("updated_at")))
+      .withColumn("status",
+        when(hit, lit("stopping")).otherwise(col("status")))
+  }
+
+  /** Stop completion (the worker acknowledging): stopping → stopped. */
+  def completeStops(ledger: DataFrame,
+      at: java.sql.Timestamp): DataFrame = {
+    val hit = col("status") === "stopping"
+    ledger.withColumn("updated_at",
+        when(hit, lit(at)).otherwise(col("updated_at")))
+      .withColumn("status",
+        when(hit, lit("stopped")).otherwise(col("status")))
+  }
 
   /** Wire a streaming PageItem source through the pipeline into a
     * parquet-backed corpus dir, one upsert-merge per micro-batch.

@@ -69,6 +69,40 @@ class IngestSpec extends SparkSpec {
     assert(got.toSeq === Seq("running", "queued"))
   }
 
+  test("invalid transitions are silent no-ops; terminal states have no exits") {
+    val ledger = Seq(
+      ("job-1", "completed", t0), ("job-2", "queued", t0),
+      ("job-3", "stopped", t0)).toDF("id", "status", "updated_at")
+    // completed → running is not in the machine: nothing changes
+    val a = Ingest.transition(ledger, "job-1", "running", t1)
+    assert(a.orderBy("id").select("status").as[String].collect().toSeq ===
+      Seq("completed", "queued", "stopped"))
+    // queued → stopping is not in the machine either (only running stops)
+    val b = Ingest.transition(ledger, "job-2", "stopping", t1)
+    assert(b.filter($"id" === "job-2").select("status").as[String].head() ===
+      "queued")
+    assert(Ingest.ValidTransitions("stopped").isEmpty)
+  }
+
+  test("stop lifecycle: running → stopping → stopped, others untouched") {
+    val ledger = Seq(
+      ("job-1", "running", t0), ("job-2", "running", t0),
+      ("job-3", "pending", t0), ("job-4", "completed", t0))
+      .toDF("id", "status", "updated_at")
+      .withColumn("param_domain",
+        when($"id" === "job-2", "other.test").otherwise("d3.test"))
+    val requested = Ingest.requestStop(ledger, $"param_domain" === "d3.test", t1)
+    assert(requested.orderBy("id").select("status").as[String].collect().toSeq
+      === Seq("stopping", "running", "pending", "completed"))
+    val done = Ingest.completeStops(requested, t1)
+    assert(done.orderBy("id").select("status").as[String].collect().toSeq
+      === Seq("stopped", "running", "pending", "completed"))
+    // stamp only moves on the rows that transitioned
+    val stamps = done.orderBy("id").select("updated_at")
+      .as[java.sql.Timestamp].collect()
+    assert(stamps.toSeq === Seq(t1, t0, t0, t0))
+  }
+
   test("end-to-end micro-batch stream: two batches upsert into corpus") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PageItem]
