@@ -121,6 +121,7 @@ object SparkEntry {
     "q75_pagerank_full" -> (Graph.pageRankFull _),
     "q76_flag_reload" -> (Flags.flagReload _),
     "q77_job_stop" -> (Ledger.jobStop _),
+    "q78_image_decode" -> (Media.imageDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,5 +204,6 @@ object SparkEntry {
     "q75_pagerank_full" -> Graph.pageRankFullSql,
     "q76_flag_reload" -> Flags.flagReloadSql,
     "q77_job_stop" -> Ledger.jobStopSql,
+    "q78_image_decode" -> Media.imageDecodeSql,
   )
 }

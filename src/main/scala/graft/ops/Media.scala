@@ -9,13 +9,20 @@ import org.apache.spark.sql.functions._
   * partition — the Spark-side shape (schema, partitioning, typed
   * batch iteration) of a media pipeline.
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB: real pixel/sample
-  * decoding needs image/audio libraries this container doesn't ship,
-  * so `decodeFeatures` computes bytewise statistics standing in for
-  * "decode then featurize". Everything around it — the binary
-  * column, the metadata columns, the `mapPartitions` batch loop with
-  * a case-class row type, the downstream aggregation — is the real
-  * plumbing a codec-backed implementation would keep unchanged.
+  * Two decode tiers:
+  *
+  *   - [[mediaFeatures]] (q33) keeps the BYTEWISE stand-in — the
+  *     audio/video half has no codec in this container, so bytewise
+  *     statistics stand in for "decode then featurize" behind the
+  *     real mapPartitions plumbing.
+  *   - [[imageDecode]] (q78) is a REAL codec path: the payload is
+  *     encoded as an actual 4×4 8-bit grayscale PNG and decoded back
+  *     with `javax.imageio` (JDK built-in, no extra dependency).
+  *     PNG is lossless, so the decoded raster must equal the source
+  *     bytes — which the DuckDB oracle derives independently from
+  *     the md5 hex — putting a genuine encode→decode roundtrip
+  *     under the cross-engine hash check (and MediaSpec pins
+  *     pixel-exact recovery).
   */
 object Media {
 
@@ -91,6 +98,91 @@ object Media {
       |FROM feat CROSS JOIN generate_series(1, 64) AS t(i)
       |ORDER BY id, dim""".stripMargin
   }
+
+  case class ImageBytes(id: Long, png: Array[Byte])
+  case class DecodedImage(id: Long, width: Int, height: Int,
+      mean_pixel: Double, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** REAL image encode: the 16-byte payload laid out as a 4×4 8-bit
+    * grayscale raster and written through the JDK's PNG encoder —
+    * actual image bytes, per partition, no driver involvement. */
+  private[graft] def encodePng(rows: Iterator[MediaRow]): Iterator[ImageBytes] =
+    rows.map { r =>
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < 16) {
+        raster.setSample(i % 4, i / 4, 0, r.content(i) & 0xff)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      ImageBytes(r.id, bos.toByteArray)
+    }
+
+  /** REAL image decode: `javax.imageio` parses the PNG and the
+    * features come off the decoded raster. Lossless format ⇒ the
+    * raster equals the original payload bytes, which is what makes
+    * the roundtrip oracle-checkable. */
+  private[graft] def decodePng(rows: Iterator[ImageBytes]): Iterator[DecodedImage] =
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.png))
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val hist = new Array[Int](4)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = raster.getSample(x, y, 0)
+          sum += p
+          hist(p >> 6) += 1
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(r.id, w, h,
+        math.round(sum.toDouble / (w * h) * 10000.0) / 10000.0,
+        hist(0), hist(1), hist(2), hist(3))
+    }
+
+  /** q78: encode → decode through the real PNG codec, features from
+    * the decoded raster, one row per image. */
+  def imageDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds = mediaTable(spark, sfDir)
+      .filter(col("kind") === "image" && col("id") < 50)
+      .as[MediaRow]
+    ds.mapPartitions(rows => decodePng(encodePng(rows))).toDF()
+      .select(col("id"), col("width"), col("height"), col("mean_pixel"),
+        col("h0"), col("h1"), col("h2"), col("h3"))
+      .orderBy(col("id"))
+  }
+
+  /** Oracle: PNG is lossless, so the decoded raster features equal
+    * the same byte math DuckDB derives straight from the md5 hex. */
+  val imageDecodeSql: String =
+    """WITH media AS (
+      |  SELECT p_partkey AS id, md5(p_name) AS hx
+      |  FROM part
+      |  WHERE p_partkey % 3 <> 0 AND p_partkey < 50),
+      |bytes AS (
+      |  SELECT id,
+      |    list_transform(generate_series(0, 15),
+      |      i -> ('0x' || substr(hx, 2 * i + 1, 2))::INT) AS bs
+      |  FROM media)
+      |SELECT id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+      |  ROUND(CAST(list_sum(bs) AS DOUBLE) / 16, 4) AS mean_pixel,
+      |  CAST(len(list_filter(bs, b -> b // 64 = 0)) AS INT) AS h0,
+      |  CAST(len(list_filter(bs, b -> b // 64 = 1)) AS INT) AS h1,
+      |  CAST(len(list_filter(bs, b -> b // 64 = 2)) AS INT) AS h2,
+      |  CAST(len(list_filter(bs, b -> b // 64 = 3)) AS INT) AS h3
+      |FROM bytes
+      |ORDER BY id""".stripMargin
 
   /** Oracle: identical byte math from the md5 hex string (DuckDB
     * derives the same 16 bytes as hex digit pairs). */

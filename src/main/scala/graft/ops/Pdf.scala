@@ -12,10 +12,17 @@ import org.apache.spark.sql.functions._
   *
   * Spark shape: a fetched-responses table (status, content type,
   * per-page text array — the page split a pdfbox/PyMuPDF decode stage
-  * would produce; the decode itself is the honest stub since no PDF
-  * codec ships in this container) → a pure column-expression
-  * extraction stage that classifies each response and produces the
-  * extracted record or nulls, one scan, no UDFs.
+  * would produce; the decode itself is the honest stub) → a pure
+  * column-expression extraction stage that classifies each response
+  * and produces the extracted record or nulls, one scan, no UDFs.
+  *
+  * Decode-stub status (checked round 3): no PDF codec is reachable in
+  * this container — `/opt/spark/jars` carries none, and pdfbox fails
+  * offline resolution (`COURSIER_MODE=offline`, no egress), so the
+  * page-decode stays a documented stub behind the real four-behavior
+  * classification. The image half of the same gap IS closed:
+  * [[Media.imageDecode]] runs a real `javax.imageio` PNG
+  * encode→decode roundtrip under the oracle hash check (q78).
   */
 object Pdf {
 

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Media
+
+/** The real-codec image path: PNG encode → decode through
+  * `javax.imageio` must recover the source payload pixel-exactly
+  * (PNG is lossless), and the decoded bytes must be genuine PNG. */
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PNG roundtrip recovers the payload bytes exactly") {
+    val rows = Media.mediaTable(spark, sfDir)
+      .filter(col("kind") === "image" && col("id") < 20)
+      .as[Media.MediaRow].collect()
+    val encoded = Media.encodePng(rows.iterator).toSeq
+    // real PNG magic on every encoded image
+    encoded.foreach { e =>
+      assert((e.png(0) & 0xff) === 0x89 && e.png(1) === 'P'.toByte
+        && e.png(2) === 'N'.toByte && e.png(3) === 'G'.toByte)
+    }
+    // decode and compare raster against the source bytes
+    encoded.zip(rows).foreach { case (e, src) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(e.png))
+      assert(img.getWidth === 4 && img.getHeight === 4)
+      val got = for (y <- 0 until 4; x <- 0 until 4)
+        yield img.getRaster.getSample(x, y, 0)
+      assert(got === src.content.map(_ & 0xff).toSeq)
+    }
+  }
+
+  test("imageDecode features match a direct bytewise computation") {
+    val feats = Media.imageDecode(spark, sfDir).collect()
+    assert(feats.nonEmpty)
+    val src = Media.mediaTable(spark, sfDir)
+      .filter(col("kind") === "image" && col("id") < 50)
+      .as[Media.MediaRow].collect().map(r => r.id -> r.content).toMap
+    feats.foreach { r =>
+      val bytes = src(r.getAs[Long]("id")).map(_ & 0xff)
+      val mean = math.round(bytes.sum.toDouble / 16 * 10000.0) / 10000.0
+      assert(r.getAs[Double]("mean_pixel") === mean)
+      assert(r.getAs[Int]("h0") === bytes.count(_ >> 6 == 0))
+    }
+  }
+}
