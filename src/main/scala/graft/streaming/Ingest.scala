@@ -34,8 +34,8 @@ object Ingest {
       .withColumn("domain", TextOps.domainOf(col("url")))
       .withColumn("embedding",
         when(col("embedding_type") === "text",
-          Embeddings.embedText(col("content")))
-          .otherwise(Embeddings.embedVision(
+          Embeddings.embedStored(col("content")))
+          .otherwise(Embeddings.embedVisionStored(
             Embeddings.fetchImageBytes(col("url")))))
       .withColumn("last_crawled", lit(batchTime))
 

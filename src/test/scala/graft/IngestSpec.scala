@@ -27,7 +27,8 @@ class IngestSpec extends SparkSpec {
     assert(out.count() === 2) // null url and null-content html dropped
     val domains = out.select("domain").as[String].collect().toSet
     assert(domains === Set("a.test"))
-    assert(out.select(size($"embedding")).as[Int].collect().forall(_ === 64))
+    assert(out.select(size($"embedding")).as[Int].collect()
+      .forall(_ === graft.functions.Embeddings.RefDims))
   }
 
   test("vision path consumes image bytes, not the url string") {
@@ -36,9 +37,9 @@ class IngestSpec extends SparkSpec {
       PageItem("https://a.test/img.jpg", None, None, None, "image", "vision"))
     val got = Ingest.transformBatch(batch, t0)
       .select($"embedding").as[Seq[Double]].head()
-    val viaBytes = batch.select(Embeddings.embedVision(
+    val viaBytes = batch.select(Embeddings.embedVisionStored(
         Embeddings.fetchImageBytes($"url"))).as[Seq[Double]].head()
-    val viaUrlText = batch.select(Embeddings.embedText($"url"))
+    val viaUrlText = batch.select(Embeddings.embedStored($"url"))
       .as[Seq[Double]].head()
     assert(got === viaBytes)   // fetch -> base64 -> featurize over bytes
     assert(got !== viaUrlText) // NOT the old url-string stand-in
