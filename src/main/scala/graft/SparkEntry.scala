@@ -122,6 +122,7 @@ object SparkEntry {
     "q76_flag_reload" -> (Flags.flagReload _),
     "q77_job_stop" -> (Ledger.jobStop _),
     "q78_image_decode" -> (Media.imageDecode _),
+    "q79_ivf_1024" -> (KMeans.knnIvf1024 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,5 +206,6 @@ object SparkEntry {
     "q76_flag_reload" -> Flags.flagReloadSql,
     "q77_job_stop" -> Ledger.jobStopSql,
     "q78_image_decode" -> Media.imageDecodeSql,
+    "q79_ivf_1024" -> KMeans.knnIvf1024Sql,
   )
 }

@@ -1,8 +1,8 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Corpus, Tables}
 import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,6 +123,145 @@ object KMeans {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  // -----------------------------------------------------------------
+  // Learned IVF at REFERENCE width: the same train → assign → probe
+  // loop over the 1024-d document corpus. Assignment is true-L2
+  // (the stored vectors are not unit norm — quirk Q1 — so max-dot is
+  // NOT min-distance here), with the self-dots hoisted once per side
+  // and the per-vector argmin as a map-side min_by; re-centering is
+  // the posexplode + one-decimal-agg shape (a 1024-wide aggregate
+  // column list costs seconds of codegen). Completes the 1024-d ANN
+  // family: brute force (q26), banded LSH (q27), PQ (q67), IVF (q79).
+  // -----------------------------------------------------------------
+
+  val DocK = 10
+  val DocIters = 2
+  val NProbe = 2
+
+  private def docVectors(spark: SparkSession, sfDir: String): DataFrame =
+    Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
+      .withColumn("xx", VectorOps.dot(col("v"), col("v")))
+
+  private def d2c(xx: Column, x: Column, c: Column, cc: Column): Column =
+    round(xx - lit(2.0) * VectorOps.dot(x, c) + cc, 9)
+
+  private def assignDoc(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", d2c(col("xx"), col("v"), col("cv"), col("cc")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
+        first(col("v")).as("v"), first(col("xx")).as("xx"))
+
+  private def updateDoc(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v"))).toDF("cid", "i", "x")
+      .groupBy(col("cid"), col("i"))
+      .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)), 9).as("m"),
+        count(lit(1)).as("nn"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cv"),
+        max(col("nn")).as("n"))
+      .withColumn("cc", VectorOps.dot(col("cv"), col("cv")))
+
+  /** Fitted 1024-d model: (cid, cv, cc, n). */
+  def fitDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = docVectors(spark, sfDir)
+    var cents = vecs.filter(col("vec_id") < DocK)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("v").as("cv"), col("xx").as("cc"))
+    for (_ <- 1 to DocIters)
+      cents = updateDoc(assignDoc(vecs, cents)).localCheckpoint()
+    cents
+  }
+
+  /** q79: learned-IVF ANN at 1024-d — probe the [[NProbe]] nearest
+    * lists by true L2, exact cosine only inside them. */
+  def knnIvf1024(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = docVectors(spark, sfDir)
+    val model = fitDocs(spark, sfDir)
+    val cents = model.select(col("cid"), col("cv"), col("cc"))
+    val assigned = assignDoc(vecs, cents)
+    val q = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("xx").as("qxx"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cdist", d2c(col("qxx"), col("qv"), col("cv"), col("cc")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cdist"), col("cid"))))
+      .filter(col("crank") <= NProbe)
+      .select(col("q_id"), col("qv"), col("qxx"), col("cid"))
+    val denom = sqrt(col("xx")) * sqrt(col("qxx"))
+    probed.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(when(denom === 0.0, lit(0.0))
+        .otherwise(VectorOps.dot(col("v"), col("qv")) / denom), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnIvf1024Sql: String = {
+    def d2Sql(xx: String, x: String, c: String, cc: String) =
+      s"ROUND($xx - 2 * list_dot_product($x, $c) + $cc, 9)"
+    def assignDocSql(cents: String) =
+      s"""SELECT vec_id, v, xx, cid FROM (
+         |    SELECT e.vec_id, e.v, e.xx, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${d2Sql("e.xx", "e.v", "c.cv", "c.cc")}, c.cid) AS rn
+         |    FROM docv e CROSS JOIN $cents c)
+         |  WHERE rn = 1""".stripMargin
+    def updateDocSql(assigned: String) =
+      s"""SELECT cid, cv, list_dot_product(cv, cv) AS cc, n FROM (
+         |    SELECT cid, list(m ORDER BY i) AS cv, MAX(nn) AS n FROM (
+         |      SELECT cid, i,
+         |        ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS m,
+         |        COUNT(*) AS nn
+         |      FROM $assigned CROSS JOIN generate_series(1, 1024) AS t(i)
+         |      GROUP BY cid, i)
+         |    GROUP BY cid)""".stripMargin
+    val lloyd = (1 to DocIters).map { i =>
+      val prev = if (i == 1) "dc0" else s"dc${i - 1}"
+      s"""da$i AS (${assignDocSql(prev)}),
+         |dc$i AS MATERIALIZED (
+         |  ${updateDocSql(s"da$i")})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Corpus.docEmbCte},
+      |docv AS MATERIALIZED (
+      |  SELECT vec_id, v, list_dot_product(v, v) AS xx FROM demb),
+      |dc0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv, xx AS cc
+      |        FROM docv WHERE vec_id < $DocK),
+      |$lloyd,
+      |model AS (SELECT cid, cv, cc FROM dc$DocIters),
+      |assigned AS (${assignDocSql("model")}),
+      |q AS (SELECT vec_id AS q_id, v AS qv, xx AS qxx
+      |      FROM docv WHERE vec_id < 3),
+      |probed AS (
+      |  SELECT q_id, qv, qxx, cid FROM (
+      |    SELECT q.q_id, q.qv, q.qxx, m.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+      |        ORDER BY ${d2Sql("q.qxx", "q.qv", "m.cv", "m.cc")}, m.cid) AS crank
+      |    FROM q CROSS JOIN model m)
+      |  WHERE crank <= $NProbe),
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    ROUND(CASE WHEN sqrt(a.xx) * sqrt(p.qxx) = 0 THEN 0.0
+      |          ELSE list_dot_product(a.v, p.qv) / (sqrt(a.xx) * sqrt(p.qxx)) END, 6) AS sim
+      |  FROM probed p JOIN assigned a ON a.cid = p.cid
+      |  WHERE a.vec_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, vec_id AS n_id, sim
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
   }
 
   val knnIvfKmeansSql: String =
