@@ -34,17 +34,29 @@ object Components {
   def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
     val es = edges(spark, sfDir).cache()
     try {
+      // node count is known after the first materialization; a small
+      // label table (the usual case — only dup-pair ENDPOINTS carry
+      // labels) runs the loop with broadcast joins and 1-partition
+      // checkpoints, the same fixed-cost cut as the PageRank loop;
+      // a huge one keeps the shuffle path
       var labels = es.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
+        .localCheckpoint()
+      val small = labels.count() < 1000000L
+      def pin(df: DataFrame): DataFrame =
+        (if (small) df.coalesce(1) else df).localCheckpoint()
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (small) broadcast(df) else df
       var converged = false
       var round = 0
       while (round < Rounds && !converged) {
-        val neighborMin = es.join(labels, col("dst") === col("node"))
+        val neighborMin = es.join(maybeBroadcast(labels),
+            col("dst") === col("node"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-        val next = labels.join(neighborMin, col("node") === col("src"), "left")
+        val next = pin(labels
+          .join(maybeBroadcast(neighborMin), col("node") === col("src"), "left")
           .select(col("node"), col("lbl").as("old_lbl"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint() // eager: materializes the round once
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
         converged = next.filter(col("lbl") < col("old_lbl")).isEmpty
         labels = next.select(col("node"), col("lbl"))
         round += 1
