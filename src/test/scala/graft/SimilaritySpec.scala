@@ -60,6 +60,19 @@ class SimilaritySpec extends SparkSpec {
       s"missing ≥0.99 pairs: ${(brute -- found).take(5)}")
   }
 
+  test("learned-IVF top-3 overlaps the exact brute-force top-3") {
+    val exact = ops.Similarity.knnBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = ops.KMeans.knnIvf1024(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (exact & ivf).size
+    info(s"IVF recall = $overlap/${exact.size}")
+    // nprobe/nlist = 2/10: neighbors outside the probed lists are the
+    // accepted trade; at sf0.01 the measured recall is 7/9
+    assert(overlap >= exact.size / 2,
+      s"IVF found $ivf vs exact $exact — overlap $overlap")
+  }
+
   test("PQ-ANN top-10 overlaps exact brute-force top-10") {
     val e = Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
     val q = e.filter(col("vec_id") === 0)
