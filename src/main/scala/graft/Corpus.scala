@@ -133,7 +133,7 @@ object Corpus {
   def webPagesWithEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.{Embeddings, VectorOps}
     webPages(spark, sfDir).withColumn("embedding",
-      VectorOps.truncateOrPad(
+      VectorOps.truncateKnown(
         Embeddings.featurize(col("content"), Embeddings.ModelDims),
         Embeddings.RefDims))
   }
@@ -157,7 +157,7 @@ object Corpus {
     import graft.functions.{Embeddings, VectorOps}
     Tables.documents(spark, sfDir).select(
       col("doc_id").as("vec_id"),
-      VectorOps.truncateOrPad(
+      VectorOps.truncateKnown(
         Embeddings.featurize(col("text"), Embeddings.ModelDims),
         Embeddings.RefDims).as("v"))
   }

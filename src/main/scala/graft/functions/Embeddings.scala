@@ -57,12 +57,12 @@ object Embeddings {
     * `Vector(1024)` column width ([[RefDims]], quirk Q1 — stored
     * vectors are not unit norm). This is what ingest writes. */
   def embedStored(text: Column): Column =
-    VectorOps.truncateOrPad(featurize(text, ModelDims), RefDims)
+    VectorOps.truncateKnown(featurize(text, ModelDims), RefDims)
 
   /** [[embedStored]] for the vision path: over the base64 of the
     * image BYTES, like [[embedVision]]. */
   def embedVisionStored(bytes: Column): Column =
-    VectorOps.truncateOrPad(featurize(base64(bytes), ModelDims), RefDims)
+    VectorOps.truncateKnown(featurize(base64(bytes), ModelDims), RefDims)
 
   /** Deterministic stand-in for the reference's image FETCH
     * (`embeddings.py:22-23` GETs the url): 16 bytes derived from the

@@ -72,4 +72,12 @@ object VectorOps {
     * normalize THEN truncate/pad (`tasks.py:86-88`, quirk Q1). */
   def normalizeThenPad(v: Column, dims: Int): Column =
     truncateOrPad(l2Normalize(v), dims)
+
+  /** [[truncateOrPad]] for a DOUBLE vector whose length is statically
+    * known to be ≥ dims (the featurizer's fixed model-width output):
+    * one plain slice. The generic CASE variant references its input
+    * subtree three times (length test + both branches), which
+    * TRIPLES evaluation of an expensive child when the projection
+    * runs interpreted — q10's featurizer ran 3× per row through it. */
+  def truncateKnown(v: Column, dims: Int): Column = slice(v, 1, dims)
 }

@@ -29,7 +29,7 @@ object Search {
     * broadcast side. */
   private def queryVector(spark: SparkSession): DataFrame = {
     import graft.functions.Embeddings
-    spark.range(1).select(VectorOps.truncateOrPad(
+    spark.range(1).select(VectorOps.truncateKnown(
       Embeddings.featurize(lit(QueryText), Embeddings.ModelDims),
       Embeddings.RefDims).as("q_emb"))
   }
@@ -92,9 +92,9 @@ object Search {
     import graft.functions.Embeddings
     val docs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 100)
-      .select(col("doc_id"), VectorOps.truncateOrPad(
+      .select(col("doc_id"), VectorOps.truncateKnown(
         Embeddings.featurize(col("text"), ModelDims), RefDims).as("v"))
-    val q = spark.range(1).select(VectorOps.truncateOrPad(
+    val q = spark.range(1).select(VectorOps.truncateKnown(
       Embeddings.featurize(lit("fast merge window"), ModelDims), RefDims)
       .as("qv"))
     docs.crossJoin(broadcast(q))
