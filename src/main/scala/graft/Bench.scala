@@ -14,9 +14,11 @@ package graft
   *
   * A query that throws is reported with its elapsed-until-failure
   * time AND listed in the `failed` array, so a crash can never
-  * masquerade as a fast run. Times are rounded to milliseconds to
-  * keep the record line short (driver-side captures truncated the
-  * round-2 line mid-JSON).
+  * masquerade as a fast run. Times are rounded to milliseconds and
+  * query keys shortened to their `qNN` prefix to keep the record
+  * line small: the driver's output capture holds only the last ~2 KB
+  * and the round-3 line with 79 full names overflowed it, leaving an
+  * unparseable record ("parsed": null in BENCH_r03.json).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,9 +45,10 @@ object Bench {
       }
       (name, ms3(runs.map(_._1).min), runs.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = ms3(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")

@@ -123,6 +123,7 @@ object SparkEntry {
     "q77_job_stop" -> (Ledger.jobStop _),
     "q78_image_decode" -> (Media.imageDecode _),
     "q79_ivf_1024" -> (KMeans.knnIvf1024 _),
+    "q80_pdf_decode" -> (Pdf.pdfDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -207,5 +208,6 @@ object SparkEntry {
     "q77_job_stop" -> Ledger.jobStopSql,
     "q78_image_decode" -> Media.imageDecodeSql,
     "q79_ivf_1024" -> KMeans.knnIvf1024Sql,
+    "q80_pdf_decode" -> Pdf.pdfDecodeSql,
   )
 }

@@ -30,24 +30,34 @@ object KMeans {
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
 
   /** One assignment step: nearest centroid by rounded dot (unit
-    * vectors → max dot = min L2). */
+    * vectors → max dot = min L2). Map-side-combinable `min_by` over
+    * (-score, cid) — the 10×-exploded candidate rows never leave
+    * their partition, vs the round-2 row_number window that shuffled
+    * all of them on vec_id (same argmax + smallest-cid tiebreak). */
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .withColumn("score", round(VectorOps.dot(col("v"), col("cv")), 9))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("score").desc, col("cid"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(negate(col("score")), col("cid"))).as("cid"),
+        first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("cid"))
 
-  /** One update step: exact-decimal per-dimension mean. */
+  /** One update step: exact-decimal per-dimension mean, via
+    * posexplode + ONE decimal aggregate + ordered reassembly — a
+    * 64-wide aggregate-column list costs seconds of codegen for its
+    * decimal buffers (round-3 lesson, same shape as [[updateDoc]]);
+    * exact decimal sums are order-independent, so values are
+    * identical to the wide form. */
   private def update(assigned: DataFrame): DataFrame =
-    assigned.groupBy(col("cid")).agg(
-      array((0 until 64).map { i =>
-        round(sum(element_at(col("v"), i + 1).cast("decimal(28,12)"))
-          .cast("double") / count(lit(1)), 9)
-      }: _*).as("cv"),
-      count(lit(1)).as("n"))
+    assigned.select(col("cid"), posexplode(col("v"))).toDF("cid", "i", "x")
+      .groupBy(col("cid"), col("i"))
+      .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)), 9).as("m"),
+        count(lit(1)).as("nn"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cv"),
+        max(col("nn")).as("n"))
 
   /** Fitted model after [[Iters]] iterations: (cid, cv, n). */
   def fit(spark: SparkSession, sfDir: String): DataFrame = {

@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   * column-expression extraction stage that classifies each response
   * and produces the extracted record or nulls, one scan, no UDFs.
   *
-  * Decode-stub status (checked round 3): no PDF codec is reachable in
-  * this container — `/opt/spark/jars` carries none, and pdfbox fails
-  * offline resolution (`COURSIER_MODE=offline`, no egress), so the
-  * page-decode stays a documented stub behind the real four-behavior
-  * classification. The image half of the same gap IS closed:
-  * [[Media.imageDecode]] runs a real `javax.imageio` PNG
-  * encode→decode roundtrip under the oracle hash check (q78).
+  * Decode status: no PDF library is resolvable in this container
+  * (`/opt/spark/jars` carries none; coursier runs offline), so round
+  * 4 closed the gap from scratch — [[PdfCodec]] is a real minimal
+  * PDF writer + parser (FlateDecode via `java.util.zip`, xref-table
+  * walk, content-stream `Tj`/`TJ` tokenizer). [[pdfDecode]] (q80)
+  * routes the same four-behavior contract through actual compressed
+  * PDF bytes and recovers the page text by parsing them, with the
+  * DuckDB oracle deriving the expected text independently — the same
+  * roundtrip pattern as [[Media.imageDecode]] (q78). [[pdfExtract]]
+  * (q55) keeps the pre-split pages-array shape, covering the
+  * classification stage in isolation.
   */
 object Pdf {
 
@@ -69,6 +73,72 @@ object Pdf {
       .select(col("id"), col("outcome"), col("content"),
         col("file_type"), col("embedding_type"))
       .orderBy(col("id"))
+
+  case class PdfResp(id: Long, http_status: Int, content_type: String,
+      pages: Seq[String])
+  case class PdfDecoded(id: Long, outcome: String, n_pages: Option[Int],
+      content: Option[String])
+
+  /** The real S3 decode stage: build actual PDF bytes for every
+    * fetchable response, then recover the text by PARSING them —
+    * inflate, xref walk, `Tj` extraction ([[PdfCodec.decode]]).
+    * Mirrors `handle_pdf` (`file_handler.py:11-49`): status gate →
+    * content-type gate → parse → per-page concat → empty check. */
+  private def decodeStage(rows: Iterator[PdfResp]): Iterator[PdfDecoded] =
+    rows.map { r =>
+      if (r.http_status != 200)
+        PdfDecoded(r.id, "download_error", None, None)
+      else if (!r.content_type.contains("application/pdf"))
+        PdfDecoded(r.id, "wrong_content_type", None, None)
+      else {
+        // the bytes a fetcher would hand over: a complete PDF file
+        val bytes = PdfCodec.encode(r.pages)
+        val decoded = PdfCodec.decode(bytes)
+        val text = decoded.pages.mkString("") // text += page.get_text()
+        if (text.trim.isEmpty)
+          PdfDecoded(r.id, "empty_text", Some(decoded.pages.size), None)
+        else PdfDecoded(r.id, "ok", Some(decoded.pages.size), Some(text))
+      }
+    }
+
+  /** q80: the S3 contract end-to-end through real PDF binary —
+    * encode → parse → classify. Page count and recovered text come
+    * off the parsed file; the oracle derives both independently, so
+    * a hash match proves the codec is lossless on this corpus. */
+  def pdfDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    responses(spark, sfDir)
+      .select(col("id"), col("http_status"), col("content_type"), col("pages"))
+      .as[PdfResp]
+      .mapPartitions(decodeStage).toDF()
+      .select(col("id"), col("outcome"), col("n_pages"), col("content"))
+      .orderBy(col("id"))
+  }
+
+  val pdfDecodeSql: String =
+    s"""WITH ${Corpus.webPagesCte},
+      |resp AS (
+      |  SELECT id, url,
+      |    CASE WHEN id % 80 = 18 THEN 500 ELSE 200 END AS http_status,
+      |    CASE WHEN id % 80 = 28 THEN 'text/html; charset=utf-8'
+      |         ELSE 'application/pdf' END AS content_type,
+      |    CASE WHEN id % 80 = 38 THEN ['', '  ']
+      |         ELSE [content, ' p.2 ' || domain] END AS pages
+      |  FROM web_pages WHERE file_type = 'pdf'),
+      |ex AS (
+      |  SELECT id,
+      |    CASE WHEN http_status <> 200 THEN 'download_error'
+      |         WHEN content_type NOT LIKE '%application/pdf%' THEN 'wrong_content_type'
+      |         WHEN trim(array_to_string(pages, '')) = '' THEN 'empty_text'
+      |         ELSE 'ok' END AS outcome,
+      |    len(pages) AS np,
+      |    array_to_string(pages, '') AS joined
+      |  FROM resp)
+      |SELECT id, outcome,
+      |  CASE WHEN outcome IN ('ok', 'empty_text') THEN CAST(np AS INT) END AS n_pages,
+      |  CASE WHEN outcome = 'ok' THEN joined END AS content
+      |FROM ex
+      |ORDER BY id""".stripMargin
 
   val pdfExtractSql: String =
     s"""WITH ${Corpus.webPagesCte},
