@@ -124,6 +124,13 @@ object SparkEntry {
     "q78_image_decode" -> (Media.imageDecode _),
     "q79_ivf_1024" -> (KMeans.knnIvf1024 _),
     "q80_pdf_decode" -> (Pdf.pdfDecode _),
+    "q81_span_dedup" -> (Curation.spanDedup _),
+    "q82_bigram_lm" -> (Ranking.bigramLogprob _),
+    "q83_tfidf" -> (Ranking.tfidf _),
+    "q84_quality_classifier" -> (Curation.qualityClassifier _),
+    "q85_url_canonical" -> (Urls.urlCanonical _),
+    "q86_seq_pack" -> (Curation.seqPack _),
+    "q87_robots" -> (Robots.robotsEnforce _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -209,5 +216,12 @@ object SparkEntry {
     "q78_image_decode" -> Media.imageDecodeSql,
     "q79_ivf_1024" -> KMeans.knnIvf1024Sql,
     "q80_pdf_decode" -> Pdf.pdfDecodeSql,
+    "q81_span_dedup" -> Curation.spanDedupSql,
+    "q82_bigram_lm" -> Ranking.bigramLogprobSql,
+    "q83_tfidf" -> Ranking.tfidfSql,
+    "q84_quality_classifier" -> Curation.qualityClassifierSql,
+    "q85_url_canonical" -> Urls.urlCanonicalSql,
+    "q86_seq_pack" -> Curation.seqPackSql,
+    "q87_robots" -> Robots.robotsEnforceSql,
   )
 }

@@ -118,6 +118,154 @@ object Ranking {
       |LIMIT 10""".stripMargin
   }
 
+  /** Interpolation-free add-1 bigram LM (q82): the next step up from
+    * [[unigramLogprob]] toward KenLM-style perplexity filtering.
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) with c(w1) the corpus
+    * unigram count and V the vocabulary size; documents score by mean
+    * bigram log-probability and the most surprising surface first.
+    *
+    * Scale shape: both model tables are corpus-vocabulary-sized
+    * (V and V² keys), so neither join carries a broadcast hint — the
+    * occurrence stream shuffles on (w1, w2) then w1, the same
+    * scale-correct shape as q69; AQE may still broadcast small
+    * measured sides at runtime. Determinism: ln rounded to 9, per-doc
+    * sums in DECIMAL. */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val occ = d.filter(col("n") >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), col("n") - 1),
+          slice(col("toks"), lit(2), col("n") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = d.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val vstats = uni.agg(count(lit(1)).cast("double").as("vsize"))
+    val scored = occ
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vstats))
+      .withColumn("lp", round(
+        log((col("c2").cast("double") + 1.0)
+          / (col("c1").cast("double") + col("vsize"))), 9))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy(col("avg_logprob"), col("doc_id"))
+      .limit(10)
+  }
+
+  val bigramLogprobSql: String = {
+    val tokSql = TextOps.tokSql()
+    s"""WITH d AS (
+      |  SELECT doc_id, $tokSql AS toks, len($tokSql) AS n FROM documents),
+      |occ AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM d CROSS JOIN LATERAL unnest(generate_series(1, n - 1)) AS t(i)
+      |  WHERE n >= 2),
+      |uni AS (
+      |  SELECT w1, COUNT(*) AS c1
+      |  FROM (SELECT unnest(toks) AS w1 FROM d) GROUP BY w1),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY w1, w2),
+      |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vsize FROM uni),
+      |scored AS (
+      |  SELECT o.doc_id,
+      |    ROUND(ln((CAST(b.c2 AS DOUBLE) + 1.0)
+      |      / (CAST(u.c1 AS DOUBLE) + v.vsize)), 9) AS lp
+      |  FROM occ o JOIN bi b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      |FROM scored GROUP BY doc_id
+      |ORDER BY avg_logprob, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** TF-IDF cosine retrieval (q83): ltc weighting — w(d,t) =
+    * (1 + ln tf) · ln(N/df), document norms over the FULL term
+    * vector, query terms at tf=1 — the classical vector-space
+    * counterpart of [[bm25]] (Salton & Buckley; the SMART ltc
+    * scheme).
+    *
+    * Scale shape: the (doc, term) stream joins the vocabulary-sized
+    * df table WITHOUT a broadcast hint (same reasoning as q69 — df
+    * has one row per distinct corpus token); only the 3-term query
+    * side and the scalar stats broadcast. Norms are per-doc partial
+    * aggs. Determinism: every transcendental (ln) rounds to 9 before
+    * use, sums accumulate in DECIMAL, final scores round to 6. */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val dt = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfT = dt.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val w = dt.join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", round(
+        (lit(1.0) + round(log(col("tf")), 9))
+          * round(log(col("n_docs") / col("df")), 9), 9))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(round(sqrt(
+        sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double")), 9)
+        .as("dnorm"))
+    val qw = dfT.filter(col("term").isin(QueryTerms: _*))
+      .crossJoin(broadcast(stats))
+      .withColumn("wq", round(log(col("n_docs") / col("df")), 9))
+    val qnorm = qw.agg(round(sqrt(
+      sum((col("wq") * col("wq")).cast("decimal(28,12)")).cast("double")), 9)
+      .as("qnorm"))
+    w.join(broadcast(qw.select(col("term"), col("wq"))), Seq("term"))
+      .join(norms, Seq("doc_id"))
+      .crossJoin(broadcast(qnorm))
+      .groupBy(col("doc_id"), col("dnorm"), col("qnorm"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum((col("w") * col("wq")).cast("decimal(28,12)")).cast("double")
+          .as("dot"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("dot") / (col("dnorm") * col("qnorm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val tfidfSql: String = {
+    val tokSql = TextOps.tokSql()
+    val termsSql = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH docs AS (
+      |  SELECT doc_id, $tokSql AS toks FROM documents),
+      |dt AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      |  GROUP BY doc_id, term),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM docs),
+      |dfT AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM dt GROUP BY term),
+      |w AS (
+      |  SELECT dt.doc_id, dt.term,
+      |    ROUND((1.0 + ROUND(ln(dt.tf), 9)) * ROUND(ln(n_docs / dfT.df), 9), 9) AS w
+      |  FROM dt JOIN dfT USING (term) CROSS JOIN stats),
+      |norms AS (
+      |  SELECT doc_id,
+      |    ROUND(sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)), 9) AS dnorm
+      |  FROM w GROUP BY doc_id),
+      |qw AS (
+      |  SELECT term, ROUND(ln(n_docs / df), 9) AS wq
+      |  FROM dfT CROSS JOIN stats WHERE term IN $termsSql),
+      |qn AS (
+      |  SELECT ROUND(sqrt(CAST(SUM(CAST(wq * wq AS DECIMAL(28,12))) AS DOUBLE)), 9) AS qnorm
+      |  FROM qw)
+      |SELECT w.doc_id, COUNT(*) AS n_terms_hit,
+      |  ROUND(CAST(SUM(CAST(w.w * qw.wq AS DECIMAL(28,12))) AS DOUBLE)
+      |    / (ANY_VALUE(norms.dnorm) * ANY_VALUE(qn.qnorm)), 6) AS cosine
+      |FROM w JOIN qw USING (term) JOIN norms USING (doc_id) CROSS JOIN qn
+      |GROUP BY w.doc_id
+      |ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val bm25Sql: String = {
     val tokSql = TextOps.tokSql()
     val termsSql = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.Corpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and enforcement — the crawl-policy layer the
+  * reference delegates to Scrapy (`settings.py:7` ROBOTSTXT_OBEY=True;
+  * [[Crawl]] consumes an already-filtered edge set). Here the policy
+  * itself is data: per-domain robots.txt TEXT is parsed into
+  * (agent, rule, prefix) rows and applied to URLs with the standard
+  * longest-prefix-match semantics (RFC 9309 §2.2.2: most specific
+  * rule wins; on a length tie, Allow wins).
+  *
+  * Scale shape: parsing is one scan + explode over lines (robots
+  * files are tiny); the rule table is tiny per domain and broadcasts;
+  * URLs stream through a broadcast join + per-url argmax — no shuffle
+  * carries page payloads.
+  */
+object Robots {
+
+  /** Deterministic per-domain robots.txt corpus: a blanket-deny
+    * googlebot group, then a `*` group that disallows the /p/{k%10}
+    * prefix but re-allows the longer /p/{k%10}{k%10} prefix (the
+    * longest-match tiebreak this operator exists to exercise), plus a
+    * /private/ deny on even domains. */
+  def robotsTxt(spark: SparkSession): DataFrame =
+    spark.range(Corpus.NDomains).select(
+      concat(lit("d"), col("id"), lit(".test")).as("domain"),
+      concat_ws("\n",
+        lit("User-agent: googlebot"),
+        lit("Disallow: /"),
+        lit(""),
+        lit("User-agent: *"),
+        concat(lit("Disallow: /p/"), pmod(col("id"), lit(10))),
+        concat(lit("Allow: /p/"), pmod(col("id"), lit(10)),
+          pmod(col("id"), lit(10))),
+        when(pmod(col("id"), lit(2)) === 0, lit("Disallow: /private/"))
+          .otherwise(lit(""))).as("txt"))
+
+  /** Parse robots TEXT into (domain, agent, rule, prefix, plen) rows:
+    * explode lines with ordinal, split `Directive: value`, and assign
+    * each rule line to the most recent `User-agent` group above it
+    * (a running max-line window — the grouped-record shape of the
+    * file format). */
+  def parseRules(robots: DataFrame): DataFrame = {
+    val lines = robots
+      .select(col("domain"), posexplode(split(col("txt"), "\n")))
+      .toDF("domain", "line_no", "line")
+      .withColumn("directive",
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+):", 1)))
+      .withColumn("value",
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+:\\s*(.*)$", 1)))
+    val w = Window.partitionBy(col("domain")).orderBy(col("line_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grouped = lines.withColumn("agent_line",
+      max(when(col("directive") === "user-agent", col("line_no"))).over(w))
+    val agents = lines.filter(col("directive") === "user-agent")
+      .select(col("domain"), col("line_no").as("agent_line"),
+        col("value").as("agent"))
+    grouped
+      .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+      .join(agents, Seq("domain", "agent_line"))
+      .select(col("domain"), col("agent"), col("directive").as("rule"),
+        col("value").as("prefix"), length(col("value")).as("plen"))
+  }
+
+  /** q87: parse the robots corpus, keep the `*` group, and classify
+    * every /p/{id} URL of the first 400 pages by longest-prefix
+    * match. Output: per-domain allowed/blocked counts. */
+  def robotsEnforce(spark: SparkSession, sfDir: String): DataFrame = {
+    val rules = parseRules(robotsTxt(spark)).filter(col("agent") === "*")
+      .select(col("domain"), col("rule"), col("prefix"), col("plen"))
+    val urls = Corpus.webPages(spark, sfDir).filter(col("id") < 400)
+      .select(col("id"), col("domain"),
+        concat(lit("/p/"), col("id")).as("path"))
+    val matched = urls.join(broadcast(rules),
+      urls("domain") === rules("domain")
+        && urls("path").startsWith(rules("prefix")), "left")
+      .select(urls("id"), urls("domain"), col("rule"), col("plen"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("plen").desc_nulls_last,
+        (col("rule") === "allow").desc_nulls_last)
+    matched.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("allowed",
+        col("rule").isNull || col("rule") === "allow")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_blocked"))
+      .orderBy(col("domain"))
+  }
+
+  val robotsEnforceSql: String =
+    """WITH robots AS (
+      |  SELECT 'd' || k || '.test' AS domain,
+      |    concat_ws(chr(10),
+      |      'User-agent: googlebot', 'Disallow: /', '',
+      |      'User-agent: *',
+      |      'Disallow: /p/' || (k % 10),
+      |      'Allow: /p/' || (k % 10) || (k % 10),
+      |      CASE WHEN k % 2 = 0 THEN 'Disallow: /private/' ELSE '' END) AS txt
+      |  FROM generate_series(0, 19) AS t(k)),
+      |lines AS (
+      |  SELECT domain, i AS line_no, ls[i] AS line,
+      |    lower(regexp_extract(ls[i], '^([A-Za-z-]+):', 1)) AS directive,
+      |    trim(regexp_extract(ls[i], '^[A-Za-z-]+:\s*(.*)$', 1)) AS value
+      |  FROM (SELECT domain, string_split(txt, chr(10)) AS ls FROM robots)
+      |  CROSS JOIN LATERAL unnest(generate_series(1, len(ls))) AS t(i)),
+      |grouped AS (
+      |  SELECT *, MAX(CASE WHEN directive = 'user-agent' THEN line_no END)
+      |    OVER (PARTITION BY domain ORDER BY line_no
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent_line
+      |  FROM lines),
+      |agents AS (
+      |  SELECT domain, line_no AS agent_line, value AS agent
+      |  FROM lines WHERE directive = 'user-agent'),
+      |rules AS (
+      |  SELECT g.domain, g.directive AS rule, g.value AS prefix,
+      |    len(g.value) AS plen
+      |  FROM grouped g JOIN agents a USING (domain, agent_line)
+      |  WHERE g.directive IN ('allow', 'disallow') AND g.value != ''
+      |    AND a.agent = '*'),
+      |urls AS (
+      |  SELECT p_partkey AS id, 'd' || (p_partkey % 20) || '.test' AS domain,
+      |    '/p/' || p_partkey AS path
+      |  FROM part WHERE p_partkey < 400),
+      |matched AS (
+      |  SELECT u.id, u.domain, r.rule, r.plen,
+      |    ROW_NUMBER() OVER (PARTITION BY u.id
+      |      ORDER BY r.plen DESC NULLS LAST,
+      |        CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END DESC NULLS LAST) AS rn
+      |  FROM urls u LEFT JOIN rules r
+      |    ON r.domain = u.domain AND starts_with(u.path, r.prefix))
+      |SELECT domain, COUNT(*) AS n_urls,
+      |  SUM(CASE WHEN rule IS NULL OR rule = 'allow' THEN 1 ELSE 0 END) AS n_allowed,
+      |  SUM(CASE WHEN NOT (rule IS NULL OR rule = 'allow') THEN 1 ELSE 0 END) AS n_blocked
+      |FROM matched WHERE rn = 1
+      |GROUP BY domain ORDER BY domain""".stripMargin
+}
