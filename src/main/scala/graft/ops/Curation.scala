@@ -110,8 +110,10 @@ object Curation {
     */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+  /** Per-doc scores over any (doc_id, source, text) relation —
+    * exposed so specs can probe the model on synthetic documents. */
+  def scoreDocs(docs: DataFrame): DataFrame = {
+    val d = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
@@ -129,15 +131,17 @@ object Curation {
     val z = round(lit(-1.2) + lit(0.35) * col("f_len")
       + lit(0.18) * col("f_wlen") + lit(2.0) * col("f_stop")
       - lit(3.0) * col("f_digit") - lit(2.5) * col("f_rep"), 9)
-    val scored = feats
-      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
-    scored.groupBy(col("source"))
+    feats.withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+  }
+
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    scoreDocs(Tables.documents(spark, sfDir))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
         round(sum(col("score").cast("decimal(28,6)")).cast("double")
           / count(lit(1)), 6).as("avg_score"))
       .orderBy(col("source"))
-  }
 
   val qualityClassifierSql: String = {
     val swSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
