@@ -30,12 +30,15 @@ object Curation {
     * repetition count, not corpus-relative.
     *
     * Shape: gram occurrences carry (doc_id, start, hash60) — 8-byte
-    * keys, not text — through the frequency shuffle; the removal
-    * itself happens back inside the document row via an
-    * index-aware `filter` HOF against the per-doc covered-start
-    * array, so no shuffle ever carries the token stream. At 100 TB
-    * the (gram, doc) aggregate is the same shape as the q63
-    * contamination join and partial-aggregates map-side.
+    * keys, not text — through the frequency shuffle (the same shape
+    * as the q63 contamination join, partial-aggregated map-side);
+    * the removal happens inside the document row via an index-aware
+    * `filter` HOF against the per-doc covered-start array. The token
+    * arrays cross exactly ONE shuffle: the final doc ⋈ covered-starts
+    * join (both relations derive from the same scan, so a corpus
+    * bucketed by doc_id makes even that join co-located; the
+    * candidate alternative — shuffling every (doc, pos, token) row —
+    * would move the token stream three times).
     */
   val SpanN = 3
   val SpanDocThreshold = 5

@@ -131,9 +131,14 @@ object Ranking {
     * measured sides at runtime. Determinism: ln rounded to 9, per-doc
     * sums in DECIMAL. */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    // the tokenized docs feed three consumers (occurrences, unigram
+    // model, vocab stats) and the occurrence stream feeds two (bigram
+    // model + scoring) — materialize each once (localCheckpoint, not
+    // cache: the returned plan is lazy, round-2 lesson)
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
+      .localCheckpoint()
     val occ = d.filter(col("n") >= 2)
       .select(col("doc_id"),
         explode(zip_with(
@@ -141,6 +146,7 @@ object Ranking {
           slice(col("toks"), lit(2), col("n") - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
     val uni = d.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val bi = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
@@ -197,14 +203,22 @@ object Ranking {
     * aggs. Determinism: every transcendental (ln) rounds to 9 before
     * use, sums accumulate in DECIMAL, final scores round to 6. */
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    // (doc, term, tf) feeds the weight table, the df model, and the
+    // final scoring join; df feeds both document weights and the
+    // query side — materialize each once so the tokenize scan and
+    // the (doc, term) aggregate run exactly once
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val dt = docs.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
+    // n_docs counts ALL documents (matching the oracle), not just
+    // those with tokens; Catalyst prunes the tokenize for a bare count
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val dfT = dt.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
+      .localCheckpoint()
     val w = dt.join(dfT, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("w", round(

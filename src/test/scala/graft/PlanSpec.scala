@@ -76,6 +76,33 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q82/q83 LM model joins degrade to shuffle joins when broadcast is off") {
+    // both carry vocabulary-sized model tables (V and V² keys at web
+    // scale) — the model joins must work as shuffle joins; only the
+    // scalar stats / 3-term query sides are hint-broadcast
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq(ops.Ranking.bigramLogprob _, ops.Ranking.tfidf _).foreach { q =>
+        val p = plan(q(spark, sfDir))
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"model join not planned as a shuffle join:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q86 packing windows are per-shard — no single-partition exchange") {
+    val p = plan(ops.Curation.seqPack(spark, sfDir))
+    assert(p.contains("Window"), s"expected a window plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packing serialized through one partition:\n$p")
+  }
+
+  test("q87 rule table broadcasts; URLs never shuffle") {
+    val p = plan(ops.Robots.robotsEnforce(spark, sfDir))
+    assert(p.contains("Broadcast"), s"rules not broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
