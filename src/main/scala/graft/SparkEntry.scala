@@ -131,6 +131,9 @@ object SparkEntry {
     "q85_url_canonical" -> (Urls.urlCanonical _),
     "q86_seq_pack" -> (Curation.seqPack _),
     "q87_robots" -> (Robots.robotsEnforce _),
+    "q88_bloom_semijoin" -> (Sketches.bloomSemiJoin _),
+    "q89_hll_distinct" -> (Sketches.hllDistinct _),
+    "q90_cms_heavy_hitters" -> (Sketches.cmsHeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -223,5 +226,8 @@ object SparkEntry {
     "q85_url_canonical" -> Urls.urlCanonicalSql,
     "q86_seq_pack" -> Curation.seqPackSql,
     "q87_robots" -> Robots.robotsEnforceSql,
+    "q88_bloom_semijoin" -> Sketches.bloomSemiJoinSql,
+    "q89_hll_distinct" -> Sketches.hllDistinctSql,
+    "q90_cms_heavy_hitters" -> Sketches.cmsHeavyHittersSql,
   )
 }
