@@ -134,6 +134,7 @@ object SparkEntry {
     "q88_bloom_semijoin" -> (Sketches.bloomSemiJoin _),
     "q89_hll_distinct" -> (Sketches.hllDistinct _),
     "q90_cms_heavy_hitters" -> (Sketches.cmsHeavyHitters _),
+    "q91_zorder_layout" -> (Zorder.zorderLayout _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -229,5 +230,6 @@ object SparkEntry {
     "q88_bloom_semijoin" -> Sketches.bloomSemiJoinSql,
     "q89_hll_distinct" -> Sketches.hllDistinctSql,
     "q90_cms_heavy_hitters" -> Sketches.cmsHeavyHittersSql,
+    "q91_zorder_layout" -> Zorder.zorderLayoutSql,
   )
 }
