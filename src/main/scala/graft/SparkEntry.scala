@@ -135,6 +135,10 @@ object SparkEntry {
     "q89_hll_distinct" -> (Sketches.hllDistinct _),
     "q90_cms_heavy_hitters" -> (Sketches.cmsHeavyHitters _),
     "q91_zorder_layout" -> (Zorder.zorderLayout _),
+    "q92_weighted_reservoir" -> (Sampling.weightedReservoir _),
+    "q93_token_budget" -> (Mixture.tokenBudget _),
+    "q94_triangles" -> (Graph.triangles _),
+    "q95_phrase_search" -> (Index.phraseSearch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,5 +235,9 @@ object SparkEntry {
     "q89_hll_distinct" -> Sketches.hllDistinctSql,
     "q90_cms_heavy_hitters" -> Sketches.cmsHeavyHittersSql,
     "q91_zorder_layout" -> Zorder.zorderLayoutSql,
+    "q92_weighted_reservoir" -> Sampling.weightedReservoirSql,
+    "q93_token_budget" -> Mixture.tokenBudgetSql,
+    "q94_triangles" -> Graph.trianglesSql,
+    "q95_phrase_search" -> Index.phraseSearchSql,
   )
 }

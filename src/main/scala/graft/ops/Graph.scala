@@ -168,4 +168,102 @@ object Graph {
   val pageRankFullSql: String = pageRankSqlOf(
     "SELECT DISTINCT l_orderkey % 2000 AS src, 2000 + l_partkey % 500 AS dst\n  FROM lineitem",
     redistributeDangling = true)
+
+  /** Node-id space for the triangle graph — sparser than the
+    * PageRank graph (mod 2000) so wedge counts stay join-friendly. */
+  val TriNodes = 20000
+
+  /** q94: triangle count + global clustering coefficient with
+    * DEGREE-ORDERED edge orientation — the standard trick that makes
+    * triangle enumeration feasible at scale: orient every undirected
+    * edge from its (degree, id)-smaller endpoint to the larger, so a
+    * triangle is counted exactly once and, crucially, every node's
+    * out-degree is bounded by O(√m) regardless of how skewed the raw
+    * degree distribution is (a celebrity node with 10M followers
+    * contributes no 10M² wedge explosion — its edges all point INTO
+    * it). The plan is three hash joins: edges⋈degrees (twice, to
+    * orient) and wedges⋈edges (to close); no windows, no global
+    * sorts, every shuffle keyed on node ids. */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(pmod(col("l_orderkey"), lit(TriNodes)).as("a"),
+        pmod(col("l_partkey"), lit(TriNodes)).as("b"))
+      .where(col("a") =!= col("b"))
+    val und = raw.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint() // reused by degrees + orientation + closing join
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient: (deg, id)-smaller endpoint → larger
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dt"))
+      .localCheckpoint()
+    // wedges from a common oriented source, ordered by (deg, id) so
+    // each unordered out-pair appears once
+    val e1 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val e2 = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
+    val wedges = e1.join(e2, Seq("s"))
+      .where(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("b"), col("c"))
+    val closing = oriented.select(col("s").as("b"), col("t").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c")).count()
+    // wedge total Σ C(deg,2) over the UNDIRECTED degrees (exact int)
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / lit(2)).cast("long").as("n_edges"),
+      sum((col("deg") * (col("deg") - lit(1)) / lit(2)).cast("long"))
+        .as("n_wedges"))
+    stats.select(
+      col("n_nodes"), col("n_edges"),
+      lit(tri).as("n_triangles"),
+      col("n_wedges"),
+      round(lit(3.0) * lit(tri).cast("double") /
+        col("n_wedges").cast("double"), 9).as("transitivity"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH und AS (
+      |  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM (
+      |    SELECT l_orderkey % $TriNodes AS a, l_partkey % $TriNodes AS b
+      |    FROM lineitem)
+      |  WHERE a <> b),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY node),
+      |oriented AS (
+      |  SELECT
+      |    CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+      |         THEN und.u ELSE und.v END AS s,
+      |    CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+      |         THEN und.v ELSE und.u END AS t,
+      |    CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+      |         THEN dv.deg ELSE du.deg END AS dt
+      |  FROM und
+      |  JOIN deg du ON du.node = und.u
+      |  JOIN deg dv ON dv.node = und.v),
+      |tri AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM oriented e1
+      |  JOIN oriented e2 ON e2.s = e1.s
+      |    AND ((e1.dt, e1.t) < (e2.dt, e2.t))
+      |  JOIN oriented e3 ON e3.s = e1.t AND e3.t = e2.t)
+      |SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+      |  (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles,
+      |  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+      |  ROUND(3.0 * (SELECT n_triangles FROM tri)
+      |        / CAST(SUM(deg * (deg - 1) // 2) AS DOUBLE), 9) AS transitivity
+      |FROM deg""".stripMargin
 }

@@ -71,4 +71,52 @@ object Sampling {
       |ORDER BY n DESC, stem
       |LIMIT 15""".stripMargin
   }
+
+  /** Reservoir winners per language stratum. */
+  val ReservoirK = 3
+
+  /** q92: weighted reservoir sample (Efraimidis–Spirakis A-ES) — k
+    * docs per language with inclusion probability proportional to
+    * token count, from ONE distributed pass. Each doc gets the scalar
+    * key ln(u)/w with u a hash-uniform of the doc id; the k largest
+    * keys per stratum ARE the weighted sample. The reduction turns
+    * weighted sampling into plain per-row arithmetic + top-k, so it
+    * runs through the bounded-heap operator: per-partition heaps of
+    * size k, no global sort, no RNG state to coordinate — the only
+    * weighted-sampler shape that is single-pass, mergeable across
+    * partitions, and re-run-auditable at 100 TB. ln is rounded to 9
+    * decimals before the divide so both engines branch on the same
+    * double (cross-engine transcendental recipe). */
+  def weightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("w", greatest(TextOps.tokenCount(col("text")).cast("long"), lit(1L)))
+      .withColumn("u",
+        (TextOps.hash60(concat(lit("res:"), col("doc_id"))) + lit(1L))
+          .cast("double") / lit(1152921504606846976.0)) // 2^60
+      .withColumn("res_key", round(log(col("u")), 9) / col("w"))
+      .select(col("lang"), col("doc_id"), col("w"), col("res_key"))
+    graft.plans.TopKPerKey.perKey(scored, Seq("lang"), "res_key", ReservoirK)
+      .orderBy(col("lang"), col("res_key").desc, col("doc_id"))
+      .select(col("lang"), col("doc_id"), col("w"), col("res_key"))
+  }
+
+  val weightedReservoirSql: String = {
+    val tok = graft.functions.TextOps.tokSql()
+    s"""WITH scored AS (
+      |  SELECT lang, doc_id, w,
+      |    ROUND(LN(u), 9) / w AS res_key
+      |  FROM (
+      |    SELECT lang, doc_id,
+      |      GREATEST(len($tok), 1) AS w,
+      |      (('0x' || substr(md5('res:' || doc_id), 1, 15))::BIGINT + 1)
+      |        / 1152921504606846976.0 AS u
+      |    FROM documents))
+      |SELECT lang, doc_id, w, res_key FROM (
+      |  SELECT lang, doc_id, w, res_key,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |                       ORDER BY res_key DESC, doc_id) AS rn
+      |  FROM scored)
+      |WHERE rn <= $ReservoirK
+      |ORDER BY lang, res_key DESC, doc_id""".stripMargin
+  }
 }
