@@ -139,6 +139,7 @@ object SparkEntry {
     "q93_token_budget" -> (Mixture.tokenBudget _),
     "q94_triangles" -> (Graph.triangles _),
     "q95_phrase_search" -> (Index.phraseSearch _),
+    "q96_bpe_merges" -> (Bpe.bpeMerges _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -239,5 +240,6 @@ object SparkEntry {
     "q93_token_budget" -> Mixture.tokenBudgetSql,
     "q94_triangles" -> Graph.trianglesSql,
     "q95_phrase_search" -> Index.phraseSearchSql,
+    "q96_bpe_merges" -> Bpe.bpeMergesSql,
   )
 }

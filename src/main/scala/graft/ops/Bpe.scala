@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning — the tokenizer-training core, distributed:
+  * repeatedly find the most frequent adjacent symbol pair over the
+  * (word, frequency) vocabulary and fuse it everywhere.
+  *
+  * Scale shape: the corpus collapses to a WORD-LEVEL vocabulary first
+  * (one partial-agg shuffle over tokens; everything after runs per
+  * distinct word × its count, which is millions of rows at 100 TB,
+  * not trillions of tokens). Each merge round is (a) one explode +
+  * partial-agg count keyed on the symbol pair, (b) a 1-row top-1 —
+  * the same shape real distributed BPE trainers use. The chosen pair
+  * is a literal in the next round's plan (nothing joins against it).
+  *
+  * Merge semantics: segmentations live as space-joined symbol strings
+  * padded with one boundary space, and a round fuses pair (a, b) via
+  * `replace(seg, ' a b ', ' ab ')` — single left-to-right
+  * non-overlapping scan, IDENTICAL in Spark (Java String.replace) and
+  * DuckDB. On a chain like `a a a` this fuses the first pair only and
+  * leaves the rest for later rounds (canonical BPE re-counts between
+  * merges anyway, so chains resolve over rounds either way; the
+  * outcome here is deterministic and engine-portable, which is what
+  * the oracle gate needs). Tie-break on equal pair counts is
+  * (pair_a, pair_b) ascending in both engines.
+  */
+object Bpe {
+
+  val Rounds = 3
+
+  /** q96: the first [[Rounds]] BPE merges over the document corpus —
+    * per round the fused pair, its count, and the corpus token count
+    * after the merge (compression trajectory). */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg",
+        concat(lit(" "),
+          array_join(transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))), " "),
+          lit(" ")))
+      .localCheckpoint()
+
+    var words = vocab
+    val roundRows = (1 to Rounds).map { r =>
+      val syms = words.withColumn("syms", split(trim(col("seg")), " "))
+      val pairs = syms
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("syms")) - lit(2)),
+            i => struct(element_at(col("syms"), i + lit(1)).as("a"),
+              element_at(col("syms"), i + lit(2)).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect().head
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      words = words
+        .withColumn("seg",
+          replace(col("seg"), lit(s" $a $b "), lit(s" $a$b ")))
+        .localCheckpoint()
+      val tokensAfter = words
+        .select(sum(col("freq") * size(split(trim(col("seg")), " "))).as("t"))
+        .collect().head.getLong(0)
+      (r, s"$a+$b", n, tokensAfter)
+    }
+    import spark.implicits._
+    roundRows.toDF("round", "merge", "pair_count", "corpus_tokens")
+      .select(col("round"), col("merge"), col("pair_count"),
+        col("corpus_tokens"))
+      .orderBy(col("round"))
+  }
+
+  val bpeMergesSql: String = {
+    val tok = TextOps.tokSql()
+    def round(i: Int): String = {
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS (
+        |  SELECT a, b, n FROM (
+        |    SELECT u.a AS a, u.b AS b, CAST(SUM(freq) AS BIGINT) AS n
+        |    FROM (
+        |      SELECT freq,
+        |        unnest(list_transform(range(1, len(syms)),
+        |          j -> {'a': syms[j], 'b': syms[j + 1]})) AS u
+        |      FROM (SELECT freq,
+        |              string_split(trim(seg), ' ') AS syms FROM $prev)
+        |      WHERE len(syms) >= 2)
+        |    GROUP BY u.a, u.b)
+        |  ORDER BY n DESC, a, b LIMIT 1),
+        |w$i AS (
+        |  SELECT word, freq,
+        |    replace(seg, ' ' || (SELECT a FROM p$i) || ' ' || (SELECT b FROM p$i) || ' ',
+        |            ' ' || (SELECT a FROM p$i) || (SELECT b FROM p$i) || ' ') AS seg
+        |  FROM $prev),
+        |r$i AS (
+        |  SELECT $i AS round,
+        |    (SELECT a FROM p$i) || '+' || (SELECT b FROM p$i) AS merge,
+        |    (SELECT n FROM p$i) AS pair_count,
+        |    (SELECT CAST(SUM(freq * len(string_split(trim(seg), ' '))) AS BIGINT)
+        |     FROM w$i) AS corpus_tokens)""".stripMargin
+    }
+    val rounds = (1 to Rounds).map(round).mkString(",\n")
+    val selects = (1 to Rounds).map(i => s"SELECT * FROM r$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+      |    ' ' || array_to_string(
+      |      list_transform(range(1, length(word) + 1),
+      |        i -> substr(word, CAST(i AS INTEGER), 1)), ' ') || ' ' AS seg
+      |  FROM (SELECT unnest($tok) AS word FROM documents)
+      |  GROUP BY word),
+      |$rounds
+      |SELECT round, merge, pair_count, corpus_tokens FROM (
+      |$selects)
+      |ORDER BY round""".stripMargin
+  }
+}

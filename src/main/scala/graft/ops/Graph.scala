@@ -193,12 +193,19 @@ object Graph {
         greatest(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint() // reused by degrees + orientation + closing join
+    // wedges outnumber edges quadratically-in-degree: when the edge
+    // list itself is small, broadcast it to the wedge side so the
+    // (much larger) wedge set never shuffles; huge graphs keep the
+    // partitioned hash join on (b, c)
+    val smallEdges = und.count() < 2000000L
     val deg = und.select(col("u").as("node"))
       .unionByName(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // orient: (deg, id)-smaller endpoint → larger
-    val du = deg.select(col("node").as("u"), col("deg").as("du"))
-    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+      .localCheckpoint() // reused: two orientation joins + wedge stats
+    // orient: (deg, id)-smaller endpoint → larger; the degree table is
+    // |V| rows (vs |E| edges and |E|^{1.5}-bounded wedges) — broadcast
+    val du = broadcast(deg.select(col("node").as("u"), col("deg").as("du")))
+    val dv = broadcast(deg.select(col("node").as("v"), col("deg").as("dv")))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = und.join(du, "u").join(dv, "v")
@@ -216,7 +223,9 @@ object Graph {
         (col("db") === col("dc") && col("b") < col("c")))
       .select(col("b"), col("c"))
     val closing = oriented.select(col("s").as("b"), col("t").as("c"))
-    val tri = wedges.join(closing, Seq("b", "c")).count()
+    val tri = wedges
+      .join(if (smallEdges) broadcast(closing) else closing, Seq("b", "c"))
+      .count()
     // wedge total Σ C(deg,2) over the UNDIRECTED degrees (exact int)
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
