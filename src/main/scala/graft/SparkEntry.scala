@@ -140,6 +140,7 @@ object SparkEntry {
     "q94_triangles" -> (Graph.triangles _),
     "q95_phrase_search" -> (Index.phraseSearch _),
     "q96_bpe_merges" -> (Bpe.bpeMerges _),
+    "q97_frame_sample" -> (Video.frameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -241,5 +242,6 @@ object SparkEntry {
     "q94_triangles" -> Graph.trianglesSql,
     "q95_phrase_search" -> Index.phraseSearchSql,
     "q96_bpe_merges" -> Bpe.bpeMergesSql,
+    "q97_frame_sample" -> Video.frameSampleSql,
   )
 }

@@ -44,4 +44,40 @@ class MediaSpec extends SparkSpec {
       assert(r.getAs[Int]("h0") === bytes.count(_ >> 6 == 0))
     }
   }
+
+  test("video payload is one real binary cell of 16-byte frames") {
+    val v = graft.ops.Video.videoTable(spark, sfDir)
+      .select($"video_id", $"n_frames", length($"content").as("len"))
+      .limit(100).collect()
+    assert(v.nonEmpty)
+    v.foreach(r =>
+      assert(r.getAs[Int]("len") === 16 * r.getAs[Int]("n_frames")))
+  }
+
+  test("frame-stride sampling slices the frames the stride dictates") {
+    import graft.ops.Video
+    // every sampled frame must byte-equal the md5 block it was cut
+    // from, and the per-bucket counts must be exactly Σ ceil(n/4)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val one = Video.videoTable(spark, sfDir)
+      .select($"video_id", $"n_frames", $"content").limit(5).collect()
+    one.foreach { r =>
+      val id = r.getAs[Long]("video_id")
+      val content = r.getAs[Array[Byte]]("content")
+      (0 until r.getAs[Int]("n_frames") by Video.Stride).foreach { f =>
+        val expect = md.digest(s"$id:$f".getBytes("UTF-8"))
+        val got = content.slice(f * 16, f * 16 + 16)
+        assert(got.sameElements(expect), s"video $id frame $f")
+      }
+    }
+    val buckets = Video.frameSample(spark, sfDir).collect()
+      .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n_sampled")).toMap
+    val expected = Video.videoTable(spark, sfDir)
+      .select($"n_frames").collect().map(_.getInt(0))
+      .groupBy(n => if (n < 16) "short" else if (n < 24) "medium" else "long")
+      .map { case (b, ns) =>
+        b -> ns.map(n => (n + Video.Stride - 1) / Video.Stride).map(_.toLong).sum
+      }
+    assert(buckets === expected)
+  }
 }
