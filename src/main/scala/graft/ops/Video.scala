@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * training pipeline runs before a vision encoder sees anything
   * (decode is per-frame; you never featurize all 30 fps, you sample).
   *
-  * The payload is synthesized (16-byte md5 "frames" concatenated
-  * behind a frame count — this container ships no video codec, same
-  * honest-stub contract as q33), but every Spark-side mechanism is
+  * The payload is synthesized — one video per part row, 16-byte md5
+  * "frames" concatenated behind a frame count (this container ships
+  * no video codec, same honest-stub contract as q33) — but every
+  * Spark-side mechanism is
   * the real one: the video is ONE binary cell, frames come out with
   * byte-offset `substr` slicing on the binary column, the sampled
   * frame set explodes from a stride sequence (never one row per raw
@@ -33,11 +34,11 @@ object Video {
   case class FrameFeatures(video_id: Long, bucket: String, n_frames: Int,
     mean_byte: Double, h0: Int, h1: Int, h2: Int, h3: Int)
 
-  /** Synthetic video table: 8-32 frames of 16 bytes each per order. */
+  /** Synthetic video table: 8-32 frames of 16 bytes each per part. */
   def videoTable(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir).select(
-      col("o_orderkey").as("video_id"),
-      (lit(8) + pmod(col("o_orderkey"), lit(25))).cast("int").as("n_frames"))
+    Tables.part(spark, sfDir).select(
+      col("p_partkey").as("video_id"),
+      (lit(8) + pmod(col("p_partkey"), lit(25))).cast("int").as("n_frames"))
       .withColumn("content",
         unhex(concat_ws("", transform(
           sequence(lit(0), col("n_frames") - lit(1)),
@@ -86,12 +87,12 @@ object Video {
 
   val frameSampleSql: String =
     s"""WITH videos AS (
-      |  SELECT o_orderkey AS video_id,
-      |    8 + o_orderkey % 25 AS n_frames,
-      |    CASE WHEN 8 + o_orderkey % 25 < 16 THEN 'short'
-      |         WHEN 8 + o_orderkey % 25 < 24 THEN 'medium'
+      |  SELECT p_partkey AS video_id,
+      |    8 + p_partkey % 25 AS n_frames,
+      |    CASE WHEN 8 + p_partkey % 25 < 16 THEN 'short'
+      |         WHEN 8 + p_partkey % 25 < 24 THEN 'medium'
       |         ELSE 'long' END AS bucket
-      |  FROM orders),
+      |  FROM part),
       |sampled AS (
       |  SELECT video_id, bucket, n_frames,
       |    unnest(range(0, n_frames, $Stride)) AS frame_idx
