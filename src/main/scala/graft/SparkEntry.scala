@@ -141,6 +141,10 @@ object SparkEntry {
     "q95_phrase_search" -> (Index.phraseSearch _),
     "q96_bpe_merges" -> (Bpe.bpeMerges _),
     "q97_frame_sample" -> (Video.frameSample _),
+    "q98_gapfill" -> (Timeseries.gapFill _),
+    "q99_dsir" -> (Dsir.dsirWeights _),
+    "q100_semdedup" -> (SemDedup.semDedup _),
+    "q101_exact_quantiles" -> (Stats.quantileDisc _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -243,5 +247,9 @@ object SparkEntry {
     "q95_phrase_search" -> Index.phraseSearchSql,
     "q96_bpe_merges" -> Bpe.bpeMergesSql,
     "q97_frame_sample" -> Video.frameSampleSql,
+    "q98_gapfill" -> Timeseries.gapFillSql,
+    "q99_dsir" -> Dsir.dsirWeightsSql,
+    "q100_semdedup" -> SemDedup.semDedupSql,
+    "q101_exact_quantiles" -> Stats.quantileDiscSql,
   )
 }

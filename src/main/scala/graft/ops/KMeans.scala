@@ -187,6 +187,13 @@ object KMeans {
     cents
   }
 
+  /** Final 1024-d cluster assignment (vec_id, v, xx, cid) under the
+    * fitted doc model — the clustering consumers build on (q100
+    * SemDeDup shares the exact q79 training loop). */
+  def docAssignments(spark: SparkSession, sfDir: String): DataFrame =
+    assignDoc(docVectors(spark, sfDir),
+      fitDocs(spark, sfDir).select(col("cid"), col("cv"), col("cc")))
+
   /** q79: learned-IVF ANN at 1024-d — probe the [[NProbe]] nearest
     * lists by true L2, exact cosine only inside them. */
   def knnIvf1024(spark: SparkSession, sfDir: String): DataFrame = {
@@ -217,9 +224,13 @@ object KMeans {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val knnIvf1024Sql: String = {
-    def d2Sql(xx: String, x: String, c: String, cc: String) =
-      s"ROUND($xx - 2 * list_dot_product($x, $c) + $cc, 9)"
+  private def d2Sql(xx: String, x: String, c: String, cc: String) =
+    s"ROUND($xx - 2 * list_dot_product($x, $c) + $cc, 9)"
+
+  /** The 1024-d train→assign pipeline as shared CTEs (`docv`,
+    * `model`, `assigned`) — the SQL twin of [[docAssignments]],
+    * reused by q79 and q100. */
+  val docModelCtes: String = {
     def assignDocSql(cents: String) =
       s"""SELECT vec_id, v, xx, cid FROM (
          |    SELECT e.vec_id, e.v, e.xx, c.cid,
@@ -242,14 +253,18 @@ object KMeans {
          |dc$i AS MATERIALIZED (
          |  ${updateDocSql(s"da$i")})""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${Corpus.docEmbCte},
+    s"""${Corpus.docEmbCte},
       |docv AS MATERIALIZED (
       |  SELECT vec_id, v, list_dot_product(v, v) AS xx FROM demb),
       |dc0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv, xx AS cc
       |        FROM docv WHERE vec_id < $DocK),
       |$lloyd,
       |model AS (SELECT cid, cv, cc FROM dc$DocIters),
-      |assigned AS (${assignDocSql("model")}),
+      |assigned AS (${assignDocSql("model")})""".stripMargin
+  }
+
+  val knnIvf1024Sql: String = {
+    s"""WITH $docModelCtes,
       |q AS (SELECT vec_id AS q_id, v AS qv, xx AS qxx
       |      FROM docv WHERE vec_id < 3),
       |probed AS (

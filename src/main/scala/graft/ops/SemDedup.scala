@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023): semantic deduplication through the
+  * cluster-then-compare recipe — k-means the embedding space, compare
+  * pairs ONLY within a cluster, and drop every vector that has a
+  * higher-priority near-duplicate (cosine ≥ τ). Clustering is what
+  * makes semantic dedup tractable: the all-pairs O(n²) comparison
+  * shrinks to Σ|cluster|², and each cluster's pairs co-locate under
+  * one shuffle key. Runs over the 1024-d document corpus on the SAME
+  * fitted model as the q79 learned-IVF index (one training loop,
+  * two consumers — exactly how a production pipeline shares its
+  * cluster structure between retrieval and dedup).
+  *
+  * Keep rule: within a duplicate pair the SMALLER vec_id survives (a
+  * deterministic one-pass variant of the paper's keep-one-per-group;
+  * a vector is removed iff some smaller-id vector in its cluster is
+  * τ-close). Pairs that straddle a cluster boundary are missed — the
+  * recall trade-off every SemDeDup deployment accepts in exchange for
+  * the quadratic shrinking to per-cluster.
+  *
+  * Scale: at 100 TB the knobs are k (clusters scale with corpus so
+  * |cluster| stays bounded) and the pair join stays per-cluster-local
+  * — one shuffle on cid, no global sort. Skewed giant clusters split
+  * by a second-level k-means in practice.
+  */
+object SemDedup {
+
+  /** Near-duplicate cosine threshold — the q27 near-dup band, where
+    * the corpus's planted duplicates sit. */
+  val Tau = 0.98
+
+  /** q100: per-cluster dedup summary — total vectors, removed
+    * near-dups, survivors. */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // the fitted assignment feeds both pair sides and the final
+    // rollup — materialize it once (localCheckpoint keeps the
+    // returned plan lazy)
+    val assigned = KMeans.docAssignments(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("xx"), col("cid"))
+      .localCheckpoint()
+    val a = assigned.select(col("cid"), col("vec_id").as("i"),
+      col("v").as("vi"), col("xx").as("xi"))
+    val b = assigned.select(col("cid"), col("vec_id").as("j"),
+      col("v").as("vj"), col("xx").as("xj"))
+    // the stored vectors are not unit norm (quirk Q1 pad-after-
+    // normalize), so this is true cosine, zero-norm-guarded like q79
+    val denom = sqrt(col("xi")) * sqrt(col("xj"))
+    val removed = a.join(b, Seq("cid"))
+      .filter(col("i") < col("j"))
+      .filter(round(when(denom === 0.0, lit(0.0))
+        .otherwise(VectorOps.dot(col("vi"), col("vj")) / denom), 9) >= Tau)
+      .select(col("j").as("vec_id"))
+      .distinct()
+    assigned
+      .join(removed.withColumn("removed", lit(true)), Seq("vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("removed"), 0L).otherwise(1L)).as("n_kept"))
+      .orderBy(col("cid"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH ${KMeans.docModelCtes},
+      |removed AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE ROUND(CASE WHEN sqrt(a.xx) * sqrt(b.xx) = 0 THEN 0.0
+      |        ELSE list_dot_product(a.v, b.v) / (sqrt(a.xx) * sqrt(b.xx))
+      |        END, 9) >= $Tau)
+      |SELECT a.cid, COUNT(*) AS n_total,
+      |  SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+      |  SUM(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END) AS n_kept
+      |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+      |GROUP BY a.cid
+      |ORDER BY a.cid""".stripMargin
+}

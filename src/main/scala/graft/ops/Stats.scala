@@ -161,4 +161,76 @@ object Stats {
     """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
       |  COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
+  // -----------------------------------------------------------------
+  // q101: EXACT discrete quantiles at 100 TB — two-pass bin-and-refine
+  // distributed selection. q46's `percentile()` buffers every value of
+  // a group in one aggregation state (fine per-group-small, fatal for
+  // a billion-row group); this is the scale path: pass 1 histograms
+  // each group into 1024 equi-width bins (one scan, partial aggs),
+  // a bin-level cumsum (≤1024 rows per group) locates the bin holding
+  // rank ⌈q·n⌉, pass 2 rescans ONLY that bin's rows (expected n/1024)
+  // and counts up to the residual rank. No global sort, no per-group
+  // value buffering; the widest state anywhere is one (group, bin)
+  // count. Rank semantics = SQL percentile_disc: smallest value with
+  // cum_count ≥ ⌈q·n⌉ — DuckDB's quantile_disc, giving a genuinely
+  // independent oracle (different algorithm, same answer).
+  // -----------------------------------------------------------------
+
+  val QuantileQs: Seq[Double] = Seq(0.5, 0.9)
+  val QuantileBins = 1024
+
+  def quantileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val gstats = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+    // equi-width bin id; the bin math is internal (only the final
+    // selected VALUE must match the oracle), so double arithmetic is
+    // safe here in a way it wouldn't be in the output
+    def binOf = when(col("hi") === col("lo"), lit(0L)).otherwise(
+      least(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+        * QuantileBins).cast("long"), lit(QuantileBins - 1L)))
+    val binned = rows.join(broadcast(gstats), Seq("g"))
+      .withColumn("bin", binOf)
+      .select(col("g"), col("v"), col("bin"))
+    // pass 1: per-(group, bin) counts, cumsum over the tiny bin axis
+    val wBin = Window.partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = binned.groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wBin))
+    // targets: rank ⌈q·n⌉ per (group, quantile)
+    val targets = gstats
+      .select(col("g"), col("n"),
+        explode(array(QuantileQs.map(lit): _*)).as("q"))
+      .withColumn("r", ceil(col("q") * col("n").cast("double")).cast("long"))
+    // the bin holding rank r: minimal bin with cum ≥ r
+    val tbin = targets.join(hist, Seq("g"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("g"), col("q"), col("n"), col("r"))
+      .agg(min_by(struct(col("bin"), (col("cum") - col("cnt")).as("before")),
+        col("bin")).as("tb"))
+      .select(col("g"), col("q"), col("n"),
+        col("tb.bin").as("bin"), (col("r") - col("tb.before")).as("rem"))
+    // pass 2: rescan only target-bin rows, residual-rank select over
+    // the bin's distinct values
+    val wV = Window.partitionBy(col("g"), col("q")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.join(broadcast(tbin), Seq("g", "bin"))
+      .groupBy(col("g"), col("q"), col("n"), col("rem"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cumv", sum(col("c")).over(wV))
+      .filter(col("cumv") >= col("rem") && col("cumv") - col("c") < col("rem"))
+      .select(col("g"), col("q"), col("n"), col("v").as("value"))
+      .orderBy(col("g"), col("q"))
+  }
+
+  val quantileDiscSql: String = {
+    val arms = QuantileQs.map(q =>
+      s"""SELECT l_returnflag AS g, CAST($q AS DOUBLE) AS q, COUNT(*) AS n,
+         |  quantile_disc(l_extendedprice, $q) AS value
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY g, q")
+  }
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Calendar gap-fill with last-observation-carried-forward — the
+  * resampling step every metrics/feature pipeline needs before
+  * training on regularly-gridded series (a per-user daily activity
+  * matrix with no missing rows).
+  *
+  * Shape: per-key daily aggregate → per-key [min, max] date spine
+  * generated DISTRIBUTEDLY (`sequence` + `explode`, one row group per
+  * key — no driver-side calendar, no cross join against a global date
+  * dimension) → left join back → `last(ignoreNulls)` running window
+  * for the carry-forward.
+  *
+  * Scale: the spine is keys × days — for 1e9 users × 1 year that is
+  * the output's own cardinality, generated in place and partitioned
+  * by the same key as the join that consumes it. The LOCF window
+  * partitions by key and orders by day, so state per partition is one
+  * value; no global sort anywhere. Daily sums accumulate in DECIMAL
+  * (exact, order-independent) before the final round.
+  */
+object Timeseries {
+
+  /** q98: per-user daily value series over `events`, gap-filled with
+    * LOCF; `observed` marks real rows vs carried-forward ones. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    // daily feeds both the bounds aggregate and the spine join —
+    // materialize once (localCheckpoint: the returned plan stays lazy)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value").cast("decimal(28,10)")).cast("double"), 2)
+        .as("v"))
+      .localCheckpoint()
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("observed", col("v").isNotNull)
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(locf))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("v_filled"), col("observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM daily GROUP BY user_id),
+      |spine AS (
+      |  SELECT user_id, CAST(unnest(generate_series(
+      |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+      |    INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds)
+      |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+      |  LAST_VALUE(d.v IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+      |  d.v IS NOT NULL AS observed
+      |FROM spine s LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY user_id, day""".stripMargin
+}

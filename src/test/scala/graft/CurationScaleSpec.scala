@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.{Dsir, KMeans, SemDedup, Stats, Timeseries}
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Semantic guarantees of the round-5 second-wave additions: calendar
+  * gap-fill LOCF invariants (q98), DSIR importance weights vs a
+  * from-scratch recompute (q99), SemDeDup keep/remove consistency vs
+  * brute force within clusters (q100), and two-pass exact quantiles
+  * vs sort-and-index (q101).
+  */
+class CurationScaleSpec extends SparkSpec {
+
+  test("gap-fill: contiguous spine, LOCF semantics, first row observed") {
+    val rows = Timeseries.gapFill(spark, sfDir).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    var sawGap = false
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_.getAs[String]("day")).sorted
+      assert(days.distinct.length == days.length, s"user $u duplicate days")
+      // contiguous calendar: day count == span between first and last
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head),
+        java.time.LocalDate.parse(days.last)) + 1
+      assert(days.length.toLong == span, s"user $u spine has holes")
+      val ordered = rs.sortBy(_.getAs[String]("day"))
+      assert(ordered.head.getAs[Boolean]("observed"), s"user $u starts unobserved")
+      var lastObserved = Double.NaN
+      ordered.foreach { r =>
+        if (r.getAs[Boolean]("observed"))
+          lastObserved = r.getAs[Double]("v_filled")
+        else {
+          sawGap = true
+          assert(r.getAs[Double]("v_filled") == lastObserved,
+            s"user $u day ${r.getAs[String]("day")}: carry-forward broke")
+        }
+      }
+    }
+    assert(sawGap, "test data produced no gaps — LOCF path unexercised")
+  }
+
+  test("dsir: weights match a from-scratch recompute; top-10 ordering holds") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .as[(Long, String, String)].collect()
+    val cRaw = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cTgt = toks.filter(_._2 == Dsir.TargetLang)
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nRaw = cRaw.values.sum.toDouble
+    val nTgt = cTgt.values.sum.toDouble
+    val v = cRaw.size.toDouble
+    def rnd9(x: Double) = math.rint(x * 1e9) / 1e9
+    val expected = toks.groupBy(_._1).map { case (id, ts) =>
+      val lws = ts.map { case (_, _, t) =>
+        BigDecimal(rnd9(math.log((cTgt.getOrElse(t, 0L) + 1.0) / (nTgt + v)))
+          - rnd9(math.log((cRaw(t) + 1.0) / (nRaw + v))))
+      }
+      id -> (math.rint((lws.sum / ts.length).toDouble * 1e6) / 1e6)
+    }
+    val top = expected.toSeq.sortBy { case (id, w) => (-w, id) }.take(10)
+    val got = Dsir.dsirWeights(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_log_ratio"))
+    assert(got.toSeq == top, s"got ${got.toSeq}\nexp $top")
+  }
+
+  test("semdedup: removed ⟺ has a smaller-id τ-neighbor in the same cluster") {
+    import spark.implicits._
+    val assigned = KMeans.docAssignments(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .as[(Long, Seq[Double], Int)].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var k = 0
+      while (k < a.length) {
+        d += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else math.rint(d / den * 1e9) / 1e9
+    }
+    val removedBrute = (for {
+      (i, vi, c) <- assigned
+      (j, vj, c2) <- assigned
+      if c == c2 && i < j && cos(vi, vj) >= SemDedup.Tau
+    } yield j).toSet
+    val rows = SemDedup.semDedup(spark, sfDir).collect()
+    val byCluster = assigned.groupBy(_._3)
+    rows.foreach { r =>
+      val cid = r.getAs[Int]("cid")
+      val members = byCluster(cid).map(_._1).toSet
+      assert(r.getAs[Long]("n_total") == members.size)
+      assert(r.getAs[Long]("n_removed") == (members & removedBrute).size)
+      assert(r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_total") - r.getAs[Long]("n_removed"))
+    }
+    assert(rows.map(_.getAs[Long]("n_total")).sum == assigned.length)
+    assert(removedBrute.nonEmpty, "no planted near-dups — τ path unexercised")
+  }
+
+  test("exact quantiles: two-pass bin-and-refine equals sort-and-index") {
+    import spark.implicits._
+    val vals = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)].collect()
+    val expected = (for {
+      (g, vs) <- vals.groupBy(_._1)
+      q <- Stats.QuantileQs
+    } yield {
+      val sorted = vs.map(_._2).sorted
+      val r = math.ceil(q * sorted.length).toLong
+      (g, q) -> sorted((r - 1).toInt)
+    }).toMap
+    val got = Stats.quantileDisc(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("g"), r.getAs[Double]("q"))
+      assert(r.getAs[Double]("value") == expected(k),
+        s"$k: got ${r.getAs[Double]("value")}, exp ${expected(k)}")
+    }
+  }
+}
