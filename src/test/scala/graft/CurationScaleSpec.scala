@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dsir, KMeans, SemDedup, Stats, Timeseries}
+import graft.ops.{Dsir, KMeans, Quant, SemDedup, Stats, Timeseries, Winnow}
 import graft.functions.VectorOps
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,61 @@ class CurationScaleSpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("n_total")).sum == assigned.length)
     assert(removedBrute.nonEmpty, "no planted near-dups — τ path unexercised")
+  }
+
+  test("winnowing: the k+w-1 shared-run guarantee holds on planted near-dups") {
+    import spark.implicits._
+    // every planted copy (doc_id + 100000) shares all of its
+    // original's text — the pair MUST surface with a large shared
+    // fingerprint count, and shared counts can never exceed either
+    // doc's own fingerprint count
+    val fps = Winnow.fingerprints(spark, sfDir)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pairs = Winnow.winnowPairs(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, s) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("shared_fps"))
+      assert(s <= math.min(fps(a).size, fps(b).size))
+    }
+    // the top pair is a planted (original, copy) pair
+    val top = pairs.head
+    assert(top.getAs[Long]("b_id") == top.getAs[Long]("a_id") + 100000,
+      s"top pair not a planted dup: $top")
+    // guarantee check: original ⊂ copy fingerprints up to the tail
+    val (o, c) = (top.getAs[Long]("a_id"), top.getAs[Long]("b_id"))
+    val overlap = (fps(o) & fps(c)).size.toDouble / fps(o).size
+    assert(overlap > 0.9, s"planted pair overlap only $overlap")
+  }
+
+  test("int8 quantization: error bounded by scale/2, cosine near 1") {
+    val rows = Quant.int8Quant(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // max|x| = 127·scale and |err| ≤ scale/2 ⇒ err ≤ max|x|/254;
+      // embeddings are unit-norm so max|x| ≤ 1 ⇒ err ≤ ~0.004
+      assert(r.getAs[Double]("worst_abs_err") <= 1.0 / 254.0 + 1e-9)
+      assert(r.getAs[Double]("avg_cosine") > 0.999,
+        s"label ${r.getAs[Int]("label")}: cosine degraded")
+    }
+  }
+
+  test("length buckets: token conservation and ceiling consistency") {
+    import spark.implicits._
+    val rows = Quant.lengthBuckets(spark, sfDir).collect()
+    val totalReal = rows.map(_.getAs[Long]("real_tokens")).sum
+    val expected = Tables.documents(spark, sfDir)
+      .select(graft.functions.TextOps.tokenCount(col("text")).cast("long"))
+      .as[Long].collect().sum
+    assert(totalReal == expected, "real tokens not conserved across buckets")
+    rows.foreach { r =>
+      val waste = r.getAs[Double]("waste_frac")
+      assert(waste >= 0.0 && waste < 1.0)
+      // padded volume = real + pad = bucket · n_docs exactly
+      assert(r.getAs[Long]("real_tokens") + r.getAs[Long]("pad_tokens") ==
+        r.getAs[Int]("bucket").toLong * r.getAs[Long]("n_docs"))
+    }
   }
 
   test("exact quantiles: two-pass bin-and-refine equals sort-and-index") {
