@@ -103,6 +103,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"rules not broadcast:\n$p")
   }
 
+  test("q99 DSIR vocab join degrades to a shuffle join when broadcast is off") {
+    // one (token, counts) model table, corpus-vocabulary-sized —
+    // same contract as q69/q82: no forced broadcast on the model side
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(ops.Dsir.dsirWeights(spark, sfDir))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"model join not planned as a shuffle join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q100 SemDeDup pair join is cluster-keyed — no nested-loop/cartesian") {
+    val p = plan(ops.SemDedup.semDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage planned as a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair stage planned as a nested loop:\n$p")
+  }
+
+  test("q98 gap-fill windows are per-user; q101 selection never sorts base rows") {
+    val gap = plan(ops.Timeseries.gapFill(spark, sfDir))
+    assert(gap.contains("Window"), s"expected a window plan:\n$gap")
+    assert(!gap.contains("SinglePartition"),
+      s"LOCF serialized through one partition:\n$gap")
+    // the two-pass quantile histogram must partial-aggregate before
+    // its exchange — the base rows feed HashAggregate, not a Sort
+    val qd = ops.Stats.quantileDisc(spark, sfDir)
+    val p = plan(qd)
+    assert("partial_count|Partial".r.findFirstIn(p).isDefined,
+      s"histogram not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
