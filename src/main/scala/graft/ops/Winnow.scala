@@ -54,17 +54,31 @@ object Winnow {
   /** Per-document winnowing fingerprint set (doc_id, fp). */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     // bind the token array before the shingle HOF (codegen lesson:
-    // inlining the tokenizer subtree multiplies the expression tree)
+    // inlining the tokenizer subtree multiplies the expression tree);
+    // repartition ahead of the md5-shingling projection — the corpus
+    // arrives as one input split and the hashing is CPU-bound (the
+    // q23 lesson: a single task shingling the whole corpus is the
+    // same bug at any scale)
+    // the hash array is referenced three times downstream (filter,
+    // window count, per-window slice) — stage it through a
+    // materialization barrier or projection collapse inlines the
+    // md5-shingling into every reference (the q27 lesson; measured
+    // 14 s → sub-second at sf0.1)
     val hs = corpus(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .withColumn("hs",
+      // the repartition doubles as a projection-collapse barrier: the
+      // token array materializes once instead of being inlined into
+      // the shingle HOF's three references
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
         transform(TextOps.shinglesFromTokens(col("toks"), K),
-          s => TextOps.hash60(s)))
-      .where(size(col("hs")) >= W)
-    hs.select(col("doc_id"),
-      explode(array_distinct(
-        transform(sequence(lit(1), size(col("hs")) - (W - 1)),
-          i => array_min(slice(col("hs"), i, lit(W)))))).as("fp"))
+          s => TextOps.hash60(s)).as("hs"))
+      .localCheckpoint()
+    hs.where(size(col("hs")) >= W)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - (W - 1)),
+            i => array_min(slice(col("hs"), i, lit(W)))))).as("fp"))
   }
 
   /** q102: top-10 document pairs by shared winnowing fingerprints —
