@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dsir, KMeans, Quant, SemDedup, Stats, Timeseries, Winnow}
+import graft.ops.{Dsir, Funnel, KMeans, Quant, SemDedup, Snapshot, Stats, Timeseries, Winnow}
 import graft.functions.VectorOps
 import org.apache.spark.sql.functions._
 
@@ -153,6 +153,38 @@ class CurationScaleSpec extends SparkSpec {
       assert(r.getAs[Long]("real_tokens") + r.getAs[Long]("pad_tokens") ==
         r.getAs[Int]("bucket").toLong * r.getAs[Long]("n_docs"))
     }
+  }
+
+  test("filter funnel: monotone attrition, dedup stage kills every planted copy") {
+    val rows = Funnel.filterFunnel(spark, sfDir).collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.length == 4)
+    // chained: stage k's n_in is stage k-1's n_out; counts never grow
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"))
+    }
+    // every planted upper-case copy that reaches stage 4 must die
+    // there (its lowercase original has the smaller id and the same
+    // fingerprint), so stage-4 attrition > 0
+    val dedup = rows.last
+    assert(dedup.getAs[String]("filter") == "exact_dedup")
+    assert(dedup.getAs[Long]("n_out") < dedup.getAs[Long]("n_in"),
+      "dedup stage dropped nothing — planted copies missing")
+  }
+
+  test("snapshot diff: statuses match the deterministic carve") {
+    import spark.implicits._
+    val byStatus = Snapshot.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long].collect()
+    assert(byStatus("added") == ids.count(_ % 5 == 0))
+    assert(byStatus("removed") == ids.count(_ % 13 == 0))
+    assert(byStatus("changed") == ids.count(i => i % 5 != 0 && i % 7 == 0))
+    assert(byStatus("unchanged") == ids.count(i => i % 5 != 0 && i % 7 != 0))
+    assert(byStatus.values.sum == ids.length + ids.count(_ % 13 == 0))
   }
 
   test("exact quantiles: two-pass bin-and-refine equals sort-and-index") {
