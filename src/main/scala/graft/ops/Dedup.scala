@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val P31 = 2147483647L // 2^31-1, MinHash modulus
+  val P31 = 2147483647L // 2^31-1, MinHash modulus (shared with streaming LSH)
 
   /** Fixed MinHash coefficients — deterministic LCG, shared verbatim
     * with the generated oracle SQL. */
