@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the events stream — the ordered
+  * funnel and cohort-retention workloads every large-scale product
+  * analytics deployment runs (the reference's dashboard counts are
+  * the degenerate unordered case of these).
+  *
+  * Timestamp discipline: the events table stores nanosecond
+  * timestamps; Spark's reader floors them to microseconds, so every
+  * cross-engine time comparison here happens on EPOCH-MICROS in both
+  * engines (`unix_micros` / `epoch_us`) — comparing raw timestamps
+  * would let a sub-microsecond gap flip a strict inequality in DuckDB
+  * only.
+  */
+object Behavior {
+
+  /** q107: ordered conversion funnel view → click → purchase. Each
+    * stage's timestamp must be STRICTLY after the previous stage's
+    * first hit (the sequential-funnel semantics; an unordered count
+    * would overstate conversion). Three chained per-user aggregates,
+    * each a partial-agg shuffle on user_id — the same key every
+    * round, so at 100 TB the exchanges reuse one partitioning; no
+    * self-join carries event payloads. */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .localCheckpoint() // feeds three stage aggregates
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    val users = e.select(col("user_id")).distinct()
+    users.agg(count(lit(1)).as("n_users"))
+      .crossJoin(t1.agg(count(lit(1)).as("n_view")))
+      .crossJoin(t2.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after_click")))
+      .select(col("n_users"), col("n_view"), col("n_click_after_view"),
+        col("n_purchase_after_click"),
+        round(col("n_view").cast("double") / col("n_users"), 6)
+          .as("view_rate"),
+        round(col("n_click_after_view").cast("double") / col("n_view"), 6)
+          .as("click_conv"),
+        round(col("n_purchase_after_click").cast("double")
+          / col("n_click_after_view"), 6).as("purchase_conv"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |t1 AS (
+      |  SELECT user_id, MIN(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(us) AS t3 FROM e JOIN t2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+      |  (SELECT COUNT(*) FROM t1) AS n_view,
+      |  (SELECT COUNT(*) FROM t2) AS n_click_after_view,
+      |  (SELECT COUNT(*) FROM t3) AS n_purchase_after_click,
+      |  ROUND(CAST((SELECT COUNT(*) FROM t1) AS DOUBLE)
+      |    / (SELECT COUNT(DISTINCT user_id) FROM e), 6) AS view_rate,
+      |  ROUND(CAST((SELECT COUNT(*) FROM t2) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM t1), 6) AS click_conv,
+      |  ROUND(CAST((SELECT COUNT(*) FROM t3) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM t2), 6) AS purchase_conv""".stripMargin
+
+  /** Retention horizon in days. */
+  val RetentionDays = 7
+
+  /** q108: cohort retention — users grouped by first-seen day, the
+    * fraction active k days later for k in 0..6. Two shuffles (user
+    * cohorting, then the (cohort, k) rollup); distinct-user counting
+    * is per (cohort, k) with partial aggregation. Day arithmetic on
+    * DATE values only — no timestamp precision in the output. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .localCheckpoint() // feeds cohorting + activity join
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+    val sizes = cohorts.groupBy(col("c_day"))
+      .agg(count(lit(1)).as("cohort_n"))
+    e.join(cohorts, Seq("user_id"))
+      .withColumn("k", datediff(col("day"), col("c_day")))
+      .filter(col("k") >= 0 && col("k") < RetentionDays)
+      .groupBy(col("c_day"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("c_day"))
+      .select(date_format(col("c_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("k").cast("long").as("k"), col("cohort_n"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_n"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("k"))
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(day) AS c_day FROM e GROUP BY user_id),
+      |sizes AS (
+      |  SELECT c_day, COUNT(*) AS cohort_n FROM cohorts GROUP BY c_day),
+      |act AS (
+      |  SELECT c.c_day, date_diff('day', c.c_day, e.day) AS k,
+      |    COUNT(DISTINCT e.user_id) AS n_active
+      |  FROM e JOIN cohorts c USING (user_id)
+      |  WHERE date_diff('day', c.c_day, e.day) >= 0
+      |    AND date_diff('day', c.c_day, e.day) < $RetentionDays
+      |  GROUP BY c.c_day, date_diff('day', c.c_day, e.day))
+      |SELECT strftime(a.c_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(a.k AS BIGINT) AS k, s.cohort_n, a.n_active,
+      |  ROUND(CAST(a.n_active AS DOUBLE) / s.cohort_n, 6) AS retention
+      |FROM act a JOIN sizes s USING (c_day)
+      |ORDER BY cohort_day, k""".stripMargin
+}

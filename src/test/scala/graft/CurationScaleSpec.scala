@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dsir, Funnel, KMeans, Quant, SemDedup, Snapshot, Stats, Timeseries, Winnow}
+import graft.ops.{Behavior, Dsir, Funnel, KMeans, Quant, SemDedup, Snapshot, Stats, Timeseries, Winnow}
 import graft.functions.VectorOps
 import org.apache.spark.sql.functions._
 
@@ -185,6 +185,51 @@ class CurationScaleSpec extends SparkSpec {
     assert(byStatus("changed") == ids.count(i => i % 5 != 0 && i % 7 == 0))
     assert(byStatus("unchanged") == ids.count(i => i % 5 != 0 && i % 7 != 0))
     assert(byStatus.values.sum == ids.length + ids.count(_ % 13 == 0))
+  }
+
+  test("event funnel: ordered semantics match a per-user brute-force replay") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect()
+    val byUser = events.groupBy(_._1)
+    def firstAfter(rows: Array[(Long, String, Long)], tpe: String,
+        after: Long): Option[Long] = {
+      val c = rows.filter(r => r._2 == tpe && r._3 > after)
+      if (c.isEmpty) None else Some(c.map(_._3).min)
+    }
+    var nView = 0L; var nClick = 0L; var nPurchase = 0L
+    byUser.values.foreach { rows =>
+      firstAfter(rows, "view", Long.MinValue).foreach { t1 =>
+        nView += 1
+        firstAfter(rows, "click", t1).foreach { t2 =>
+          nClick += 1
+          firstAfter(rows, "purchase", t2).foreach(_ => nPurchase += 1)
+        }
+      }
+    }
+    val r = Behavior.eventFunnel(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_users") == byUser.size)
+    assert(r.getAs[Long]("n_view") == nView)
+    assert(r.getAs[Long]("n_click_after_view") == nClick)
+    assert(r.getAs[Long]("n_purchase_after_click") == nPurchase)
+    assert(nPurchase > 0, "funnel bottom empty — ordering path unexercised")
+  }
+
+  test("cohort retention: k=0 is always total, retention never exceeds 1") {
+    val rows = Behavior.cohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[String]("cohort_day"))
+    byCohort.foreach { case (c, rs) =>
+      val k0 = rs.find(_.getAs[Long]("k") == 0L)
+        .getOrElse(fail(s"cohort $c missing k=0"))
+      // on their first-seen day, every cohort member is active
+      assert(k0.getAs[Long]("n_active") == k0.getAs[Long]("cohort_n"))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_n"))
+        assert(r.getAs[Double]("retention") <= 1.0)
+      }
+    }
   }
 
   test("exact quantiles: two-pass bin-and-refine equals sort-and-index") {
