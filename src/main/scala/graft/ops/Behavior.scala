@@ -107,6 +107,61 @@ object Behavior {
       .orderBy(col("cohort_day"), col("k"))
   }
 
+  /** q109: co-purchase pair mining (the A-Priori 2-itemset pass) —
+    * top part pairs by basket co-occurrence, with lift against
+    * independence. The pair expansion is basket-local (a self-join on
+    * the order key; baskets are bounded, so the quadratic is per
+    * basket, never global) and the counts are partial-agg shuffles on
+    * the pair key — the exact candidate-counting shape a 100 TB
+    * frequent-itemset pass uses. Lift = P(ab)/(P(a)·P(b)) with all
+    * probabilities over basket counts (exact integers; the only
+    * division is in the final projection). */
+  def copurchasePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // distinct (basket, item): a part twice in one order counts once;
+    // feeds the pair join twice and the per-part marginals
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint()
+    val nBaskets = items.agg(countDistinct(col("okey")).as("n_baskets"))
+    val marg = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
+    val a = items.select(col("okey"), col("part").as("pa"))
+    val b = items.select(col("okey"), col("part").as("pb"))
+    a.join(b, Seq("okey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(marg.select(col("part").as("pa"), col("n_part").as("n_a")), Seq("pa"))
+      .join(marg.select(col("part").as("pb"), col("n_part").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("n_baskets")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+      .limit(10)
+  }
+
+  val copurchasePairsSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+      |  FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT okey) AS n_baskets FROM items),
+      |marg AS (SELECT part, COUNT(*) AS n_part FROM items GROUP BY part),
+      |pairs AS (
+      |  SELECT a.part AS pa, b.part AS pb, COUNT(*) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.okey = b.okey AND a.part < b.part
+      |  GROUP BY a.part, b.part)
+      |SELECT p.pa, p.pb, p.n_ab,
+      |  ROUND(CAST(p.n_ab AS DOUBLE) * n.n_baskets
+      |    / CAST(ma.n_part * mb.n_part AS DOUBLE), 6) AS lift
+      |FROM pairs p
+      |JOIN marg ma ON ma.part = p.pa
+      |JOIN marg mb ON mb.part = p.pb
+      |CROSS JOIN n
+      |ORDER BY n_ab DESC, pa, pb
+      |LIMIT 10""".stripMargin
+
   val cohortRetentionSql: String =
     s"""WITH e AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -232,6 +232,37 @@ class CurationScaleSpec extends SparkSpec {
     }
   }
 
+  test("co-purchase: counts match a basket-replay; lift consistent with marginals") {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().as[(Long, Long)].collect()
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pairCounts = scala.collection.mutable.Map[(Long, Long), Long]()
+    baskets.values.foreach { parts =>
+      val sorted = parts.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        pairCounts((sorted(i), sorted(j))) =
+          pairCounts.getOrElse((sorted(i), sorted(j)), 0L) + 1L
+    }
+    val marg = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nB = baskets.size.toDouble
+    val rows = Behavior.copurchasePairs(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("pa"), r.getAs[Long]("pb"))
+      assert(r.getAs[Long]("n_ab") == pairCounts(k), s"count mismatch at $k")
+      val lift = math.rint(pairCounts(k) * nB / (marg(k._1) * marg(k._2))
+        * 1e6) / 1e6
+      assert(r.getAs[Double]("lift") == lift, s"lift mismatch at $k")
+    }
+    // the returned pairs are exactly the count-desc/(pa,pb)-asc top-10
+    val expectedTop = pairCounts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(10).map(_._1)
+    assert(rows.map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb"))).toSeq
+      == expectedTop)
+  }
+
   test("exact quantiles: two-pass bin-and-refine equals sort-and-index") {
     import spark.implicits._
     val vals = Tables.lineitem(spark, sfDir)
