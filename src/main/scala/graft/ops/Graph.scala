@@ -275,4 +275,94 @@ object Graph {
       |  ROUND(3.0 * (SELECT n_triangles FROM tri)
       |        / CAST(SUM(deg * (deg - 1) // 2) AS DOUBLE), 9) AS transitivity
       |FROM deg""".stripMargin
+
+  // -----------------------------------------------------------------
+  // q110: HITS (Kleinberg) hubs & authorities — the OTHER classic link
+  // score: a page is a good authority if good hubs point at it and a
+  // good hub if it points at good authorities. Two mutually-recursive
+  // power iterations over the same edge list as PageRank, with the
+  // identical scale treatment: broadcast score joins + 1-partition
+  // checkpoints under the small-graph threshold, full shuffle path
+  // above it. Sum-normalization per half-step (instead of the
+  // textbook L2) keeps every normalizer an exact DECIMAL sum, so both
+  // engines walk identical score vectors; the relative ranking is the
+  // same under any positive scaling.
+  // -----------------------------------------------------------------
+
+  val HitsIters = 2
+
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val es = edges(spark, sfDir).cache()
+    try {
+      val nodes = es.select(col("src").as("node"))
+        .unionByName(es.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      val n = nodes.count().toDouble
+      val small = n < SmallGraphNodes
+      def pin(df: DataFrame): DataFrame =
+        (if (small) df.coalesce(1) else df).localCheckpoint()
+      def mb(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+      def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+        val total = raw.agg(
+          sum(col("raw").cast("decimal(28,14)")).cast("double").as("t"))
+        pin(raw.crossJoin(broadcast(total))
+          .select(col(key).as("node"),
+            round(col("raw") / col("t"), 12).as(out)))
+      }
+      var hubs = pin(nodes.select(col("node"), lit(1.0).as("hub")))
+      var auths: DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        val rawAuth = es.join(mb(hubs), col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(round(sum(col("hub").cast("decimal(28,14)")).cast("double"), 12)
+            .as("raw"))
+        auths = normalized(rawAuth, "dst", "auth")
+        val rawHub = es.join(mb(auths), col("dst") === col("node"))
+          .groupBy(col("src"))
+          .agg(round(sum(col("auth").cast("decimal(28,14)")).cast("double"), 12)
+            .as("raw"))
+        hubs = normalized(rawHub, "src", "hub")
+      }
+      auths.join(hubs, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("auth"), lit(0.0)).as("auth"),
+          coalesce(col("hub"), lit(0.0)).as("hub"))
+        .orderBy(col("auth").desc, col("node"))
+        .limit(10)
+    } finally { es.unpersist(); () }
+  }
+
+  val hitsSql: String = {
+    def authStep(i: Int): String = {
+      val prevHub = s"h${i - 1}"
+      s"""ra$i AS (
+        |  SELECT dst, ROUND(CAST(SUM(CAST(hub AS DECIMAL(28,14))) AS DOUBLE), 12) AS raw
+        |  FROM e JOIN $prevHub ON $prevHub.node = e.src GROUP BY dst),
+        |a$i AS (
+        |  SELECT dst AS node,
+        |    ROUND(raw / (SELECT CAST(SUM(CAST(raw AS DECIMAL(28,14))) AS DOUBLE) FROM ra$i), 12) AS auth
+        |  FROM ra$i)""".stripMargin
+    }
+    def hubStep(i: Int): String =
+      s"""rh$i AS (
+        |  SELECT src, ROUND(CAST(SUM(CAST(auth AS DECIMAL(28,14))) AS DOUBLE), 12) AS raw
+        |  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY src),
+        |h$i AS (
+        |  SELECT src AS node,
+        |    ROUND(raw / (SELECT CAST(SUM(CAST(raw AS DECIMAL(28,14))) AS DOUBLE) FROM rh$i), 12) AS hub
+        |  FROM rh$i)""".stripMargin
+    val rounds = (1 to HitsIters)
+      .map(i => authStep(i) + ",\n" + hubStep(i)).mkString(",\n")
+    s"""WITH e AS (
+      |  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+      |  FROM lineitem),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+      |$rounds
+      |SELECT COALESCE(a.node, h.node) AS node,
+      |  COALESCE(a.auth, 0.0) AS auth, COALESCE(h.hub, 0.0) AS hub
+      |FROM a$HitsIters a FULL OUTER JOIN h$HitsIters h ON a.node = h.node
+      |ORDER BY auth DESC, node
+      |LIMIT 10""".stripMargin
+  }
 }

@@ -263,6 +263,40 @@ class CurationScaleSpec extends SparkSpec {
       == expectedTop)
   }
 
+  test("hits: two-iteration scores match a driver-side replay") {
+    import spark.implicits._
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(pmod(col("l_orderkey"), lit(2000)).as("s"),
+        pmod(col("l_partkey"), lit(2000)).as("t"))
+      .distinct().as[(Long, Long)].collect()
+    def rnd(x: Double, p: Int) = BigDecimal(x)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to graft.ops.Graph.HitsIters) {
+      val rawA = edges.groupBy(_._2).map { case (d, es) =>
+        d -> rnd(es.map(e => BigDecimal(hub(e._1))).sum.toDouble, 12)
+      }
+      val ta = rawA.values.map(BigDecimal(_)).sum.toDouble
+      auth = rawA.map { case (k, v) => k -> rnd(v / ta, 12) }
+      val rawH = edges.filter(e => auth.contains(e._2)).groupBy(_._1)
+        .map { case (s, es) =>
+          s -> rnd(es.map(e => BigDecimal(auth(e._2))).sum.toDouble, 12)
+        }
+      val th = rawH.values.map(BigDecimal(_)).sum.toDouble
+      hub = rawH.map { case (k, v) => k -> rnd(v / th, 12) }
+    }
+    val expected = auth.toSeq.sortBy { case (n, a) => (-a, n) }.take(10)
+    val got = graft.ops.Graph.hits(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Double]("auth"),
+        r.getAs[Double]("hub")))
+    assert(got.map(g => (g._1, g._2)).toSeq == expected)
+    got.foreach { case (n, _, h) =>
+      assert(h == hub.getOrElse(n, 0.0), s"hub mismatch at node $n")
+    }
+  }
+
   test("exact quantiles: two-pass bin-and-refine equals sort-and-index") {
     import spark.implicits._
     val vals = Tables.lineitem(spark, sfDir)
