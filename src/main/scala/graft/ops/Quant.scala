@@ -141,4 +141,113 @@ object Quant {
       |GROUP BY bucket, g.gmax
       |ORDER BY bucket""".stripMargin
   }
+
+  // ---- q115: Johnson–Lindenstrauss random projection ----------------
+
+  /** JL target dimensionality (64 → 16: 4× compression). */
+  val JlK = 16
+
+  /** Source dimensionality of the embeddings table. */
+  val JlD = 64
+
+  /** Audit sample bound: pairwise distortion is measured over vectors
+    * with vec_id below this (the projection itself is applied
+    * corpus-wide in one scan; only the AUDIT is quadratic, and it
+    * runs on a fixed-size sample regardless of corpus size). */
+  val JlSample = 200
+
+  /** jlSigns(j)(i) ∈ {-1,+1}: Rademacher projection matrix from the
+    * engine's md5 hash rule (`hash60("jl{j}_{i}") % 2` — the q27
+    * hyperplane derivation with a distinct salt), rendered as
+    * identical literals into both plans. */
+  lazy val jlSigns: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlK).map { j =>
+      (0 until JlD).map { i =>
+        val d = md.digest(s"jl${j}_$i".getBytes("UTF-8"))
+        var h = 0L
+        var k = 0
+        while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        h = (h << 4) | ((d(7) & 0xffL) >> 4)
+        if (h % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** q115: Johnson–Lindenstrauss random projection (Achlioptas 2003
+    * database-friendly ±1 variant) of the embeddings to [[JlK]]
+    * dimensions, with a pairwise-distance distortion audit — the
+    * public-method replacement for the reference's dead SVD-reduce
+    * path (`embeddings.py` P9, never called).
+    *
+    * The projection is one scan (each output coordinate is a ±1-
+    * signed sum over the input — no shuffle at all); distances use
+    * d²(a,b) = aa + bb − 2ab so every term is a left-fold dot
+    * product both engines evaluate in the same order. The audit
+    * cross-joins a [[JlSample]]-vector sample against itself —
+    * explicitly sample-bounded, never corpus × corpus. */
+  def jlProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = math.sqrt(JlK.toDouble)
+    val e = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < JlSample)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("p", array(jlSigns.map(row =>
+        VectorOps.dot(col("v"), typedLit(row)) / lit(scale)): _*))
+      .select(col("vec_id"), col("v"), col("p"),
+        VectorOps.dot(col("v"), col("v")).as("vv"),
+        VectorOps.dot(col("p"), col("p")).as("pp"))
+      .localCheckpoint() // both sides of the audit cross join
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("p").as("pa"), col("vv").as("aa"), col("pp").as("paa"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("p").as("pb"), col("vv").as("bb"), col("pp").as("pbb"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("d2o", col("aa") + col("bb")
+        - lit(2.0) * VectorOps.dot(col("va"), col("vb")))
+      .withColumn("d2p", col("paa") + col("pbb")
+        - lit(2.0) * VectorOps.dot(col("pa"), col("pb")))
+      .filter(col("d2o") > 0)
+      .withColumn("ratio", round(sqrt(col("d2p") / col("d2o")), 9))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      round(sum(col("ratio").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)), 6).as("avg_ratio"),
+      round(min(col("ratio")), 6).as("min_ratio"),
+      round(max(col("ratio")), 6).as("max_ratio"),
+      round(sum(when(abs(col("ratio") - 1.0) <= 0.2, 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("frac_within_20pct"))
+  }
+
+  val jlProjectSql: String = {
+    val signRows = jlSigns.map(_.map(s =>
+      if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    s"""WITH signs AS (SELECT ${signRows}::DOUBLE[][] AS m),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < $JlSample),
+      |proj AS (
+      |  SELECT vec_id, v,
+      |    list_transform(range(1, $JlK + 1),
+      |      j -> list_dot_product(v, m[j]) / sqrt($JlK)) AS p
+      |  FROM e CROSS JOIN signs),
+      |withn AS (
+      |  SELECT vec_id, v, p, list_dot_product(v, v) AS vv,
+      |    list_dot_product(p, p) AS pp
+      |  FROM proj),
+      |pairs AS (
+      |  SELECT ROUND(sqrt((a.pp + b.pp - 2 * list_dot_product(a.p, b.p))
+      |      / (a.vv + b.vv - 2 * list_dot_product(a.v, b.v))), 9) AS ratio
+      |  FROM withn a JOIN withn b ON a.vec_id < b.vec_id
+      |  WHERE a.vv + b.vv - 2 * list_dot_product(a.v, b.v) > 0)
+      |SELECT COUNT(*) AS n_pairs,
+      |  ROUND(CAST(SUM(CAST(ratio AS DECIMAL(28,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS avg_ratio,
+      |  ROUND(MIN(ratio), 6) AS min_ratio,
+      |  ROUND(MAX(ratio), 6) AS max_ratio,
+      |  ROUND(CAST(SUM(CASE WHEN ABS(ratio - 1.0) <= 0.2 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*), 6) AS frac_within_20pct
+      |FROM pairs""".stripMargin
+  }
 }

@@ -311,4 +311,60 @@ object Ranking {
       |ORDER BY score DESC, doc_id
       |LIMIT 10""".stripMargin
   }
+
+  // ---- q117: reciprocal-rank fusion --------------------------------
+
+  /** RRF smoothing constant (Cormack et al. 2009's k=60 — the value
+    * every production hybrid-search stack ships with). */
+  val RrfC = 60
+
+  /** q117: reciprocal-rank fusion of the BM25 (q65) and TF-IDF-cosine
+    * (q83) top-10 lists for the shared query — the hybrid-search
+    * merge step (lexical ∪ semantic) of a modern retrieval stack:
+    * RRF(d) = Σ_lists 1/(C + rank_list(d)), documents missing from a
+    * list contribute nothing.
+    *
+    * Shape: both input rankings end in bounded top-10 lists
+    * (TakeOrderedAndProject on their own side), so the fusion is a
+    * full-outer join of two ≤10-row relations plus a rank window over
+    * rows that number in the dozens regardless of corpus size — all
+    * the scale weight stays inside the two rankers. */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the single-partition windows below rank ≤10-row relations —
+    // bounded by construction, not by data volume
+    val bmRank = Window.orderBy(col("score").desc, col("doc_id"))
+    val tfRank = Window.orderBy(col("cosine").desc, col("doc_id"))
+    val bm = bm25(spark, sfDir)
+      .withColumn("rank_bm25", row_number().over(bmRank))
+      .select(col("doc_id"), col("rank_bm25"))
+    val tf = tfidf(spark, sfDir)
+      .withColumn("rank_tfidf", row_number().over(tfRank))
+      .select(col("doc_id"), col("rank_tfidf"))
+    bm.join(tf, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfC.toDouble) + col("rank_bm25")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfC.toDouble) + col("rank_tfidf")),
+            lit(0.0)), 9))
+      .select(col("doc_id"), col("rank_bm25").cast("long").as("rank_bm25"),
+        col("rank_tfidf").cast("long").as("rank_tfidf"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH bm AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_bm25
+      |  FROM ($bm25Sql)),
+      |tf AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank_tfidf
+      |  FROM ($tfidfSql))
+      |SELECT COALESCE(bm.doc_id, tf.doc_id) AS doc_id,
+      |  bm.rank_bm25, tf.rank_tfidf,
+      |  ROUND(COALESCE(1.0 / ($RrfC + bm.rank_bm25), 0.0)
+      |    + COALESCE(1.0 / ($RrfC + tf.rank_tfidf), 0.0), 9) AS rrf
+      |FROM bm FULL OUTER JOIN tf ON bm.doc_id = tf.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 }

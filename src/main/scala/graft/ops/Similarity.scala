@@ -274,4 +274,62 @@ object Similarity {
       |SELECT q_id, rank, vec_id AS n_id, ROUND(sim, 6) AS sim
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
+
+  // ---- q116: hard-negative mining ----------------------------------
+
+  /** Queries (vec_id below this) and negatives-per-query for the
+    * hard-negative pass. */
+  val HnQueries = 5
+  val HnK = 5
+
+  /** q116: hard-negative mining for contrastive/embedding training —
+    * for each query vector, the [[HnK]] nearest OTHER-labeled vectors
+    * by cosine (the negatives that sit closest to the decision
+    * boundary, the ones a contrastive batch actually needs; random
+    * negatives are trivially easy).
+    *
+    * Shape: identical to the KNN family — queries broadcast, corpus
+    * streams once, the label-mismatch filter rides the scan before
+    * any scoring, per-query rank via window over the broadcast-joined
+    * scan. At a billion vectors the corpus side would route through
+    * the q28/q79 IVF pruning instead of the full scan; the operator
+    * semantics (label-filtered top-k) are unchanged. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < HnQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("sim", VectorOps.cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= HnK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("n_id"), col("label").as("n_label"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS q_id, label AS q_label, v AS qv
+      |  FROM e WHERE vec_id < $HnQueries),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id, e.label, ${cosSql("e.v", "q.qv")} AS sim
+      |  FROM e CROSS JOIN q WHERE e.label <> q.q_label),
+      |ranked AS (
+      |  SELECT q_id, vec_id, label, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, vec_id AS n_id, label AS n_label,
+      |  ROUND(sim, 6) AS sim
+      |FROM ranked WHERE rank <= $HnK
+      |ORDER BY q_id, rank""".stripMargin
 }

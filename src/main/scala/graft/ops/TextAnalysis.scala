@@ -137,4 +137,71 @@ object TextAnalysis {
       |FROM feat CROSS JOIN generate_series(1, 64) AS t(i)
       |ORDER BY doc_id, dim""".stripMargin
   }
+
+  // ---- q118: Zipf tail-index estimation (Hill estimator) -----------
+
+  /** Order statistics used by the Hill estimator (top-K frequencies
+    * against the (K+1)-th as threshold; clamped to vocab−1 when the
+    * vocabulary is smaller). */
+  val HillK = 100
+
+  /** q118: corpus-frequency power-law diagnostics — the Hill (1975)
+    * tail-index estimator over the token frequency distribution,
+    * α = 1 + k / Σ_{i≤k} ln(f_(i)/f_(k+1)). A training corpus whose
+    * token frequencies stop looking Zipfian (α drifting from ≈2) is
+    * the classic symptom of template/boilerplate contamination, so
+    * this is a one-row corpus health check.
+    *
+    * Shape: one token-keyed partial-agg groupBy, then a
+    * TakeOrderedAndProject of the top k+1 FREQUENCIES (101 rows,
+    * constant) — the estimator never sorts the vocabulary globally.
+    * Ties at the k-boundary are harmless: tied rows have equal
+    * frequency, so the included multiset is deterministic either way
+    * (and the tiebreak on token pins the assignment anyway). */
+  def zipfTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint() // feeds the corpus totals and the top-k cut
+    val totals = freq.agg(count(lit(1)).as("vocab"),
+      sum(col("f")).as("n_tokens"))
+    val top = freq.orderBy(col("f").desc, col("w")).limit(HillK + 1)
+      .localCheckpoint() // threshold row and numerator share the cut
+    val thr = top.agg(min(col("f")).cast("double").as("f_thr"),
+      (count(lit(1)) - 1).as("k"))
+    top.crossJoin(broadcast(thr))
+      .filter(col("f").cast("double") > col("f_thr"))
+      .select(col("f"), col("f_thr"), col("k"),
+        round(log(col("f").cast("double") / col("f_thr")), 9).as("lf"))
+      .groupBy(col("f_thr"), col("k"))
+      .agg(round(lit(1.0) + col("k")
+        / sum(col("lf").cast("decimal(28,12)")).cast("double"), 6)
+        .as("alpha"))
+      .crossJoin(broadcast(totals))
+      .select(col("vocab"), col("n_tokens"), col("k"),
+        col("f_thr").cast("long").as("f_thr"), col("alpha"))
+  }
+
+  val zipfTailSql: String =
+    s"""WITH freq AS (
+      |  SELECT tok AS w, COUNT(*) AS f
+      |  FROM (SELECT unnest($tokSql) AS tok FROM documents)
+      |  GROUP BY 1),
+      |totals AS (
+      |  SELECT COUNT(*) AS vocab, SUM(f) AS n_tokens FROM freq),
+      |top AS (
+      |  SELECT f FROM freq ORDER BY f DESC, w LIMIT ${HillK + 1}),
+      |thr AS (
+      |  SELECT CAST(MIN(f) AS DOUBLE) AS f_thr, COUNT(*) - 1 AS k
+      |  FROM top),
+      |est AS (
+      |  SELECT f_thr, k,
+      |    ROUND(1.0 + k / CAST(SUM(CAST(
+      |      ROUND(LN(CAST(f AS DOUBLE) / f_thr), 9)
+      |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS alpha
+      |  FROM top CROSS JOIN thr
+      |  WHERE CAST(f AS DOUBLE) > f_thr
+      |  GROUP BY f_thr, k)
+      |SELECT vocab, n_tokens, k, CAST(f_thr AS BIGINT) AS f_thr, alpha
+      |FROM est CROSS JOIN totals""".stripMargin
 }
