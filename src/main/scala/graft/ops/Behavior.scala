@@ -181,4 +181,85 @@ object Behavior {
       |  ROUND(CAST(a.n_active AS DOUBLE) / s.cohort_n, 6) AS retention
       |FROM act a JOIN sizes s USING (c_day)
       |ORDER BY cohort_day, k""".stripMargin
+
+  // ---- q126: last-touch attribution --------------------------------
+
+  /** Attribution lookback window: a purchase credits the user's most
+    * recent view only if it happened within this many seconds. */
+  val AttribWindowSec = 3600L
+
+  /** q126: last-touch attribution — each purchase credits the same
+    * user's most recent view at-or-before it (inclusive), but only
+    * within a [[AttribWindowSec]] lookback; otherwise it counts as
+    * direct. Daily report of attributed vs direct purchase counts and
+    * value — the ad-tech revenue-attribution join.
+    *
+    * Shape: the classic as-of problem solved WITHOUT a range join: a
+    * single per-user window pass carries the running max view-time
+    * (views ordered before purchases at equal timestamps, so
+    * "inclusive" is exact), then one partial-agg daily rollup.
+    * Shuffle count: one exchange on user_id + one on day — at 100 TB
+    * the window never materializes candidate pairs the way an
+    * interval join would. */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        when(col("event_type") === "view", 0).otherwise(1).as("ord"))
+    // views sort before purchases at the same microsecond → the
+    // running max over preceding rows includes ties (inclusive as-of)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("ord"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = e
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_view_us").isNotNull &&
+          (col("us") - col("last_view_us"))
+            <= lit(AttribWindowSec * 1000000L))
+    attributed.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        round(sum(when(col("attributed"),
+          col("value").cast("decimal(28,6)")).otherwise(lit(0).cast("decimal(28,6)")))
+          .cast("double"), 4).as("attributed_value"),
+        round(sum(when(!col("attributed"),
+          col("value").cast("decimal(28,6)")).otherwise(lit(0).cast("decimal(28,6)")))
+          .cast("double"), 4).as("direct_value"))
+      .orderBy(col("day"))
+  }
+
+  val lastTouchAttributionSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+      |    strftime(ts, '%Y-%m-%d') AS day,
+      |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS ord
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |marked AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN event_type = 'view' THEN us END) OVER
+      |      (PARTITION BY user_id ORDER BY us, ord, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_view_us
+      |  FROM e),
+      |purch AS (
+      |  SELECT day, value,
+      |    last_view_us IS NOT NULL
+      |      AND us - last_view_us <= ${AttribWindowSec * 1000000L}
+      |      AS attributed
+      |  FROM marked WHERE event_type = 'purchase')
+      |SELECT day, COUNT(*) AS n_purchases,
+      |  SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS n_attributed,
+      |  ROUND(CAST(SUM(CASE WHEN attributed
+      |    THEN CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END)
+      |    AS DOUBLE), 4) AS attributed_value,
+      |  ROUND(CAST(SUM(CASE WHEN NOT attributed
+      |    THEN CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END)
+      |    AS DOUBLE), 4) AS direct_value
+      |FROM purch GROUP BY day ORDER BY day""".stripMargin
 }

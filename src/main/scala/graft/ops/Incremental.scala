@@ -55,4 +55,72 @@ object Incremental {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY event_type, day""".stripMargin
+
+  // ---- q125: incremental corpus dedup ------------------------------
+
+  /** q125: dedup a new ingest increment against an existing corpus
+    * WITHOUT re-deduping the corpus — the daily-batch flow at 100 TB,
+    * where the corpus fingerprint set is a materialized artifact and
+    * per-day work must be ∝ increment, not ∝ corpus. Documents with
+    * doc_id ≡ 0 (mod 10) play the increment; the rest are the
+    * standing corpus.
+    *
+    * Two stages, both on the 60-bit content fingerprint: (1)
+    * within-batch exact dedup keeps the min doc_id per fingerprint;
+    * (2) a LEFT ANTI join drops survivors whose fingerprint already
+    * exists in the corpus. The shuffle carries (fp, doc_id) pairs
+    * only; the corpus side reduces to distinct fingerprints before
+    * the join (partial-agg, then the anti join probes — at scale
+    * this side comes pre-bucketed from the previous day's output,
+    * and stage 2's join is bucket-local). */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = graft.functions.TextOps.fingerprint(col("text"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fp.as("fp"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .localCheckpoint() // feeds both stages and the totals
+    val corpusFps = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("fp")).distinct()
+    val withinKept = batch.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+    val kept = withinKept.join(corpusFps, Seq("fp"), "left_anti")
+    val nBatch = batch.agg(count(lit(1)).as("n_batch"))
+    val nWithin = withinKept.agg(
+      count(lit(1)).as("n_within_unique"),
+      sum(col("copies") - 1).as("n_within_dups"))
+    val nKept = kept.agg(count(lit(1)).as("n_kept"))
+    nBatch.crossJoin(nWithin).crossJoin(nKept)
+      .select(col("n_batch"), col("n_within_unique"), col("n_within_dups"),
+        (col("n_within_unique") - col("n_kept")).as("n_corpus_dups"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_batch"), 6)
+          .as("keep_rate"))
+  }
+
+  val incrementalDedupSql: String = {
+    val tok = graft.functions.TextOps.tokSql()
+    s"""WITH docs AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(array_to_string($tok, ' ')), 1, 15))::BIGINT AS fp
+      |  FROM documents),
+      |batch AS (SELECT * FROM docs WHERE doc_id % 10 = 0),
+      |corpus AS (
+      |  SELECT DISTINCT fp FROM docs WHERE doc_id % 10 <> 0),
+      |within AS (
+      |  SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS copies
+      |  FROM batch GROUP BY fp),
+      |kept AS (
+      |  SELECT within.fp FROM within
+      |  LEFT JOIN corpus ON within.fp = corpus.fp
+      |  WHERE corpus.fp IS NULL)
+      |SELECT
+      |  (SELECT COUNT(*) FROM batch) AS n_batch,
+      |  (SELECT COUNT(*) FROM within) AS n_within_unique,
+      |  (SELECT SUM(copies - 1) FROM within) AS n_within_dups,
+      |  (SELECT COUNT(*) FROM within) - (SELECT COUNT(*) FROM kept)
+      |    AS n_corpus_dups,
+      |  (SELECT COUNT(*) FROM kept) AS n_kept,
+      |  ROUND(CAST((SELECT COUNT(*) FROM kept) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM batch), 6) AS keep_rate""".stripMargin
+  }
 }

@@ -71,4 +71,59 @@ object Timeseries {
       |  d.v IS NOT NULL AS observed
       |FROM spine s LEFT JOIN daily d USING (user_id, day)
       |ORDER BY user_id, day""".stripMargin
+
+  // ---- q123: SCD Type-2 interval build -----------------------------
+
+  /** q123: slowly-changing-dimension (Type 2) history from a change
+    * log — collapse each user's event-type stream into validity
+    * intervals [valid_from, valid_to) with an is_current flag, the
+    * lakehouse dimension-build every warehouse runs on CDC feeds
+    * (Kimball SCD2; MERGE INTO ... WHEN MATCHED in Delta/Iceberg
+    * terms).
+    *
+    * Shape: two windows over the SAME (user_id, time) partitioning —
+    * change detection (lag) then interval close (lead) — so the rows
+    * shuffle once and both windows run in one sort per partition.
+    * Epoch-micros discipline throughout (the Behavior lesson: nanos
+    * floor to micros in Spark's reader). The user_id < 10 cut rides
+    * the scan — partition-pruned at a real deployment's source. */
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val e = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val changes = e
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val wc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead(col("us"), 1).over(wc))
+      .select(col("user_id"), col("event_type"),
+        col("us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val scd2BuildSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events WHERE user_id < 10),
+      |marked AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    LAG(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |  FROM e),
+      |changes AS (
+      |  SELECT user_id, event_type, us,
+      |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS valid_to
+      |  FROM marked
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, us AS valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM changes
+      |ORDER BY user_id, valid_from""".stripMargin
 }
