@@ -227,4 +227,101 @@ object Curation {
       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
       |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / ((MAX(seq_no) + 1) * $PackBudget), 6) AS fill_ratio
       |FROM packed GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q127: blocklist filtering -----------------------------------
+
+  /** Exact-token blocklist (the C4 "bad words" pass shape; the list
+    * itself is corpus-appropriate for the synthetic vocabulary). */
+  val Blockwords: Seq[String] = Seq("slow", "spam", "casino")
+
+  /** q127: blocklist filtering — flag documents containing any
+    * blocked token (EXACT token match after the shared tokenizer, the
+    * word-boundary discipline that keeps "classic" from tripping an
+    * "ass" substring rule). Per-source report of flag rate and total
+    * blocked occurrences.
+    *
+    * Shape: the block check is a scan-local array intersection
+    * against a tiny literal set (codegen'd, no join, no shuffle);
+    * the only exchange is the low-cardinality per-source rollup. */
+  def blocklistFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val bw = array(Blockwords.map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n_blocked",
+        size(filter(col("toks"), t => array_contains(bw, t))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_blocked") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_blocked")).as("blocked_occurrences"),
+        round(sum(when(col("n_blocked") > 0, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("flag_rate"))
+      .orderBy(col("source"))
+  }
+
+  val blocklistFilterSql: String = {
+    val bwSql = Blockwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter($tokSql, t -> list_contains($bwSql, t)))
+      |      AS n_blocked
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS n_flagged,
+      |  SUM(n_blocked) AS blocked_occurrences,
+      |  ROUND(CAST(SUM(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS flag_rate
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---- q130: best-exemplar selection per stratum ---------------------
+
+  /** q130: canonical/exemplar selection — for every (source, lang)
+    * stratum keep the single highest-quality document (the "choose
+    * the best duplicate" decision of a dedup pipeline, and the
+    * exemplar pick of few-shot dataset curation). Selection runs as
+    * MAX_BY over a packed order key: round(score·10⁶)·10⁷ − doc_id is
+    * an exactly-representable integer-valued double that orders by
+    * (score DESC, doc_id ASC) with no float-tie ambiguity — one
+    * partial-agg shuffle, no window, no sort.
+    */
+  def bestExemplars(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // scoreDocs projects to (doc_id, source, features); re-attach the
+    // stratum's lang by key (broadcast-sized here; bucketed at scale)
+    val scored = scoreDocs(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    scored
+      .withColumn("key",
+        round(col("score") * 1e6, 0) * lit(1e7) - col("doc_id"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), col("key")).as("best_doc"),
+        max(col("score")).as("best_score"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val bestExemplarsSql: String = {
+    val swSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+      |  SELECT doc_id, source, lang, $tokSql AS toks, len($tokSql) AS n
+      |  FROM documents WHERE len($tokSql) > 0),
+      |f AS (
+      |  SELECT doc_id, source, lang,
+      |    ROUND(ln(1.0 + n), 9) AS f_len,
+      |    ROUND(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / n, 6) AS f_wlen,
+      |    ROUND(CAST(len(list_filter(toks, t -> list_contains($swSql, t))) AS DOUBLE) / n, 6) AS f_stop,
+      |    ROUND(CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) / n, 6) AS f_digit,
+      |    ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n, 6) AS f_rep
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, source, lang,
+      |    ROUND(1.0 / (1.0 + exp(-ROUND(-1.2 + 0.35 * f_len + 0.18 * f_wlen
+      |      + 2.0 * f_stop - 3.0 * f_digit - 2.5 * f_rep, 9))), 6) AS score
+      |  FROM f)
+      |SELECT source, lang, COUNT(*) AS n_docs,
+      |  arg_max(doc_id, ROUND(score * 1e6, 0) * 1e7 - doc_id) AS best_doc,
+      |  MAX(score) AS best_score
+      |FROM s GROUP BY source, lang ORDER BY source, lang""".stripMargin
+  }
 }
