@@ -41,7 +41,9 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
           finally spark.catalog.clearCache() // caches don't leak across queries
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%s ${ms3(dt)}%.3f ok=$ok%b")
+        (dt, ok)
       }
       (name, ms3(runs.map(_._1).min), runs.forall(_._2))
     }

@@ -7,15 +7,38 @@ import org.apache.spark.sql.SparkSession
   * shuffle partitions ≈ cores (not the 200 default),
   * nanos-as-long parquet reads (the events table is TIMESTAMP(NANOS),
   * which Spark's vectorized reader otherwise refuses), AQE on for the
-  * runtime re-planning story at scale.
+  * runtime re-planning story at scale, and tmpfs-backed scratch space
+  * when available.
   */
 object GraftSession {
-  def builder(cores: String): SparkSession.Builder =
-    SparkSession.builder()
+
+  /** Shuffle files, disk spills, and block-manager overflow go to
+    * `spark.local.dir`. On this host the root disk is a virtio device
+    * whose sustained throughput can collapse to MB/s once burst
+    * credits drain (measured: 512 MB fsync = 83 s mid-session), which
+    * turns every shuffle write into the bottleneck regardless of plan
+    * quality. /dev/shm is RAM-backed and sized at half of physical
+    * memory — more than any sf0.1 shuffle needs — so scratch traffic
+    * never touches the slow disk. Falls back to the default /tmp when
+    * tmpfs is absent (a real cluster configures local dirs on NVMe
+    * the same way). */
+  private def scratchDir: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-spark-local")
+      d.mkdirs()
+      Some(d.getAbsolutePath)
+    } else None
+  }
+
+  def builder(cores: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    scratchDir.fold(b)(d => b.config("spark.local.dir", d))
+  }
 }

@@ -25,12 +25,19 @@ object Audit {
     * audit is two left joins over ≤9-row relations — every scan and
     * shuffle lives inside the audited rankers themselves. */
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    // each ranker materializes ONCE (localCheckpoint): the audit then
+    // joins three ≤k·queries-row tables — without the barrier, the
+    // composed plan re-inlines three broadcast-KNN pipelines (plus the
+    // k-means training subtree) into one tree and re-executes shared
+    // stages per join side (measured 25 s warm vs ~2 s staged)
     val exact = Similarity.knnBruteForce(spark, sfDir)
-      .select(col("q_id"), col("n_id"))
+      .select(col("q_id"), col("n_id")).localCheckpoint()
     val ivf = Similarity.knnIvf(spark, sfDir)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit_ivf"))
+      .localCheckpoint()
     val livf = KMeans.knnIvfKmeans(spark, sfDir)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit_livf"))
+      .localCheckpoint()
     exact
       .join(ivf, Seq("q_id", "n_id"), "left")
       .join(livf, Seq("q_id", "n_id"), "left")
@@ -264,4 +271,68 @@ object Audit {
       |  UNION ALL SELECT 'o_orderdate', n, nn5, nd5, mn5, mx5 FROM a
       |  UNION ALL SELECT 'o_orderpriority', n, nn6, nd6, mn6, mx6 FROM a)
       |ORDER BY col_name""".stripMargin
+
+  // ---- q133: join-size preflight -----------------------------------
+
+  /** q133: predict a join's output size BEFORE running it — per-key
+    * row counts on both sides multiply and sum to the exact join
+    * cardinality (Σ_k cA(k)·cB(k)); reported with both input sizes,
+    * the implied explosion factor, and the single hottest key's
+    * contribution. The preflight a 100 TB pipeline runs before an
+    * untrusted join: the per-key count tables are tiny relative to
+    * the data, and a 10⁴× explosion is caught for the cost of two
+    * partial-agg groupBys and a key-table join instead of an OOM'd
+    * shuffle three hours in.
+    *
+    * The prediction is exact (not an estimate), and the query also
+    * RUNS the join to demonstrate the match — at scale you'd skip
+    * that part; the audit is the point. */
+  def joinPreflight(spark: SparkSession, sfDir: String): DataFrame = {
+    val la = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val ob = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    val contrib = la.join(ob, Seq("k"))
+      .select(col("k"), (col("ca") * col("cb")).as("rows_out"))
+      .localCheckpoint() // feeds the total and the argmax
+    val predicted = contrib.agg(
+      sum(col("rows_out")).as("predicted_rows"),
+      max(col("rows_out")).as("hottest_key_rows"))
+    val actual = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    val sizes = Tables.lineitem(spark, sfDir)
+      .agg(count(lit(1)).as("n_left"))
+      .crossJoin(Tables.orders(spark, sfDir)
+        .agg(count(lit(1)).as("n_right")))
+    sizes.crossJoin(predicted).crossJoin(actual)
+      .select(col("n_left"), col("n_right"), col("predicted_rows"),
+        col("actual_rows"), col("hottest_key_rows"),
+        round(col("predicted_rows").cast("double")
+          / greatest(col("n_left"), col("n_right")), 6)
+          .as("explosion_factor"))
+  }
+
+  val joinPreflightSql: String =
+    """WITH la AS (
+      |  SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+      |ob AS (
+      |  SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1),
+      |contrib AS (
+      |  SELECT la.k, ca * cb AS rows_out FROM la JOIN ob ON la.k = ob.k),
+      |pred AS (
+      |  SELECT SUM(rows_out) AS predicted_rows,
+      |    MAX(rows_out) AS hottest_key_rows FROM contrib),
+      |act AS (
+      |  SELECT COUNT(*) AS actual_rows
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |sizes AS (
+      |  SELECT (SELECT COUNT(*) FROM lineitem) AS n_left,
+      |    (SELECT COUNT(*) FROM orders) AS n_right)
+      |SELECT n_left, n_right, predicted_rows, actual_rows,
+      |  hottest_key_rows,
+      |  ROUND(CAST(predicted_rows AS DOUBLE)
+      |    / GREATEST(n_left, n_right), 6) AS explosion_factor
+      |FROM sizes CROSS JOIN pred CROSS JOIN act""".stripMargin
 }

@@ -335,12 +335,15 @@ object Ranking {
     // bounded by construction, not by data volume
     val bmRank = Window.orderBy(col("score").desc, col("doc_id"))
     val tfRank = Window.orderBy(col("cosine").desc, col("doc_id"))
+    // materialize each ranking before fusing: both rankers scan and
+    // aggregate the same tokenized corpus, and a composed plan
+    // re-inlines those stages per join side instead of reusing them
     val bm = bm25(spark, sfDir)
       .withColumn("rank_bm25", row_number().over(bmRank))
-      .select(col("doc_id"), col("rank_bm25"))
+      .select(col("doc_id"), col("rank_bm25")).localCheckpoint()
     val tf = tfidf(spark, sfDir)
       .withColumn("rank_tfidf", row_number().over(tfRank))
-      .select(col("doc_id"), col("rank_tfidf"))
+      .select(col("doc_id"), col("rank_tfidf")).localCheckpoint()
     bm.join(tf, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(RrfC.toDouble) + col("rank_bm25")), lit(0.0))
