@@ -26,5 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 32 executor threads + broadcast builds + checkpoint blocks for a
+  // 134-query suite need headroom: 8g put the long bench run into
+  // storage-eviction/GC territory (host has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Each query compiles fresh whole-stage-codegen classes; the JDK
+  // default 240m code cache can fill over a 134-query run, silently
+  // dropping hot loops to interpreter speed.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
+) ++ {
+  // Keep JVM temp files (Janino scratch, Utils.createTempDir) off the
+  // virtio disk for the same burst-credit reason spark.local.dir
+  // points at tmpfs (GraftSession.scratchDir).
+  val shm = new java.io.File("/dev/shm/graft-jvm-tmp")
+  if (shm.isDirectory || shm.mkdirs()) Seq(s"-Djava.io.tmpdir=${shm.getAbsolutePath}")
+  else Seq.empty
+}

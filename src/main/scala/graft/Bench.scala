@@ -26,7 +26,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = GraftSession.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: per-task log lines go driver-stderr → the
+    // harness's capture file; when the host disk stalls (burst-credit
+    // collapse, measured 3.5 MB/s windows) synchronous log appends
+    // backpressure the executors themselves. The bench record is the
+    // one stdout JSON line; progress lines below are one per rep.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warm-up: exercise scan + shuffle + codegen machinery once
     Tables.nation(spark, sfDir).groupBy("n_regionkey").count().count()
@@ -40,7 +45,7 @@ object Bench {
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-          finally spark.catalog.clearCache() // caches don't leak across queries
+          finally GraftSession.scrub(spark) // caches/checkpoints don't leak across queries
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%s ${ms3(dt)}%.3f ok=$ok%b")
         (dt, ok)

@@ -41,4 +41,24 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
     scratchDir.fold(b)(d => b.config("spark.local.dir", d))
   }
+
+  private var scrubCount = 0
+
+  /** Drop per-query session state so back-to-back query runs (Bench,
+    * Verify, TimeQuery) can't poison each other. `clearCache()` only
+    * covers `cache()`/`persist()` on tables; `localCheckpoint` blocks
+    * stay pinned in the block manager until the driver GCs the RDD
+    * object and the async ContextCleaner gets around to them — over a
+    * 134-query × 2-rep run that lag accumulates into storage-memory
+    * eviction churn. Unpersisting every still-registered RDD is
+    * synchronous and safe between queries (nothing references them
+    * across query boundaries); a periodic System.gc() lets the
+    * ContextCleaner reclaim shuffle files and broadcasts too. */
+  def scrub(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    scrubCount += 1
+    if (scrubCount % 8 == 0) System.gc()
+  }
 }

@@ -18,7 +18,7 @@ object TimeQuery {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      graft.GraftSession.scrub(spark)
       println(f"$name%-28s $dt%8.2f s  ($n rows)")
     }
     spark.stop()
