@@ -1,64 +1,184 @@
 package graft
 
 /** Driver-run benchmark: every registered query at the given SF,
-  * one JSON line on stdout. A small warm-up action runs first so
-  * JVM/classloader startup isn't attributed to whichever query
-  * happens to run first; per-query expression compilation stays in
-  * the measurement (it's part of the engine's real cost).
+  * one JSON line on stdout.
+  *
+  * ## Fresh JVM per query (round 6)
+  *
+  * Round-5 adjudication measured 5-15× per-query inflation when many
+  * queries share one JVM (q24 2.3 s solo → 37.3 s mid-session, q67
+  * 10.4 → 128.1) and showed that in-process cleanup
+  * ([[GraftSession.scrub]]) does NOT remove it — the pollution lives
+  * below the Spark API (JIT/code-cache churn, codegen class
+  * accumulation, heap fragmentation), not in the block manager. So
+  * isolation is now STRUCTURAL: the parent process runs no Spark at
+  * all and forks one child JVM per query (same classpath and JVM
+  * flags, via RuntimeMXBean); each child creates its own
+  * SparkSession, warms up scan+shuffle+codegen once, runs the query's
+  * reps, prints machine-readable times on stdout, and exits. Every
+  * recorded number is therefore a fresh-JVM quasi-solo measurement —
+  * the same conditions as `tools.TimeQuery` run by hand — and child
+  * startup (~5 s JVM + session) is excluded from the measured window.
+  *
+  * `SPARK_GRAFT_BENCH_FORK=0` restores the shared-JVM path (fast dev
+  * loop; numbers from it are NOT publishable per the round-5 rule).
   *
   * Each query runs SPARK_GRAFT_BENCH_REPS times (default 2) and the
   * MINIMUM elapsed time is reported — one contended scheduling window
-  * on a shared machine can't poison the record (the round-2 driver
-  * bench recorded 3× the re-measured time for the heaviest queries
-  * purely from machine contention).
+  * on a shared machine can't poison the record. The measured window
+  * stops BEFORE inter-rep cleanup runs, so scrub/GC cost is never
+  * attributed to the query.
   *
-  * A query that throws is reported with its elapsed-until-failure
-  * time AND listed in the `failed` array, so a crash can never
-  * masquerade as a fast run. Times are rounded to milliseconds and
-  * query keys shortened to their `qNN` prefix to keep the record
-  * line small: the driver's output capture holds only the last ~2 KB
-  * and the round-3 line with 79 full names overflowed it, leaving an
-  * unparseable record ("parsed": null in BENCH_r03.json).
+  * A query that throws (or whose child JVM dies/times out) is
+  * reported with its elapsed-until-failure time AND listed in the
+  * `failed` array, so a crash can never masquerade as a fast run.
+  * Times are rounded to milliseconds and query keys shortened to
+  * their `qNN` prefix to keep the record line small: the driver's
+  * output capture holds only the last ~2 KB and the round-3 line with
+  * 79 full names overflowed it, leaving an unparseable record.
   */
 object Bench {
+
+  private def ms3(v: Double): Double = math.rint(v * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results =
+      if (fork) names.map(runForked(_, sfDir, reps))
+      else runShared(names, sfDir, reps)
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
+      .mkString("[", ",", "]")
+    val total = ms3(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+  }
+
+  /** Child JVM command line: same java binary, classpath, and JVM
+    * flags as this process (so -Xmx / --add-opens / code-cache /
+    * tmpdir settings carry over verbatim). */
+  private def childCmd(sfDir: String, reps: Int, name: String): Seq[String] = {
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+      .getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString).toSeq
+    Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.BenchOne", sfDir, reps.toString, name)
+  }
+
+  /** Per-child wall-clock cap — generous (the worst honest query is
+    * tens of seconds); a hung child is killed and recorded as failed
+    * with its elapsed time, never silently dropped. */
+  private val ChildTimeoutSec = 900L
+
+  private def runForked(name: String, sfDir: String, reps: Int)
+      : (String, Double, Boolean) = {
+    val t0 = System.nanoTime()
+    val pb = new ProcessBuilder(childCmd(sfDir, reps, name): _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    // watchdog: readLine below blocks until child EOF, so the timeout
+    // must come from the side — kill a hung child and let EOF unblock us
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog = new Thread(() => {
+      if (!p.waitFor(ChildTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        timedOut.set(true)
+        p.destroyForcibly()
+      }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    var line: String = null
+    var got: Option[(Double, Boolean)] = None
+    try {
+      while ({ line = out.readLine(); line != null }) line match {
+        case l if l.startsWith("BENCHONE ") =>
+          val parts = l.split("\\s+")
+          val ok = parts(1) == "1"
+          val times = parts.drop(2).map(_.toDouble)
+          if (times.nonEmpty) got = Some((times.min, ok))
+        case l => System.err.println(l) // child chatter → parent stderr
+      }
+      p.waitFor()
+      if (timedOut.get) {
+        System.err.println(s"[bench] $name child TIMED OUT after ${ChildTimeoutSec}s")
+        got = None
+      } else if (p.exitValue() != 0 && got.isEmpty)
+        System.err.println(s"[bench] $name child exited ${p.exitValue()}")
+    } finally out.close()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val (best, ok) = got.getOrElse((wall, false))
+    System.err.println(f"[bench] $name%s ${ms3(best)}%.3f ok=$ok%b wall=${ms3(wall)}%.1f")
+    (name, ms3(best), ok)
+  }
+
+  /** Legacy shared-JVM path (dev only): all queries in this process,
+    * scrub between runs, measured window excludes the scrub. */
+  private def runShared(names: Seq[String], sfDir: String, reps: Int)
+      : Seq[(String, Double, Boolean)] = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
-    // ERROR, not WARN: per-task log lines go driver-stderr → the
-    // harness's capture file; when the host disk stalls (burst-credit
-    // collapse, measured 3.5 MB/s windows) synchronous log appends
-    // backpressure the executors themselves. The bench record is the
-    // one stdout JSON line; progress lines below are one per rep.
     spark.sparkContext.setLogLevel("ERROR")
-
-    // warm-up: exercise scan + shuffle + codegen machinery once
     Tables.nation(spark, sfDir).groupBy("n_regionkey").count().count()
-
-    def ms3(v: Double): Double = math.rint(v * 1000) / 1000
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-          finally GraftSession.scrub(spark) // caches/checkpoints don't leak across queries
-        val dt = (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9 // clock stops before scrub
+        GraftSession.scrub(spark)
         System.err.println(f"[bench] $name%s ${ms3(dt)}%.3f ok=$ok%b")
         (dt, ok)
       }
       (name, ms3(runs.map(_._1).min), runs.forall(_._2))
     }
-    def short(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _) => s"\"" + short(k) + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
-      .mkString("[", ",", "]")
-    val total = ms3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    spark.stop()
+    results
+  }
+}
+
+/** One-query child process for the forked bench: own SparkSession,
+  * one warm-up action, `reps` timed runs, one `BENCHONE <ok> <t…>`
+  * line on stdout. Runs standalone too:
+  * {{{ sbt "runMain graft.BenchOne /root/testdata/sf0.1 2 q53_dedup_groups" }}}
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val name = args(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm-up: exercise scan + shuffle + codegen machinery once so
+    // session startup isn't attributed to the query; per-query
+    // expression compilation stays in the measurement (it's part of
+    // the engine's real cost)
+    Tables.nation(spark, sfDir).groupBy("n_regionkey").count().count()
+    val fn = SparkEntry.queries(name)
+    val runs = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9 // clock stops before scrub
+      GraftSession.scrub(spark)
+      (dt, ok)
+    }
+    println("BENCHONE " + (if (runs.forall(_._2)) "1" else "0") + " " +
+      runs.map(r => f"${r._1}%.3f").mkString(" "))
     spark.stop()
   }
 }

@@ -63,10 +63,10 @@ object Audit {
       |livf AS (
       |  SELECT q_id, n_id, 1 AS hit_livf FROM (${KMeans.knnIvfKmeansSql}))
       |SELECT exact.q_id, COUNT(*) AS k,
-      |  SUM(COALESCE(hit_ivf, 0)) AS hits_ivf,
+      |  CAST(SUM(COALESCE(hit_ivf, 0)) AS BIGINT) AS hits_ivf,
       |  ROUND(CAST(SUM(COALESCE(hit_ivf, 0)) AS DOUBLE) / COUNT(*), 6)
       |    AS recall_ivf,
-      |  SUM(COALESCE(hit_livf, 0)) AS hits_livf,
+      |  CAST(SUM(COALESCE(hit_livf, 0)) AS BIGINT) AS hits_livf,
       |  ROUND(CAST(SUM(COALESCE(hit_livf, 0)) AS DOUBLE) / COUNT(*), 6)
       |    AS recall_livf
       |FROM exact
@@ -110,7 +110,8 @@ object Audit {
     """WITH counts AS (
       |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
       |stats AS (
-      |  SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    MAX(cnt) AS max_cnt
       |  FROM counts),
       |top10 AS (
       |  SELECT SUM(cnt) AS top10_rows FROM (
@@ -239,26 +240,26 @@ object Audit {
   val tableProfileSql: String =
     """WITH a AS (
       |  SELECT COUNT(*) AS n,
-      |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
       |    COUNT(DISTINCT o_orderkey) AS nd1,
       |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
       |    CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
-      |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
       |    COUNT(DISTINCT o_custkey) AS nd2,
       |    CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
       |    CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
-      |    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn3,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
       |    COUNT(DISTINCT o_orderstatus) AS nd3,
       |    MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
-      |    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn4,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
       |    COUNT(DISTINCT o_totalprice) AS nd4,
       |    CAST(CAST(ROUND(MIN(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mn4,
       |    CAST(CAST(ROUND(MAX(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mx4,
-      |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn5,
+      |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn5,
       |    COUNT(DISTINCT o_orderdate) AS nd5,
       |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5,
       |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5,
-      |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn6,
+      |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn6,
       |    COUNT(DISTINCT o_orderpriority) AS nd6,
       |    MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
       |  FROM orders)
@@ -322,7 +323,7 @@ object Audit {
       |contrib AS (
       |  SELECT la.k, ca * cb AS rows_out FROM la JOIN ob ON la.k = ob.k),
       |pred AS (
-      |  SELECT SUM(rows_out) AS predicted_rows,
+      |  SELECT CAST(SUM(rows_out) AS BIGINT) AS predicted_rows,
       |    MAX(rows_out) AS hottest_key_rows FROM contrib),
       |act AS (
       |  SELECT COUNT(*) AS actual_rows

@@ -254,7 +254,7 @@ object Behavior {
       |      AS attributed
       |  FROM marked WHERE event_type = 'purchase')
       |SELECT day, COUNT(*) AS n_purchases,
-      |  SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS n_attributed,
+      |  CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
       |  ROUND(CAST(SUM(CASE WHEN attributed
       |    THEN CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END)
       |    AS DOUBLE), 4) AS attributed_value,

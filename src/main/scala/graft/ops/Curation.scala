@@ -165,7 +165,7 @@ object Curation {
       |      + 2.0 * f_stop - 3.0 * f_digit - 2.5 * f_rep, 9))), 6) AS score
       |  FROM f)
       |SELECT source, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_kept,
+      |  CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |  ROUND(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_score
       |FROM s GROUP BY source ORDER BY source""".stripMargin
   }
@@ -223,7 +223,7 @@ object Curation {
       |    (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, start) - n_tok)
       |      // $PackBudget AS seq_no
       |  FROM chunks)
-      |SELECT source, MAX(seq_no) + 1 AS n_seqs, COUNT(*) AS n_chunks,
+      |SELECT source, CAST(MAX(seq_no) + 1 AS BIGINT) AS n_seqs, COUNT(*) AS n_chunks,
       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
       |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / ((MAX(seq_no) + 1) * $PackBudget), 6) AS fill_ratio
       |FROM packed GROUP BY source ORDER BY source""".stripMargin
@@ -267,8 +267,8 @@ object Curation {
       |      AS n_blocked
       |  FROM documents)
       |SELECT source, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS n_flagged,
-      |  SUM(n_blocked) AS blocked_occurrences,
+      |  CAST(SUM(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(n_blocked) AS BIGINT) AS blocked_occurrences,
       |  ROUND(CAST(SUM(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS DOUBLE)
       |    / COUNT(*), 6) AS flag_rate
       |FROM d GROUP BY source ORDER BY source""".stripMargin

@@ -111,10 +111,10 @@ object Funnel {
       |  FROM flags JOIN c USING (fp)),
       |s AS (
       |  SELECT COUNT(*) AS n,
-      |    SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS s1,
-      |    SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS s2,
-      |    SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS s3,
-      |    SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS s4
+      |    CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+      |    CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
       |  FROM j)
       |SELECT stage, filter, n_in, n_out,
       |  ROUND(CASE WHEN n_in = 0 THEN 0.0

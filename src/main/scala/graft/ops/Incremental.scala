@@ -116,7 +116,7 @@ object Incremental {
       |SELECT
       |  (SELECT COUNT(*) FROM batch) AS n_batch,
       |  (SELECT COUNT(*) FROM within) AS n_within_unique,
-      |  (SELECT SUM(copies - 1) FROM within) AS n_within_dups,
+      |  (SELECT CAST(SUM(copies - 1) AS BIGINT) FROM within) AS n_within_dups,
       |  (SELECT COUNT(*) FROM within) - (SELECT COUNT(*) FROM kept)
       |    AS n_corpus_dups,
       |  (SELECT COUNT(*) FROM kept) AS n_kept,

@@ -149,7 +149,7 @@ object Mining {
       |  LEFT JOIN uni u3 ON occ.w3 = u3.w
       |  CROSS JOIN stats)
       |SELECT doc_id, COUNT(*) AS n_trigrams,
-      |  SUM(CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS n_backoff,
+      |  CAST(SUM(CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
       |  ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
       |    AS avg_logprob
       |FROM scored GROUP BY doc_id
@@ -355,7 +355,7 @@ object Mining {
       |  SELECT ph, COUNT(DISTINCT doc_id) AS df FROM paras GROUP BY ph)
       |SELECT source, COUNT(DISTINCT paras.doc_id) AS n_docs,
       |  COUNT(*) AS n_paras,
-      |  SUM(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END) AS n_boiler,
+      |  CAST(SUM(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
       |  ROUND(CAST(SUM(CASE WHEN df >= $BoilerDf THEN 1 ELSE 0 END) AS DOUBLE)
       |    / COUNT(*), 6) AS pct_removed
       |FROM paras JOIN dfc ON paras.ph = dfc.ph

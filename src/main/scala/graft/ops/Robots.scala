@@ -21,10 +21,17 @@ import org.apache.spark.sql.functions._
 object Robots {
 
   /** Deterministic per-domain robots.txt corpus: a blanket-deny
-    * googlebot group, then a `*` group that disallows the /p/{k%10}
-    * prefix but re-allows the longer /p/{k%10}{k%10} prefix (the
-    * longest-match tiebreak this operator exists to exercise), plus a
-    * /private/ deny on even domains. */
+    * googlebot group, then a `*` group that exercises every RFC 9309
+    * matching feature — the /p/{k%10} plain-prefix disallow re-allowed
+    * by the longer /p/{k%10}{k%10} prefix (§2.2.2 longest-match),
+    * a `Disallow: /p/1*{d}$` wildcard+anchor rule that blocks the five
+    * /p/1xx pages of the domain, a still-longer
+    * `Allow: /p/1{t}*{d}$` that re-allows exactly one of them
+    * (§2.2.3 `*`/`$` with the longest-match tiebreak running ACROSS
+    * wildcard and literal rules), plus a /private/ deny on even
+    * domains. d = k%10 (every page id of domain k ends in d);
+    * t = (k/10 + 4) % 10 is a tens digit that occurs among the
+    * domain's 1xx ids, so the re-allow provably fires. */
   def robotsTxt(spark: SparkSession): DataFrame =
     spark.range(Corpus.NDomains).select(
       concat(lit("d"), col("id"), lit(".test")).as("domain"),
@@ -36,8 +43,26 @@ object Robots {
         concat(lit("Disallow: /p/"), pmod(col("id"), lit(10))),
         concat(lit("Allow: /p/"), pmod(col("id"), lit(10)),
           pmod(col("id"), lit(10))),
+        concat(lit("Disallow: /p/1*"), pmod(col("id"), lit(10)), lit("$")),
+        concat(lit("Allow: /p/1"),
+          pmod((col("id") / lit(10)).cast("long") + 4, lit(10)),
+          lit("*"), pmod(col("id"), lit(10)), lit("$")),
         when(pmod(col("id"), lit(2)) === 0, lit("Disallow: /private/"))
           .otherwise(lit(""))).as("txt"))
+
+  /** RFC 9309 §2.2.3 pattern → anchored regex: regex metacharacters
+    * in the rule are escaped, `*` becomes `.*`, and a TRAILING `$`
+    * anchors at end-of-path (a `$` anywhere else is literal). The
+    * result always carries a `^` anchor, so a plain prefix rule
+    * compiles to `^prefix` — identical to startsWith — and the whole
+    * rule table goes through ONE matching path. */
+  def patternToRegex(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val anchored = p.endsWith("$")
+    val body = regexp_replace(p, "\\$$", "")
+    val escaped = regexp_replace(body, "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+    val starred = regexp_replace(escaped, "\\*", ".*")
+    concat(lit("^"), starred, when(anchored, lit("$")).otherwise(lit("")))
+  }
 
   /** Parse robots TEXT into (domain, agent, rule, prefix, plen) rows:
     * explode lines with ordinal, split `Directive: value`, and assign
@@ -67,17 +92,27 @@ object Robots {
   }
 
   /** q87: parse the robots corpus, keep the `*` group, and classify
-    * every /p/{id} URL of the first 400 pages by longest-prefix
-    * match. Output: per-domain allowed/blocked counts. */
+    * every /p/{id} URL of the first 400 pages by RFC 9309 matching:
+    * each rule (plain prefix OR `*`/`$` wildcard) compiles to an
+    * anchored regex via [[patternToRegex]]; the most specific match
+    * wins (longest raw pattern; Allow on ties). Output: per-domain
+    * allowed/blocked counts.
+    *
+    * Scale shape: the rule table stays tiny and broadcasts; URLs
+    * stream through the broadcast join. The per-row regex match is
+    * fine at this rule count; a 100 TB crawl frontier would compile
+    * each domain's handful of patterns once into a combined automaton
+    * (same plan shape, cheaper inner loop). */
   def robotsEnforce(spark: SparkSession, sfDir: String): DataFrame = {
     val rules = parseRules(robotsTxt(spark)).filter(col("agent") === "*")
       .select(col("domain"), col("rule"), col("prefix"), col("plen"))
+      .withColumn("rx", patternToRegex(col("prefix")))
     val urls = Corpus.webPages(spark, sfDir).filter(col("id") < 400)
       .select(col("id"), col("domain"),
         concat(lit("/p/"), col("id")).as("path"))
     val matched = urls.join(broadcast(rules),
       urls("domain") === rules("domain")
-        && urls("path").startsWith(rules("prefix")), "left")
+        && regexp_like(urls("path"), rules("rx")), "left")
       .select(urls("id"), urls("domain"), col("rule"), col("plen"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("plen").desc_nulls_last,
@@ -101,6 +136,8 @@ object Robots {
       |      'User-agent: *',
       |      'Disallow: /p/' || (k % 10),
       |      'Allow: /p/' || (k % 10) || (k % 10),
+      |      'Disallow: /p/1*' || (k % 10) || '$',
+      |      'Allow: /p/1' || (((k // 10) + 4) % 10) || '*' || (k % 10) || '$',
       |      CASE WHEN k % 2 = 0 THEN 'Disallow: /private/' ELSE '' END) AS txt
       |  FROM generate_series(0, 19) AS t(k)),
       |lines AS (
@@ -119,7 +156,15 @@ object Robots {
       |  FROM lines WHERE directive = 'user-agent'),
       |rules AS (
       |  SELECT g.domain, g.directive AS rule, g.value AS prefix,
-      |    len(g.value) AS plen
+      |    len(g.value) AS plen,
+      |    '^' || replace(
+      |      regexp_replace(
+      |        CASE WHEN g.value LIKE '%$'
+      |             THEN substr(g.value, 1, len(g.value) - 1)
+      |             ELSE g.value END,
+      |        '([.\[\]{}()+?^$|\\])', '\\\1', 'g'),
+      |      '*', '.*')
+      |      || CASE WHEN g.value LIKE '%$' THEN '$' ELSE '' END AS rx
       |  FROM grouped g JOIN agents a USING (domain, agent_line)
       |  WHERE g.directive IN ('allow', 'disallow') AND g.value != ''
       |    AND a.agent = '*'),
@@ -133,10 +178,10 @@ object Robots {
       |      ORDER BY r.plen DESC NULLS LAST,
       |        CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END DESC NULLS LAST) AS rn
       |  FROM urls u LEFT JOIN rules r
-      |    ON r.domain = u.domain AND starts_with(u.path, r.prefix))
+      |    ON r.domain = u.domain AND regexp_matches(u.path, r.rx))
       |SELECT domain, COUNT(*) AS n_urls,
-      |  SUM(CASE WHEN rule IS NULL OR rule = 'allow' THEN 1 ELSE 0 END) AS n_allowed,
-      |  SUM(CASE WHEN NOT (rule IS NULL OR rule = 'allow') THEN 1 ELSE 0 END) AS n_blocked
+      |  CAST(SUM(CASE WHEN rule IS NULL OR rule = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+      |  CAST(SUM(CASE WHEN NOT (rule IS NULL OR rule = 'allow') THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
       |FROM matched WHERE rn = 1
       |GROUP BY domain ORDER BY domain""".stripMargin
 }

@@ -118,7 +118,7 @@ object Segment {
       |  SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
       |  FROM dev GROUP BY event_type)
       |SELECT dev.event_type, dev.med, mad.mad, COUNT(*) AS n,
-      |  SUM(CASE WHEN adev > $MadK * mad THEN 1 ELSE 0 END) AS n_outliers,
+      |  CAST(SUM(CASE WHEN adev > $MadK * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
       |  ROUND(CAST(SUM(CASE WHEN adev > $MadK * mad THEN 1 ELSE 0 END)
       |    AS DOUBLE) / COUNT(*), 6) AS outlier_rate
       |FROM dev JOIN mad ON dev.event_type = mad.event_type

@@ -74,8 +74,8 @@ object SemDedup {
       |        ELSE list_dot_product(a.v, b.v) / (sqrt(a.xx) * sqrt(b.xx))
       |        END, 9) >= $Tau)
       |SELECT a.cid, COUNT(*) AS n_total,
-      |  SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
-      |  SUM(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END) AS n_kept
+      |  CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
       |GROUP BY a.cid
       |ORDER BY a.cid""".stripMargin

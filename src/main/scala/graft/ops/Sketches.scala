@@ -109,10 +109,10 @@ object Sketches {
       |  FROM probes p LEFT JOIN bloom b USING (word)
       |  GROUP BY p.user_id)
       |SELECT COUNT(*) AS n_users,
-      |  SUM(CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_flagged,
-      |  SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS n_bloom_pass,
-      |  SUM(CASE WHEN pass AND f.user_id IS NULL THEN 1 ELSE 0 END) AS n_false_pos,
-      |  SUM(CASE WHEN NOT pass AND f.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_false_neg,
+      |  CAST(SUM(CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+      |  CAST(SUM(CASE WHEN pass AND f.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      |  CAST(SUM(CASE WHEN NOT pass AND f.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
       |  ROUND(CAST(SUM(CASE WHEN pass AND f.user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
       |    / (COUNT(*) - SUM(CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END)), 6) AS fp_rate
       |FROM passed p LEFT JOIN flagged f USING (user_id)""".stripMargin
@@ -208,7 +208,7 @@ object Sketches {
       |          THEN ${HllM.toDouble} * ROUND(ln(${HllM.toDouble} / v), 9)
       |          ELSE ROUND($HllNumerator / s, 2) END, 2) AS est
       |  FROM stats CROSS JOIN e)
-      |SELECT exact_distinct, v AS empty_registers, raw_est, est,
+      |SELECT exact_distinct, CAST(v AS BIGINT) AS empty_registers, raw_est, est,
       |  ROUND(abs(est - exact_distinct) / exact_distinct, 4) AS rel_err
       |FROM est""".stripMargin
 

@@ -188,7 +188,7 @@ object TextAnalysis {
       |  FROM (SELECT unnest($tokSql) AS tok FROM documents)
       |  GROUP BY 1),
       |totals AS (
-      |  SELECT COUNT(*) AS vocab, SUM(f) AS n_tokens FROM freq),
+      |  SELECT COUNT(*) AS vocab, CAST(SUM(f) AS BIGINT) AS n_tokens FROM freq),
       |top AS (
       |  SELECT f FROM freq ORDER BY f DESC, w LIMIT ${HillK + 1}),
       |thr AS (
