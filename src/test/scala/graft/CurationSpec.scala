@@ -96,28 +96,86 @@ class CurationSpec extends SparkSpec {
     assert(once.as[String].head() === twice.as[String].head())
   }
 
-  test("robots longest-prefix-match: Allow overrides shorter Disallow") {
+  /** Independent RFC 9309 matcher: escape regex metachars, `*`→`.*`,
+    * trailing `$` anchors; longest raw pattern wins, Allow on ties. */
+  private def rfc9309Allowed(rules: Seq[(String, String)], path: String): Boolean = {
+    def toRx(p: String): String = {
+      val anchored = p.endsWith("$")
+      val body = if (anchored) p.dropRight(1) else p
+      val esc = body.flatMap {
+        case c if ".\\[]{}()+?^$|".contains(c) => "\\" + c
+        case '*' => ".*"
+        case c => c.toString
+      }
+      "^" + esc + (if (anchored) "$" else "")
+    }
+    val hits = rules.filter { case (_, p) =>
+      toRx(p).r.findFirstIn(path).isDefined }
+    if (hits.isEmpty) true
+    else {
+      val best = hits.maxBy { case (rule, p) => (p.length, rule == "allow") }
+      best._1 == "allow"
+    }
+  }
+
+  test("robots RFC 9309 matching: wildcards, anchors, longest-match, Allow ties") {
     val rules = Robots.parseRules(Robots.robotsTxt(spark))
     // the googlebot group must not leak into the * group
     val star = rules.filter(col("agent") === "*")
     assert(star.filter(col("prefix") === "/").count() === 0)
+    // the corpus must actually contain wildcard/anchor rules
+    assert(star.filter(col("prefix").contains("*")).count() > 0)
+    assert(star.filter(col("prefix").endsWith("$")).count() > 0)
+    val starRules = star.select("domain", "rule", "prefix")
+      .as[(String, String, String)].collect()
+      .groupBy(_._1).map { case (d, xs) =>
+        d -> xs.map(x => (x._2, x._3)).toSeq }
     val out = Robots.robotsEnforce(spark, sfDir)
       .collect().map(r => r.getAs[String]("domain") ->
         (r.getAs[Long]("n_urls"), r.getAs[Long]("n_allowed"))).toMap
-    // brute-force the expected verdicts
+    // brute-force the expected verdicts with the independent matcher
     val ids = Tables.part(spark, sfDir).select("p_partkey").as[Long]
       .collect().filter(_ < 400)
     val expected = ids.groupBy(id => s"d${id % 20}.test").map { case (dom, xs) =>
-      val k = xs.head % 20
-      val dis = s"/p/${k % 10}"
-      val allow = s"/p/${k % 10}${k % 10}"
-      dom -> xs.count { id =>
-        val p = s"/p/$id"
-        if (p.startsWith(allow)) true else !p.startsWith(dis)
-      }.toLong
+      dom -> xs.count(id => rfc9309Allowed(starRules(dom), s"/p/$id")).toLong
     }
     expected.foreach { case (dom, nAllowed) =>
       assert(out(dom)._2 === nAllowed, s"$dom allowed mismatch") }
+    // the wildcard disallow must block something, and its longer
+    // Allow must re-allow something, in at least one domain
+    val anyBlocked = ids.exists { id =>
+      !rfc9309Allowed(starRules(s"d${id % 20}.test"), s"/p/$id")
+    }
+    assert(anyBlocked, "no URL blocked — rules never fire")
+    val reAllowed = ids.exists { id =>
+      val dom = s"d${id % 20}.test"
+      val rs = starRules(dom)
+      val wildcardOnly = rs.filter { case (r, p) =>
+        r == "disallow" && p.contains("*") }
+      val blockedByWildcard = !rfc9309Allowed(
+        wildcardOnly.map { case (_, p) => ("disallow", p) }, s"/p/$id")
+      blockedByWildcard && rfc9309Allowed(rs, s"/p/$id")
+    }
+    assert(reAllowed, "wildcard Allow override never fires")
+  }
+
+  test("patternToRegex handles wildcard, anchor, and metachar escape") {
+    val cases = Seq(
+      ("/p/1*3$", "/p/123", true),   // star + anchor hit
+      ("/p/1*3$", "/p/1234", false), // anchor rejects suffix
+      ("/p/1*3$", "/p/13", true),    // star matches empty
+      ("/*.pdf$", "/a/b.pdf", true), // classic extension block
+      ("/*.pdf$", "/a/b.pdfx", false),
+      ("/a.c", "/abc", false),       // dot is LITERAL, not regex-any
+      ("/a.c", "/a.c", true),
+      ("/p/", "/p/7", true),         // plain prefix still prefix
+      ("/p/$", "/p/", true),         // anchor on exact path
+      ("/p/$", "/p/7", false))
+    val df = cases.toDF("pattern", "path", "want")
+      .withColumn("got", regexp_like(col("path"),
+        Robots.patternToRegex(col("pattern"))))
+    val bad = df.filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
   }
 
   test("bigram LM: rarer transitions score lower than common ones") {
