@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *     bytes — which the DuckDB oracle derives independently from
   *     the md5 hex — putting a genuine encode→decode roundtrip
   *     under the cross-engine hash check (and MediaSpec pins
-  *     pixel-exact recovery).
+  *     pixel-exact recovery). JPEG payloads ride the SAME decode
+  *     ([[decodeImage]] sniffs the format) and [[reencodeJpeg]]
+  *     mirrors the reference's normalize-to-JPEG step
+  *     (`backend/src/embeddings.py:22-31`) — lossy, so spec-pinned
+  *     instead of oracle-hashed.
   */
 object Media {
 
@@ -121,11 +125,50 @@ object Media {
       ImageBytes(r.id, bos.toByteArray)
     }
 
-  /** REAL image decode: `javax.imageio` parses the PNG and the
-    * features come off the decoded raster. Lossless format ⇒ the
-    * raster equals the original payload bytes, which is what makes
-    * the roundtrip oracle-checkable. */
-  private[graft] def decodePng(rows: Iterator[ImageBytes]): Iterator[DecodedImage] =
+  /** REAL image encode, JPEG flavor: same 4×4 grayscale raster
+    * through the JDK's JPEG writer. The reference re-encodes ANY
+    * fetched image to JPEG before embedding
+    * (`backend/src/embeddings.py:22-31`, PIL `convert("RGB")` +
+    * `save(format="JPEG")`); this is that normalization step. JPEG is
+    * LOSSY, so this path is spec-pinned (MediaSpec tolerance + chain
+    * checks) rather than cross-engine oracle-hashed — the DCT output
+    * is codec-specific. */
+  private[graft] def encodeJpeg(rows: Iterator[MediaRow]): Iterator[ImageBytes] =
+    rows.map { r =>
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < 16) {
+        raster.setSample(i % 4, i / 4, 0, r.content(i) & 0xff)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      ImageBytes(r.id, bos.toByteArray)
+    }
+
+  /** The reference's image-normalization step as a per-partition
+    * transform: decode WHATEVER format the payload is in (ImageIO
+    * sniffs PNG/JPEG/GIF/BMP from the bytes) and re-encode as JPEG —
+    * the byte-level contract `embeddings.py:22-31` establishes before
+    * the vision model sees anything. */
+  private[graft] def reencodeJpeg(rows: Iterator[ImageBytes]): Iterator[ImageBytes] =
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.png))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      ImageBytes(r.id, bos.toByteArray)
+    }
+
+  /** REAL image decode: `javax.imageio` sniffs the container format
+    * from the bytes (PNG and JPEG both ride this path — the reference
+    * accepts arbitrary fetched images) and the features come off the
+    * decoded raster. For PNG (lossless) the raster equals the original
+    * payload bytes, which is what makes the q78 roundtrip
+    * oracle-checkable; the JPEG flavor is pinned by MediaSpec. */
+  private[graft] def decodeImage(rows: Iterator[ImageBytes]): Iterator[DecodedImage] =
     rows.map { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.png))
@@ -157,7 +200,7 @@ object Media {
     val ds = mediaTable(spark, sfDir)
       .filter(col("kind") === "image" && col("id") < 50)
       .as[MediaRow]
-    ds.mapPartitions(rows => decodePng(encodePng(rows))).toDF()
+    ds.mapPartitions(rows => decodeImage(encodePng(rows))).toDF()
       .select(col("id"), col("width"), col("height"), col("mean_pixel"),
         col("h0"), col("h1"), col("h2"), col("h3"))
       .orderBy(col("id"))

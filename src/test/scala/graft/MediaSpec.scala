@@ -45,6 +45,50 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("JPEG fixture decodes through the same path and embeds") {
+    val rows = Media.mediaTable(spark, sfDir)
+      .filter(col("kind") === "image" && col("id") < 20)
+      .as[Media.MediaRow].collect()
+    // real JFIF/SOI magic on every encoded image
+    val jpegs = Media.encodeJpeg(rows.iterator).toSeq
+    jpegs.foreach { j =>
+      assert((j.png(0) & 0xff) === 0xff && (j.png(1) & 0xff) === 0xd8,
+        "missing JPEG SOI marker")
+    }
+    // the SAME decode path that handles PNG sniffs and decodes JPEG
+    val decoded = Media.decodeImage(jpegs.iterator).toSeq
+    decoded.zip(rows).foreach { case (d, src) =>
+      assert(d.width === 4 && d.height === 4)
+      assert(d.h0 + d.h1 + d.h2 + d.h3 === 16)
+      // lossy codec: mean survives within a loose DCT tolerance
+      val srcMean = src.content.map(_ & 0xff).sum.toDouble / 16
+      assert(math.abs(d.mean_pixel - srcMean) < 32.0,
+        s"id ${d.id}: JPEG mean ${d.mean_pixel} vs source $srcMean")
+    }
+    // reference normalization: a PNG payload re-encodes to JPEG and
+    // still decodes through the shared path
+    val pngs = Media.encodePng(rows.iterator).toSeq
+    val normalized = Media.reencodeJpeg(pngs.iterator).toSeq
+    normalized.foreach(j =>
+      assert((j.png(0) & 0xff) === 0xff && (j.png(1) & 0xff) === 0xd8))
+    assert(Media.decodeImage(normalized.iterator).size === rows.length)
+    // and the decoded-JPEG bytes flow through the visionEmbed chain:
+    // 64 unit-norm dims per image, same as the PNG/raw path
+    val fromJpeg = decoded.map { d =>
+      (d.id, Array.fill(16)((d.mean_pixel / 255.0 * 127).toByte))
+    }.toDF("id", "content")
+    val emb = fromJpeg.select($"id",
+      graft.functions.Embeddings.embedVision($"content").as("e"))
+      .select($"id", size($"e").as("n"),
+        round(aggregate($"e", lit(0.0d), (acc, v) => acc + v * v), 6)
+          .as("norm2"))
+      .collect()
+    emb.foreach { r =>
+      assert(r.getAs[Int]("n") === 64)
+      assert(math.abs(r.getAs[Double]("norm2") - 1.0) < 1e-4)
+    }
+  }
+
   test("video payload is one real binary cell of 16-byte frames") {
     val v = graft.ops.Video.videoTable(spark, sfDir)
       .select($"video_id", $"n_frames", length($"content").as("len"))
