@@ -48,6 +48,39 @@ object TextOps {
   def ftsMatch(text: Column, query: Column): Column =
     arrays_overlap(tokens(text), tokens(query))
 
+  /** Stemming-lite suffix set shared by q52's vocabulary and the
+    * stemmed FTS variant. The fold nests CASEs so the LAST element is
+    * checked first → ordered shortest→longest to give longer suffixes
+    * priority; [[stemSql]] builds the identical nesting for DuckDB. */
+  val StemSuffixes: Seq[String] = Seq("s", "es", "ed", "edly", "ing", "ings")
+
+  /** Suffix-stripping normalizer: plural/gerund/past suffixes removed
+    * from tokens ≥ 5 chars — the deterministic core of index-time
+    * text normalization (the reference gets real Snowball stemming
+    * from Postgres `to_tsquery('english', …)`, `search.py:61`; this
+    * is the cross-engine-reproducible subset). */
+  def stem(t: Column): Column =
+    StemSuffixes.foldLeft(t) { (acc, suf) =>
+      when(length(t) >= 5 && t.endsWith(suf),
+        t.substr(lit(1), length(t) - lit(suf.length))).otherwise(acc)
+    }
+
+  /** The DuckDB rendering of [[stem]] over token expression `v` —
+    * same single-source rule as [[tokSql]]. */
+  def stemSql(v: String): String =
+    StemSuffixes.foldLeft(v) { (acc, suf) =>
+      s"CASE WHEN length($v) >= 5 AND $v LIKE '%$suf' " +
+        s"THEN substr($v, 1, length($v) - ${suf.length}) ELSE $acc END"
+    }
+
+  /** Stemmed full-text match: both haystack and query tokens pass
+    * through [[stem]] before the overlap test, so inflected forms
+    * match their root ("frost" finds "frosted"). Same null-strict
+    * concat discipline as [[ftsMatch]]. */
+  def ftsMatchStemmed(text: Column, query: Column): Column =
+    arrays_overlap(transform(tokens(text), stem _),
+      transform(tokens(query), stem _))
+
   /** Domain from url: authority host (reference `urlparse(url).netloc`,
     * `db.py:61`). parse_url is codegen'd in Spark; oracle uses an
     * equivalent regexp. */

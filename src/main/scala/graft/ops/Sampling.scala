@@ -33,34 +33,20 @@ object Sampling {
       |    AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** Suffix-stripping normalizer (stemming-lite): plural/gerund/past
-    * suffixes removed from tokens ≥ 5 chars — the deterministic core
-    * of index-time text normalization. The fold nests CASEs so the
-    * LAST element is checked first → iterate shortest→longest to give
-    * longer suffixes priority; identical nesting in the oracle. */
-  private val suffixes = Seq("s", "es", "ed", "edly", "ing", "ings")
-
-  /** q52: stem-normalized vocabulary — top terms after stemming,
-    * proving the normalizer collapses inflected forms. */
+  /** q52: stem-normalized vocabulary — top terms after stemming
+    * ([[TextOps.stem]], the shared stemming-lite normalizer), proving
+    * the normalizer collapses inflected forms. */
   def stemmedVocab(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
     val toks = d.select(explode(TextOps.tokens(col("text"))).as("t"))
-    val stemmed = toks.withColumn("stem",
-      suffixes.foldLeft(col("t")) { (acc, suf) =>
-        when(length(col("t")) >= 5 && col("t").endsWith(suf),
-          expr(s"substring(t, 1, length(t) - ${suf.length})"))
-          .otherwise(acc)
-      })
+    val stemmed = toks.withColumn("stem", TextOps.stem(col("t")))
     stemmed.groupBy(col("stem")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("stem"))
       .limit(15)
   }
 
   val stemmedVocabSql: String = {
-    val stemExpr = suffixes.foldLeft("t") { (acc, suf) =>
-      s"CASE WHEN length(t) >= 5 AND t LIKE '%$suf' " +
-        s"THEN substr(t, 1, length(t) - ${suf.length}) ELSE $acc END"
-    }
+    val stemExpr = TextOps.stemSql("t")
     s"""WITH toks AS (
       |  SELECT unnest(list_filter(
       |    string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '')) AS t

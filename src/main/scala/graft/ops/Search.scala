@@ -215,6 +215,53 @@ object Search {
       |ORDER BY last_crawled DESC, id
       |LIMIT 10 OFFSET 10""".stripMargin
 
+  /** q135: STEMMED listing (the F2 variant matching the reference's
+    * Postgres `to_tsquery('english', …)` semantics, `search.py:61`) —
+    * identical listing shape to q9 but both haystack and query tokens
+    * pass through [[graft.functions.TextOps.stem]] before the overlap
+    * test, so the inflected query "widgets gearing" normalizes to
+    * (widget, gear) and retrieves the titles the literal tokens miss
+    * entirely — the query-side normalization Postgres to_tsquery
+    * performs. First page, default recency sort.
+    *
+    * Scale shape: same as q9 — codegen'd scan-local predicate,
+    * TakeOrderedAndProject page, partial-agg total, 1-row broadcast
+    * cross join. Stemming adds zero exchanges. */
+  def listingStemmed(spark: SparkSession, sfDir: String): DataFrame = {
+    val wp = Corpus.webPages(spark, sfDir)
+    val hay = concat(col("title"), lit(" "), col("domain"), lit(" "),
+      col("url"))
+    val query = lit("widgets gearing")
+    val filtered = wp.filter(
+      TextOps.ftsMatchStemmed(hay, query) === true)
+    val page = filtered
+      .orderBy(col("last_crawled").desc, col("id"))
+      .limit(10)
+      .select(col("id"), col("url"), col("domain"), col("title"),
+        unix_timestamp(col("last_crawled")).as("crawled_s"))
+    val total = filtered.agg(count(lit(1)).as("total"))
+    page.crossJoin(broadcast(total))
+      .select(col("total"), col("id"), col("url"), col("domain"),
+        col("title"), col("crawled_s"))
+  }
+
+  val listingStemmedSql: String = {
+    val st = TextOps.stemSql("t")
+    s"""WITH ${Corpus.webPagesCte},
+      |filtered AS (
+      |  SELECT * FROM web_pages
+      |  WHERE len(list_intersect(
+      |    list_transform(
+      |      list_filter(string_split_regex(lower(title || ' ' || domain || ' ' || url), '[^a-z0-9_]+'), x -> x != ''),
+      |      t -> $st),
+      |    list_transform(['widgets', 'gearing'], t -> $st))) > 0)
+      |SELECT (SELECT COUNT(*) FROM filtered) AS total,
+      |  id, url, domain, title, CAST(epoch(last_crawled) AS BIGINT) AS crawled_s
+      |FROM filtered
+      |ORDER BY last_crawled DESC, id
+      |LIMIT 10""".stripMargin
+  }
+
   /** Snippet search (P11 + F2) over the documents table: filter docs
     * containing any query token, emit the ±100-char window around the
     * first hit, top-10 by doc_id. */

@@ -36,6 +36,41 @@ class ListingSpec extends SparkSpec {
     }
   }
 
+  test("stemmed listing retrieves inflected forms plain FTS misses") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    val wp = graft.Corpus.webPages(spark, sfDir)
+    val hay = concat(col("title"), lit(" "), col("domain"), lit(" "),
+      col("url"))
+    val q = lit("widgets gearing")
+    val plain = wp.filter(TextOps.ftsMatch(hay, q) === true).count()
+    val stemmed = wp.filter(TextOps.ftsMatchStemmed(hay, q) === true).count()
+    // neither literal token exists in any title; both stem to words
+    // ("widget", "gear") that do
+    assert(stemmed > plain, s"stemmed=$stemmed plain=$plain")
+    // the stemmed set contains every plain match (stemming only widens)
+    val plainIds = wp.filter(TextOps.ftsMatch(hay, q) === true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val stemmedIds = wp.filter(TextOps.ftsMatchStemmed(hay, q) === true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plainIds.subsetOf(stemmedIds))
+    // haystack-side stemming (no inflected forms exist in the corpus
+    // vocabulary, so pin it on a synthetic frame): a root query finds
+    // inflected document text
+    import spark.implicits._
+    val synth = Seq("sorted widgets arrived", "plain gear here", "nothing")
+      .toDF("t")
+    val hits = synth
+      .filter(TextOps.ftsMatchStemmed(col("t"), lit("sort gearing")) === true)
+      .count()
+    assert(hits === 2,
+      "haystack 'sorted' must stem to 'sort'; query 'gearing' to 'gear'")
+    // and the q135 page itself is well-formed
+    val page = Search.listingStemmed(spark, sfDir).collect()
+    assert(page.nonEmpty && page.length <= 10)
+    assert(page.map(_.getAs[Long]("total")).toSet.size === 1)
+  }
+
   test("ascending sort by id paginates in key order") {
     val p = Search.listingPage(spark, sfDir, "widget", sortBy = "id",
       asc = true, offset = 0, limit = 5).collect()
