@@ -45,7 +45,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    // dev filter: SPARK_GRAFT_BENCH_ONLY=q23,q53 limits the run to
+    // queries whose qNN prefix is listed (full suite when unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
     val results =
       if (fork) names.map(runForked(_, sfDir, reps))
       else runShared(names, sfDir, reps)

@@ -180,19 +180,30 @@ object Quant {
     * public-method replacement for the reference's dead SVD-reduce
     * path (`embeddings.py` P9, never called).
     *
-    * The projection is one scan (each output coordinate is a ±1-
-    * signed sum over the input — no shuffle at all); distances use
-    * d²(a,b) = aa + bb − 2ab so every term is a left-fold dot
-    * product both engines evaluate in the same order. The audit
+    * The projection applies CORPUS-WIDE in one scan (each output
+    * coordinate is a ±1-signed sum over the input — no shuffle at
+    * all), and the output row carries corpus-wide stats (n_vectors,
+    * avg projected norm) so that scan is observable, not prunable.
+    * Only the pairwise-distance AUDIT is quadratic, and it
     * cross-joins a [[JlSample]]-vector sample against itself —
-    * explicitly sample-bounded, never corpus × corpus. */
+    * explicitly sample-bounded, never corpus × corpus. Distances use
+    * d²(a,b) = aa + bb − 2ab so every term is a left-fold dot
+    * product both engines evaluate in the same order. */
   def jlProject(spark: SparkSession, sfDir: String): DataFrame = {
     val scale = math.sqrt(JlK.toDouble)
-    val e = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") < JlSample)
+    def project(df: DataFrame): DataFrame = df
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("p", array(jlSigns.map(row =>
         VectorOps.dot(col("v"), typedLit(row)) / lit(scale)): _*))
+    // corpus-wide projection: one scan, constant-size aggregate
+    val corpus = project(Tables.embeddings(spark, sfDir))
+      .select(round(sqrt(VectorOps.dot(col("p"), col("p"))), 9).as("pn"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("pn").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("avg_proj_norm"))
+    // sample-bounded distortion audit
+    val e = project(Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < JlSample))
       .select(col("vec_id"), col("v"), col("p"),
         VectorOps.dot(col("v"), col("v")).as("vv"),
         VectorOps.dot(col("p"), col("p")).as("pp"))
@@ -217,6 +228,7 @@ object Quant {
       round(max(col("ratio")), 6).as("max_ratio"),
       round(sum(when(abs(col("ratio") - 1.0) <= 0.2, 1L).otherwise(0L))
         .cast("double") / count(lit(1)), 6).as("frac_within_20pct"))
+      .crossJoin(broadcast(corpus))
   }
 
   val jlProjectSql: String = {
@@ -224,6 +236,16 @@ object Quant {
       if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
     s"""WITH signs AS (SELECT ${signRows}::DOUBLE[][] AS m),
+      |corpus_proj AS (
+      |  SELECT list_transform(range(1, $JlK + 1),
+      |      j -> list_dot_product(CAST(embedding AS DOUBLE[]), m[j])
+      |           / sqrt($JlK)) AS p
+      |  FROM embeddings CROSS JOIN signs),
+      |corpus_stats AS (
+      |  SELECT COUNT(*) AS n_vectors,
+      |    ROUND(CAST(SUM(CAST(ROUND(sqrt(list_dot_product(p, p)), 9)
+      |        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_proj_norm
+      |  FROM corpus_proj),
       |e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings WHERE vec_id < $JlSample),
@@ -240,14 +262,18 @@ object Quant {
       |  SELECT ROUND(sqrt((a.pp + b.pp - 2 * list_dot_product(a.p, b.p))
       |      / (a.vv + b.vv - 2 * list_dot_product(a.v, b.v))), 9) AS ratio
       |  FROM withn a JOIN withn b ON a.vec_id < b.vec_id
-      |  WHERE a.vv + b.vv - 2 * list_dot_product(a.v, b.v) > 0)
-      |SELECT COUNT(*) AS n_pairs,
-      |  ROUND(CAST(SUM(CAST(ratio AS DECIMAL(28,12))) AS DOUBLE)
-      |    / COUNT(*), 6) AS avg_ratio,
-      |  ROUND(MIN(ratio), 6) AS min_ratio,
-      |  ROUND(MAX(ratio), 6) AS max_ratio,
-      |  ROUND(CAST(SUM(CASE WHEN ABS(ratio - 1.0) <= 0.2 THEN 1 ELSE 0 END)
-      |      AS DOUBLE) / COUNT(*), 6) AS frac_within_20pct
-      |FROM pairs""".stripMargin
+      |  WHERE a.vv + b.vv - 2 * list_dot_product(a.v, b.v) > 0),
+      |audit AS (
+      |  SELECT COUNT(*) AS n_pairs,
+      |    ROUND(CAST(SUM(CAST(ratio AS DECIMAL(28,12))) AS DOUBLE)
+      |      / COUNT(*), 6) AS avg_ratio,
+      |    ROUND(MIN(ratio), 6) AS min_ratio,
+      |    ROUND(MAX(ratio), 6) AS max_ratio,
+      |    ROUND(CAST(SUM(CASE WHEN ABS(ratio - 1.0) <= 0.2 THEN 1 ELSE 0 END)
+      |        AS DOUBLE) / COUNT(*), 6) AS frac_within_20pct
+      |  FROM pairs)
+      |SELECT n_pairs, avg_ratio, min_ratio, max_ratio, frac_within_20pct,
+      |  n_vectors, avg_proj_norm
+      |FROM audit CROSS JOIN corpus_stats""".stripMargin
   }
 }
