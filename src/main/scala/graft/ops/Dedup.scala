@@ -301,7 +301,16 @@ object Dedup {
     * high-16 bucket required ALL differing bits to fall in the low
     * half — strictly lower recall; banding is its scale
     * generalization.) Shuffle carries (doc_id, simhash, band, key8)
-    * only — signature-sized, length-independent. */
+    * only — signature-sized, length-independent.
+    *
+    * DESIGN BOUNDARY — pair output is quadratic in duplicate-cluster
+    * size: candidate volume is exactly Σ over (band, key) buckets of
+    * C(n, 2) (DedupSpec pins this identity), so a corpus whose
+    * duplicate clusters grow 100× emits ~10⁴× the pairs (sf0.1's
+    * 5.6M-row result IS the pair set, not overhead). The scale
+    * mitigation is group-level output — feed these pairs to q53's
+    * connected components and emit one row per GROUP — not pair-level
+    * enumeration. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val hs = array_distinct(transform(TextOps.tokens(col("text")),
       t => TextOps.hash60(t)))

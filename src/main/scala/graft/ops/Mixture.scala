@@ -146,4 +146,120 @@ object Mixture {
       |FROM supply s CROSS JOIN lam l
       |ORDER BY s.source""".stripMargin
   }
+
+  // ---- q137: epoch oversampling plan -------------------------------
+
+  /** Oversampling multiplier for the upsampled mixture: the plan
+    * targets 2× the corpus document count. */
+  val EpochFactor = 2L
+
+  /** q137: epoch oversampling plan — turn mixture weights into an
+    * EXECUTABLE duplication plan with exact integer counts. Targets
+    * T = 2·|corpus| documents distributed ∝ sqrt(supply) (the q93
+    * temperature), rounded to integers by LARGEST REMAINDER (Hamilton
+    * apportionment: floor every quota, hand the leftover seats to the
+    * biggest fractional parts, source-name tiebreak) so the per-source
+    * targets sum to T EXACTLY. Each source's target becomes per-doc
+    * repeat factors: base = target / n_docs for everyone, +1 for the
+    * `target mod n_docs` lowest doc_ids — deterministic, no RNG, and
+    * re-runnable to the same physical sample. The output row proves
+    * the explode happened: n_out counts the physically emitted copies
+    * and id_checksum = Σ doc_id · copies over the exploded relation.
+    *
+    * Shape: quotas live on one row per source (a 20-row window);
+    * the duplication itself is a scan-local `explode(sequence())` —
+    * repeat factors join back by source + id-rank, no shuffle carries
+    * text, and at 100 TB the exploded relation streams straight to
+    * the shard writer. */
+  def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val supply = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val totals = supply.agg(
+      sum(col("n_docs")).cast("long").as("tot_docs"),
+      sum(round(sqrt(col("n_docs").cast("double")), 9)
+        .cast("decimal(28,9)")).as("tot_w"))
+    val quotas = supply.crossJoin(broadcast(totals))
+      .withColumn("w", round(sqrt(col("n_docs").cast("double")), 9))
+      .withColumn("t_target", (col("tot_docs") * lit(EpochFactor)).cast("double"))
+      .withColumn("quota",
+        col("t_target") * col("w") / col("tot_w").cast("double"))
+      .withColumn("fl", floor(col("quota")).cast("long"))
+      .withColumn("rem", round(col("quota") - col("fl"), 9))
+    // leftover seats = T - Σ floor(quota); hand them to the largest
+    // remainders (source tiebreak) — a ≤|sources|-row window
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    val seats = quotas.crossJoin(broadcast(
+        quotas.agg((max(col("t_target")).cast("long")
+          - sum(col("fl"))).as("leftover"))))
+      .withColumn("seat_rank", row_number().over(wRem))
+      .withColumn("target",
+        col("fl") + when(col("seat_rank") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("target"))
+    // per-doc repeat factors: base for all, +1 for the extra lowest ids
+    val wId = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val repeats = d.join(broadcast(seats), Seq("source"))
+      .withColumn("id_rank", row_number().over(wId))
+      .withColumn("copies",
+        expr("target div n_docs") // integral division, not double /
+          + when(col("id_rank") <= col("target") % col("n_docs"), 1L)
+            .otherwise(0L))
+    // physically emit the copies, then prove conservation per source
+    val exploded = repeats
+      .filter(col("copies") > 0)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+    exploded.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_out"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .join(broadcast(seats), Seq("source"))
+      .select(col("source"), col("n_docs"), col("target"), col("n_out"),
+        col("id_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val epochPlanSql: String =
+    s"""WITH d AS (SELECT doc_id, source FROM documents),
+      |supply AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+      |totals AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+      |    SUM(CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9))) AS tot_w
+      |  FROM supply),
+      |quotas AS (
+      |  SELECT source, n_docs,
+      |    CAST(tot_docs * $EpochFactor AS DOUBLE)
+      |      * ROUND(sqrt(CAST(n_docs AS DOUBLE)), 9)
+      |      / CAST(tot_w AS DOUBLE) AS quota,
+      |    CAST(tot_docs * $EpochFactor AS BIGINT) AS t_target
+      |  FROM supply CROSS JOIN totals),
+      |fl AS (
+      |  SELECT *, CAST(FLOOR(quota) AS BIGINT) AS fl,
+      |    ROUND(quota - FLOOR(quota), 9) AS rem
+      |  FROM quotas),
+      |seats AS (
+      |  SELECT source, n_docs, fl
+      |    + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+      |        <= t_target - (SELECT CAST(SUM(fl) AS BIGINT) FROM fl)
+      |      THEN 1 ELSE 0 END AS target
+      |  FROM fl),
+      |repeats AS (
+      |  SELECT d.source, d.doc_id,
+      |    target // s.n_docs
+      |      + CASE WHEN ROW_NUMBER() OVER (PARTITION BY d.source
+      |          ORDER BY d.doc_id) <= target % s.n_docs
+      |        THEN 1 ELSE 0 END AS copies
+      |  FROM d JOIN seats s ON d.source = s.source),
+      |exploded AS (
+      |  SELECT source, doc_id
+      |  FROM repeats CROSS JOIN LATERAL
+      |    unnest(generate_series(1, copies)) AS t(copy_idx)
+      |  WHERE copies > 0)
+      |SELECT e.source, s.n_docs, s.target,
+      |  COUNT(*) AS n_out,
+      |  CAST(SUM(e.doc_id) AS BIGINT) AS id_checksum
+      |FROM exploded e
+      |JOIN seats s ON e.source = s.source
+      |GROUP BY e.source, s.n_docs, s.target
+      |ORDER BY e.source""".stripMargin
 }

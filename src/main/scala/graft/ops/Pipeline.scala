@@ -324,4 +324,95 @@ object Pipeline {
       |FROM corp JOIN bench USING (g)
       |GROUP BY bench_id ORDER BY bench_id""".stripMargin
   }
+
+  // ---- q138: decode-loop artifact detection ------------------------
+
+  /** A period-p loop needs ≥3 full repeats to count (run length in
+    * the match string ≥ 2p positions). */
+  val LoopRepeats = 3
+
+  /** q138: model-generated decode-loop detection — the degenerate
+    * "the cat the cat the cat …" repetition that greedy/low-temp
+    * decoding produces and that corpus filters must catch before
+    * synthetic text re-enters training. A document loops with period
+    * p iff tokens satisfy t[i] = t[i+p] over a long stretch; q60's
+    * distinct/total repetition score misses this (a long doc with one
+    * loop still has high distinct fraction), so this op measures the
+    * LONGEST CONSECUTIVE RUN of period-p matches for p ∈ {1,2,3}.
+    *
+    * Run length is computed engine-portably with the string-run
+    * trick: the per-position match flags become a '1'/'0' string,
+    * split on '0', max fragment length — no sequential fold, no UDF.
+    * A period-p run of length L means (L+p)/p repeats; flag at
+    * ≥ [[LoopRepeats]] (run ≥ 2p).
+    *
+    * The corpus plants loop docs (+400000: a trigram repeated 8×
+    * appended) so the detector provably fires; both engines build the
+    * same plant.
+    *
+    * Shape: entirely scan-local per-document array math (zero
+    * exchanges before the ≤20-row per-source rollup) — the ideal
+    * 100 TB filter shape. */
+  def loopArtifacts(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val planted = d.filter(pmod(col("doc_id"), lit(40)) === 0)
+      .select((col("doc_id") + 400000).as("doc_id"), col("source"),
+        concat(col("text"),
+          lit(" loop the gain" * 8)).as("text"))
+    val corpus = d.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(planted)
+    def maxRun(p: Int): org.apache.spark.sql.Column = {
+      val n = size(col("toks"))
+      val flags = transform(sequence(lit(1), n - lit(p)),
+        i => when(element_at(col("toks"), i)
+          === element_at(col("toks"), i + lit(p)), lit("1"))
+          .otherwise(lit("0")))
+      when(n > p,
+        array_max(transform(split(array_join(flags, ""), "0"), length _)))
+        .otherwise(lit(0))
+    }
+    val scored = corpus
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        maxRun(1).as("r1"), maxRun(2).as("r2"), maxRun(3).as("r3"))
+    scored.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("r1") >= 1 * (LoopRepeats - 1), 1L).otherwise(0L))
+          .as("n_loop1"),
+        sum(when(col("r2") >= 2 * (LoopRepeats - 1), 1L).otherwise(0L))
+          .as("n_loop2"),
+        sum(when(col("r3") >= 3 * (LoopRepeats - 1), 1L).otherwise(0L))
+          .as("n_loop3"),
+        max(col("r3")).cast("long").as("max_run3"))
+      .orderBy(col("source"))
+  }
+
+  val loopArtifactsSql: String = {
+    val plantTail = " loop the gain" * 8
+    def maxRunSql(p: Int): String =
+      s"""CASE WHEN len(toks) > $p THEN COALESCE(list_max(list_transform(
+         |      string_split(array_to_string(list_transform(
+         |        generate_series(1, len(toks) - $p),
+         |        i -> CASE WHEN toks[i] = toks[i + $p]
+         |             THEN '1' ELSE '0' END), ''), '0'),
+         |      r -> len(r))), 0) ELSE 0 END""".stripMargin
+    s"""WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, source,
+      |    text || '$plantTail' AS text
+      |  FROM documents WHERE doc_id % 40 = 0),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    ${maxRunSql(1)} AS r1,
+      |    ${maxRunSql(2)} AS r2,
+      |    ${maxRunSql(3)} AS r3
+      |  FROM (SELECT doc_id, source, $tokSql AS toks FROM corpus))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN r1 >= ${1 * (LoopRepeats - 1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_loop1,
+      |  CAST(SUM(CASE WHEN r2 >= ${2 * (LoopRepeats - 1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_loop2,
+      |  CAST(SUM(CASE WHEN r3 >= ${3 * (LoopRepeats - 1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_loop3,
+      |  CAST(MAX(r3) AS BIGINT) AS max_run3
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
 }

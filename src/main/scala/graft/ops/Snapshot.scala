@@ -49,6 +49,69 @@ object Snapshot {
       .orderBy(col("status"))
   }
 
+  /** q136: snapshot DISTRIBUTION drift — per-source share shift and
+    * KL(new ‖ old) contribution between the same two generations
+    * q106 diffs row-wise. Row-level diff says WHAT changed; this says
+    * whether the corpus MIX moved (the check a recurring pretraining
+    * refresh runs before retraining — a silent crawler failure shows
+    * up as a source's share collapsing long before anyone reads row
+    * diffs).
+    *
+    * Shape: one partial-agg groupBy per generation (source keys), a
+    * 1-row total broadcast onto each, and a 20-row join — constant
+    * output, no row-level exchange at all. Transcendentals follow the
+    * engine-parity recipe: shares rounded to 9 before the ln, the ln
+    * rounded to 9 before the multiply. */
+  def snapshotDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val old = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"), col("source"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("source")))
+    val neu = d.select(col("doc_id"), col("source"))
+    def shares(gen: DataFrame, n: String, p: String): DataFrame = {
+      val counts = gen.groupBy(col("source")).agg(count(lit(1)).as(n))
+      counts.crossJoin(broadcast(
+          counts.agg(sum(col(n)).cast("long").as(s"${n}_total"))))
+        .select(col("source"), col(n),
+          round(col(n).cast("double") / col(s"${n}_total"), 9).as(p))
+    }
+    shares(old, "n_old", "p_old").join(shares(neu, "n_new", "p_new"),
+        Seq("source"))
+      .withColumn("kl_term",
+        round(col("p_new") * round(log(col("p_new") / col("p_old")), 9), 9))
+      .select(col("source"), col("n_old"), col("n_new"),
+        round(col("p_old"), 6).as("p_old"),
+        round(col("p_new"), 6).as("p_new"),
+        round(abs(col("p_new") - col("p_old")), 6).as("abs_shift"),
+        col("kl_term"))
+      .orderBy(col("source"))
+  }
+
+  val snapshotDriftSql: String =
+    """WITH old AS (
+      |  SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, source
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |neu AS (SELECT doc_id, source FROM documents),
+      |o AS (
+      |  SELECT source, COUNT(*) AS n_old,
+      |    ROUND(CAST(COUNT(*) AS DOUBLE)
+      |      / (SELECT COUNT(*) FROM old), 9) AS p_old
+      |  FROM old GROUP BY source),
+      |n AS (
+      |  SELECT source, COUNT(*) AS n_new,
+      |    ROUND(CAST(COUNT(*) AS DOUBLE)
+      |      / (SELECT COUNT(*) FROM neu), 9) AS p_new
+      |  FROM neu GROUP BY source)
+      |SELECT o.source, n_old, n_new,
+      |  ROUND(p_old, 6) AS p_old, ROUND(p_new, 6) AS p_new,
+      |  ROUND(ABS(p_new - p_old), 6) AS abs_shift,
+      |  ROUND(p_new * ROUND(LN(p_new / p_old), 9), 9) AS kl_term
+      |FROM o JOIN n ON o.source = n.source
+      |ORDER BY o.source""".stripMargin
+
   val snapshotDiffSql: String = {
     val fp = (src: String) =>
       s"('0x' || substr(md5(array_to_string(${TextOps.tokSql(src)}, ' ')), 1, 15))::BIGINT"

@@ -174,6 +174,29 @@ class CurationScaleSpec extends SparkSpec {
       "dedup stage dropped nothing — planted copies missing")
   }
 
+  test("snapshot drift: counts match the carve, shares sum to 1, KL >= 0") {
+    import spark.implicits._
+    val rows = Snapshot.snapshotDrift(spark, sfDir).collect()
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id")).as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2) }
+    assert(rows.length === bySrc.size)
+    rows.foreach { r =>
+      val ids = bySrc(r.getAs[String]("source"))
+      // old generation = ids not ≡0 (mod 5), plus the ≡0 (mod 13)
+      // phantom rows; new generation = the table itself
+      assert(r.getAs[Long]("n_old") ===
+        ids.count(_ % 5 != 0) + ids.count(_ % 13 == 0))
+      assert(r.getAs[Long]("n_new") === ids.length.toLong)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("p_old")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("p_new")).sum - 1.0) < 1e-4)
+    // Gibbs: KL(new ‖ old) ≥ 0 over the full support (rounding slack)
+    assert(rows.map(_.getAs[Double]("kl_term")).sum >= -1e-6)
+    // drift is real: the carve shifts at least one source's share
+    assert(rows.map(_.getAs[Double]("abs_shift")).max > 0)
+  }
+
   test("snapshot diff: statuses match the deterministic carve") {
     import spark.implicits._
     val byStatus = Snapshot.snapshotDiff(spark, sfDir).collect()

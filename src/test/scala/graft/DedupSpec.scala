@@ -50,13 +50,11 @@ class DedupSpec extends SparkSpec {
     planted.foreach(r => assert(r.getAs[Long]("hamming") <= 6))
   }
 
-  test("simhash multi-probe: every Hamming<=3 pair is found (pigeonhole)") {
-    // brute-force ground truth at this SF, then assert the banded
-    // candidate scheme cannot miss a pair with <=3 differing bits
-    // (4 bands of 8: three flips leave at least one band untouched)
-    val pairs = Dedup.simhashPairs(spark, sfDir)
-      .select("a_id", "b_id", "hamming").collect()
-    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+  /** Independent recomputation of the near-dup corpus's simhash
+    * table (same construction as [[Dedup.simhashPairs]]'s internals,
+    * rebuilt here so the operator is checked against a second
+    * derivation). */
+  private def bruteSimhashTable = {
     import graft.functions.TextOps
     val hs = array_distinct(transform(TextOps.tokens($"text"),
       t => TextOps.hash60(t)))
@@ -65,13 +63,23 @@ class DedupSpec extends SparkSpec {
         (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L)
           .otherwise(-1L)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    Tables.documents(spark, sfDir).select($"doc_id", $"text")
       .unionByName(Tables.documents(spark, sfDir)
         .filter(pmod($"doc_id", lit(10)) === 0)
         .select(($"doc_id" + 100000).as("doc_id"),
           concat($"text", lit(" near dup tail")).as("text")))
       .select($"doc_id", hs.as("hs")).withColumn("simhash", sim)
-      .select("doc_id", "simhash").cache()
+      .select("doc_id", "simhash")
+  }
+
+  test("simhash multi-probe: every Hamming<=3 pair is found (pigeonhole)") {
+    // brute-force ground truth at this SF, then assert the banded
+    // candidate scheme cannot miss a pair with <=3 differing bits
+    // (4 bands of 8: three flips leave at least one band untouched)
+    val pairs = Dedup.simhashPairs(spark, sfDir)
+      .select("a_id", "b_id", "hamming").collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = bruteSimhashTable.cache()
     val close = d.as("a").crossJoin(d.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",
@@ -81,6 +89,37 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(close.subsetOf(found),
       s"missed guaranteed pairs: ${(close -- found).take(5)}")
+  }
+
+  test("simhash banding: candidate volume equals the bucket-size prediction") {
+    // Σ over (band, key) buckets of C(n, 2) IS the candidate count
+    // the banding scheme pays before distinct/verify — the quantity
+    // that is inherently quadratic in duplicate-CLUSTER size. This
+    // pins the banding prediction so the design boundary is explicit:
+    // at a 100× corpus the emitted pair set grows with the square of
+    // cluster sizes (q25's 5.6M rows at sf0.1 are the pair set, not a
+    // bug), and the scale mitigation is group-level output (q53), not
+    // pair-level.
+    val d = bruteSimhashTable.cache()
+    val banded = d.select($"doc_id", explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("key"))
+      }: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val predicted = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(($"n" * ($"n" - 1) / 2).cast("long")))
+      .as[Long].head()
+    val rawCandidates = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key"
+          && $"a.doc_id" < $"b.doc_id")
+      .count()
+    assert(rawCandidates === predicted,
+      s"banding bound broken: $rawCandidates candidates vs $predicted predicted")
+    // distinct candidates and verified pairs can only shrink from there
+    val emitted = Dedup.simhashPairs(spark, sfDir).count()
+    assert(emitted <= rawCandidates)
+    info(s"banding: $predicted raw candidates -> $emitted verified pairs")
   }
 
   test("embeddingNearDup finds all planted perturbed vectors") {

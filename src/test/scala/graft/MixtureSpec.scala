@@ -109,4 +109,28 @@ class MixtureSpec extends SparkSpec {
     val floor = idx.map(_._2).min
     assert(rec.values.count(_ > floor) <= idx.size)
   }
+
+  test("epoch plan: targets sum exactly to 2x corpus, physical copies match") {
+    val rows = Mixture.epochPlan(spark, sfDir).collect()
+    val totDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    // Hamilton apportionment: integer targets, EXACT total (no drift)
+    assert(rows.map(_.getAs[Long]("target")).sum ===
+      Mixture.EpochFactor * totDocs)
+    rows.foreach { r =>
+      // the exploded relation emitted exactly the planned copies
+      assert(r.getAs[Long]("n_out") === r.getAs[Long]("target"),
+        s"${r.getAs[String]("source")}: plan not executed")
+    }
+    // sqrt temperature: duplication factor target/n_docs must be
+    // non-increasing in supply (small sources oversampled harder)
+    val bySupply = rows.sortBy(_.getAs[Long]("n_docs"))
+      .map(r => (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("target").toDouble / r.getAs[Long]("n_docs")))
+    // a ±1 Hamilton seat moves a factor by <1/n, so the bound carries
+    // that slack; the continuous quotas themselves are monotone
+    bySupply.sliding(2).foreach { case Array((nS, small), (nL, large)) =>
+      assert(small >= large - (1.0 / nS + 1.0 / nL),
+        s"oversampling not monotone: $small ($nS docs) < $large ($nL docs)")
+    }
+  }
 }

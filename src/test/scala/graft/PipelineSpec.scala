@@ -108,4 +108,54 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("n_shared_grams") >= 1)
     }
   }
+
+  test("loop artifacts match a sequential-scan recompute of longest runs") {
+    // independent derivation: pull token arrays through Spark, then
+    // compute longest period-p runs with a PLAIN SEQUENTIAL SCAN in
+    // Scala (the textbook algorithm) and aggregate per source —
+    // cross-checks the operator's string-run trick end to end,
+    // including the planted loop docs.
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        graft.functions.TextOps.tokens($"text").as("toks"))
+      .as[(Long, String, Seq[String])].collect()
+    val planted = toks.filter(_._1 % 40 == 0).map { case (id, src, ts) =>
+      (id + 400000, src,
+        ts ++ Seq.fill(8)(Seq("loop", "the", "gain")).flatten)
+    }
+    def maxRun(ts: Seq[String], p: Int): Int = {
+      if (ts.length <= p) 0
+      else {
+        var best = 0; var cur = 0
+        var i = 0
+        while (i < ts.length - p) {
+          if (ts(i) == ts(i + p)) { cur += 1; if (cur > best) best = cur }
+          else cur = 0
+          i += 1
+        }
+        best
+      }
+    }
+    val expected = (toks ++ planted).groupBy(_._2).map { case (src, ds) =>
+      src -> (ds.length.toLong,
+        ds.count(d => maxRun(d._3, 1) >= 2).toLong,
+        ds.count(d => maxRun(d._3, 2) >= 4).toLong,
+        ds.count(d => maxRun(d._3, 3) >= 6).toLong,
+        ds.map(d => maxRun(d._3, 3)).max.toLong)
+    }
+    val got = Pipeline.loopArtifacts(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val e = expected(src)
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_loop1"),
+        r.getAs[Long]("n_loop2"), r.getAs[Long]("n_loop3"),
+        r.getAs[Long]("max_run3")) === e, s"source $src")
+    }
+    // every planted doc has a period-3 run of 21 ≥ the threshold 6,
+    // so the detector must fire at least once per plant corpus-wide
+    assert(got.map(_.getAs[Long]("n_loop3")).sum >= planted.length,
+      "planted loops not all detected")
+    assert(planted.nonEmpty)
+  }
 }
