@@ -324,4 +324,177 @@ object Curation {
       |  MAX(score) AS best_score
       |FROM s GROUP BY source, lang ORDER BY source, lang""".stripMargin
   }
+
+  // ---- q139: CCNet perplexity bucketing ------------------------
+
+  /** q139: CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): train a PER-LANGUAGE LM, score every document by
+    * mean token log-probability, and cut each language's corpus into
+    * head / middle / tail TERCILES by that score — the bucket label
+    * that downstream mixtures sample from ("head" = most fluent
+    * third). The LM is the q69 add-1 unigram recipe keyed by
+    * language (CCNet trains one KenLM per language for exactly this
+    * reason: perplexity is only comparable within a language).
+    *
+    * Bucket rule: avg_lp ≥ the language's 2/3 quantile → head;
+    * ≥ 1/3 quantile → middle; else tail (higher logprob = lower
+    * perplexity = better). Quantiles are exact interpolated
+    * percentiles rounded to 6 (the q132 engine-parity recipe), and
+    * per-token/per-doc arithmetic follows q69's determinism rules
+    * (ln rounded to 9, DECIMAL sums).
+    *
+    * Shape: one explode → (lang, tok) model join (unhinted — the
+    * vocabulary is corpus-sized at web scale, the q69 lesson) → one
+    * per-(lang, doc) partial agg → per-lang quantiles over the
+    * per-doc relation (docs, not tokens) → broadcast cutpoints back
+    * → ≤ |langs|·3-row rollup. The token stream crosses one shuffle.
+    */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = vocab.groupBy(col("lang")).agg(
+      sum(col("cnt")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("vsize"))
+    val scored = toks.join(vocab, Seq("lang", "tok"))
+      .join(broadcast(stats), Seq("lang"))
+      .withColumn("lp", round(
+        log((col("cnt").cast("double") + 1.0)
+          / (col("total") + col("vsize"))), 9))
+    val perDoc = scored.groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("lp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("avg_lp"))
+    val cuts = perDoc.groupBy(col("lang")).agg(
+      round(expr("percentile(avg_lp, CAST(2 AS DOUBLE) / 3)"), 6).as("c_head"),
+      round(expr("percentile(avg_lp, CAST(1 AS DOUBLE) / 3)"), 6).as("c_mid"))
+    perDoc.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_lp") >= col("c_head"), "head")
+          .when(col("avg_lp") >= col("c_mid"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(sum(col("avg_lp").cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val perplexityBucketsSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, unnest($tokSql) AS tok FROM documents),
+      |vocab AS (
+      |  SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok),
+      |stats AS (
+      |  SELECT lang, CAST(SUM(cnt) AS DOUBLE) AS total,
+      |    CAST(COUNT(*) AS DOUBLE) AS vsize
+      |  FROM vocab GROUP BY lang),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang,
+      |    ROUND(ln((CAST(v.cnt AS DOUBLE) + 1.0) / (s.total + s.vsize)), 9) AS lp
+      |  FROM toks t
+      |  JOIN vocab v ON t.lang = v.lang AND t.tok = v.tok
+      |  JOIN stats s ON t.lang = s.lang),
+      |perdoc AS (
+      |  SELECT lang, doc_id, COUNT(*) AS n_toks,
+      |    ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_lp
+      |  FROM scored GROUP BY lang, doc_id),
+      |cuts AS (
+      |  SELECT lang,
+      |    ROUND(quantile_cont(avg_lp, CAST(2 AS DOUBLE) / 3), 6) AS c_head,
+      |    ROUND(quantile_cont(avg_lp, CAST(1 AS DOUBLE) / 3), 6) AS c_mid
+      |  FROM perdoc GROUP BY lang),
+      |b AS (
+      |  SELECT p.lang,
+      |    CASE WHEN avg_lp >= c_head THEN 'head'
+      |         WHEN avg_lp >= c_mid THEN 'middle'
+      |         ELSE 'tail' END AS bucket,
+      |    n_toks, avg_lp
+      |  FROM perdoc p JOIN cuts c ON p.lang = c.lang)
+      |SELECT lang, bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(avg_lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  // ---- q140: quality-filter calibration sweep ------------------
+
+  /** Threshold grid for the calibration sweep. */
+  val CalibThresholds: Seq[Double] = (0 to 9).map(i => i / 10.0)
+
+  /** q140: filter calibration curve — for each candidate keep
+    * threshold t, how many documents survive `score ≥ t` and what the
+    * survivors' average score is. This is the plot every pipeline
+    * draws before picking the q84 classifier's operating point (too
+    * low keeps junk, too high starves the mixture); publishing the
+    * whole curve makes the chosen 0.5 auditable instead of folklore.
+    *
+    * Shape: per-doc scores stream through ONE scan-local conditional
+    * aggregation — 10 thresholds become 20 partial-agg columns on a
+    * single pass (no per-threshold rescan, no corpus × thresholds
+    * row explosion), and the 1-row wide result unpivots to the
+    * 10-row curve with `stack`. At 100 TB this is exactly one
+    * codegen'd pass over the corpus. */
+  def filterCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = scoreDocs(Tables.documents(spark, sfDir)).select(col("score"))
+    val aggs: Seq[Column] = CalibThresholds.zipWithIndex.flatMap {
+      case (t, i) => Seq(
+        sum(when(col("score") >= t, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(col("score") >= t, col("score").cast("decimal(28,6)")))
+          .as(s"s$i"))
+    }
+    val allAggs = count(lit(1)).as("n_total") +: aggs
+    val wide = scored.agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = CalibThresholds.zipWithIndex
+      .map { case (t, i) => s"${t}D, n$i, s$i" }.mkString(", ")
+    wide.select(col("n_total"), expr(
+        s"stack(${CalibThresholds.size}, $stackArgs) AS (t, n_kept, s_kept)"))
+      .select(col("t"), col("n_total"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_total"), 6)
+          .as("frac_kept"),
+        when(col("n_kept") === 0L, lit(0.0))
+          .otherwise(round(col("s_kept").cast("double")
+            / col("n_kept"), 6)).as("avg_kept"))
+      .orderBy(col("t"))
+  }
+
+  val filterCalibrationSql: String = {
+    val swSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val condCols = CalibThresholds.zipWithIndex.map { case (t, i) =>
+      s"""CAST(SUM(CASE WHEN score >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n$i,
+         |    SUM(CASE WHEN score >= CAST($t AS DOUBLE) THEN CAST(score AS DECIMAL(28,6)) END) AS s$i"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val rows = CalibThresholds.zipWithIndex.map { case (t, i) =>
+      s"""SELECT CAST($t AS DOUBLE) AS t, n_total, n$i AS n_kept,
+         |  ROUND(CAST(n$i AS DOUBLE) / n_total, 6) AS frac_kept,
+         |  CASE WHEN n$i = 0 THEN 0.0
+         |       ELSE ROUND(CAST(s$i AS DOUBLE) / n$i, 6) END AS avg_kept
+         |FROM w""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+      |  SELECT doc_id, source, $tokSql AS toks, len($tokSql) AS n
+      |  FROM documents WHERE len($tokSql) > 0),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    ROUND(ln(1.0 + n), 9) AS f_len,
+      |    ROUND(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / n, 6) AS f_wlen,
+      |    ROUND(CAST(len(list_filter(toks, t -> list_contains($swSql, t))) AS DOUBLE) / n, 6) AS f_stop,
+      |    ROUND(CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) / n, 6) AS f_digit,
+      |    ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n, 6) AS f_rep
+      |  FROM d),
+      |sc AS (
+      |  SELECT ROUND(1.0 / (1.0 + exp(-ROUND(-1.2 + 0.35 * f_len + 0.18 * f_wlen
+      |    + 2.0 * f_stop - 3.0 * f_digit - 2.5 * f_rep, 9))), 6) AS score
+      |  FROM f),
+      |w AS (
+      |  SELECT COUNT(*) AS n_total,
+      |    $condCols
+      |  FROM sc)
+      |$rows
+      |ORDER BY t""".stripMargin
+  }
 }

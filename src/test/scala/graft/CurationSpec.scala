@@ -200,4 +200,69 @@ class CurationSpec extends SparkSpec {
     val cosines = out.map(_.getAs[Double]("cosine"))
     assert(cosines.sameElements(cosines.sorted.reverse), "descending")
   }
+
+  test("perplexity buckets: per-lang conservation, tercile balance, head>tail") {
+    val rows = Curation.perplexityBuckets(spark, sfDir).collect()
+    val tokenized = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(graft.functions.TextOps.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_toks"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet === tokenized.keySet)
+    byLang.foreach { case (lang, rs) =>
+      val (nDocs, nToks) = tokenized(lang)
+      // every tokenized doc lands in exactly one bucket; tokens conserve
+      assert(rs.map(_.getAs[Long]("n_docs")).sum === nDocs, s"$lang docs")
+      assert(rs.map(_.getAs[Long]("n_tokens")).sum === nToks, s"$lang tokens")
+      val byBucket = rs.map(r =>
+        r.getAs[String]("bucket") -> r).toMap
+      assert(byBucket.keySet === Set("head", "middle", "tail"), s"$lang buckets")
+      // fluency ordering: head is the high-logprob (low-perplexity) third
+      assert(byBucket("head").getAs[Double]("avg_logprob") >
+        byBucket("middle").getAs[Double]("avg_logprob"), s"$lang head>mid")
+      assert(byBucket("middle").getAs[Double]("avg_logprob") >
+        byBucket("tail").getAs[Double]("avg_logprob"), s"$lang mid>tail")
+      // terciles: interpolated cutpoints keep buckets within one of n/3
+      // up to score ties; the corpus has no mass ties, so stay tight
+      val counts = byBucket.view.mapValues(_.getAs[Long]("n_docs")).toMap
+      counts.foreach { case (b, n) =>
+        assert(math.abs(n - nDocs / 3.0) <= nDocs / 6.0 + 2,
+          s"$lang $b grossly unbalanced: $n of $nDocs")
+      }
+    }
+  }
+
+  test("filter calibration: monotone curve, t=0 keeps everything") {
+    val rows = Curation.filterCalibration(spark, sfDir).collect()
+      .sortBy(_.getAs[Double]("t"))
+    assert(rows.length === Curation.CalibThresholds.size)
+    val nTotal = rows.head.getAs[Long]("n_total")
+    rows.foreach(r => assert(r.getAs[Long]("n_total") === nTotal))
+    // sigmoid scores are strictly positive → t=0 keeps every doc
+    assert(rows.head.getAs[Long]("n_kept") === nTotal)
+    assert(rows.head.getAs[Double]("frac_kept") === 1.0)
+    // independent recompute from the per-doc scores
+    val scores = Curation.scoreDocs(Tables.documents(spark, sfDir))
+      .select(col("score")).as[Double].collect()
+    rows.foreach { r =>
+      val t = r.getAs[Double]("t")
+      val kept = scores.filter(_ >= t)
+      assert(r.getAs[Long]("n_kept") === kept.length.toLong, s"t=$t count")
+      if (kept.nonEmpty) {
+        val avg = (kept.map(BigDecimal(_)).sum / kept.length).toDouble
+        assert(math.abs(r.getAs[Double]("avg_kept") - avg) < 1e-5, s"t=$t avg")
+      }
+    }
+    // raising the bar keeps fewer docs of higher average quality
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_kept") >= hi.getAs[Long]("n_kept"))
+      if (hi.getAs[Long]("n_kept") > 0)
+        assert(hi.getAs[Double]("avg_kept") >=
+          lo.getAs[Double]("avg_kept") - 1e-9)
+    }
+  }
 }
