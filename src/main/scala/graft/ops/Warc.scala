@@ -1,0 +1,244 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) source with a REAL container codec.
+  *
+  * WARC is the container format of the web at rest — CommonCrawl,
+  * Internet Archive, and every serious crawl pipeline exchange
+  * petabytes of it — so an analytics engine for crawl data needs to
+  * ingest it natively, not via a pre-flattened export. The reference
+  * ingests live fetches (its Scrapy crawler,
+  * `backend/src/crawlers/scrapy/`); at batch scale the same records
+  * arrive as WARC, and this module is that seam.
+  *
+  * Like the audio path (`Audio.scala`), everything here is the real
+  * format, not a stub: a WRITER that emits spec-compliant WARC/1.0
+  * files — named header fields, CRLF framing, `Content-Length`-based
+  * payload extents, the two-CRLF record terminator, mixed
+  * warcinfo/request/response record types so readers cannot assume a
+  * record cadence, and (on every second file) the standard
+  * per-record-gzip-member compression that real WARCs use — and a
+  * strict record-walking READER that parses header blocks, honors
+  * `Content-Length` exactly (payloads are binary; scanning for
+  * delimiters would corrupt them), verifies record terminators,
+  * auto-detects gzip by magic, and splits HTTP payloads into
+  * status/headers/body. Malformed input throws — ingest wants loud
+  * failures, not silently skewed corpora (the q55 PDF contract).
+  *
+  * The workload on top (q142) is the first question every crawl-batch
+  * owner asks: per-domain fetch health — how many responses, how many
+  * OK vs error, how many bytes of payload, and how much of it arrived
+  * through the gzip path. Every output integer is exact, so the
+  * DuckDB oracle recomputes the rollup from the record definitions
+  * without ever framing a byte: one mis-walked record breaks a count.
+  *
+  * Scale shape: one row per WARC FILE end to end — synthesis and
+  * decode are scan-local `mapPartitions` batches (the exact seam
+  * where an object-store WARC reader drops in; 100 TB of WARC is just
+  * more file rows), records explode to (domain, status, bytes)
+  * triples inside the batch, and the only exchange is the per-domain
+  * partial-agg rollup. No payload bytes ever cross a shuffle.
+  */
+object Warc {
+
+  /** Records per WARC file — forces multi-record walking. */
+  val RecordsPerFile = 8
+
+  case class WarcFile(file_id: Long, content: Array[Byte])
+  case class WarcRecord(warcType: String, targetUri: String,
+    httpStatus: Int, bodyBytes: Int)
+
+  // ---- closed-form record definitions (mirrored in the oracle) ----
+  private[graft] def domain(k: Long): String = s"dom${k % 20}.test"
+  private[graft] def uri(k: Long): String = s"https://${domain(k)}/p/$k"
+  private[graft] def status(k: Long): Int = (k % 7) match {
+    case 0 => 404
+    case 3 => 503
+    case _ => 200
+  }
+  private[graft] def bodyLen(k: Long): Int = (40 + (k % 100)).toInt
+  private[graft] def hasRequest(k: Long): Boolean = k % 3 == 0
+  private[graft] def fileOf(k: Long): Long = k / RecordsPerFile
+  private[graft] def gzipped(fileId: Long): Boolean = fileId % 2 == 0
+
+  private val Crlf = "\r\n"
+
+  private def record(warcType: String, extraHeaders: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder
+    head ++= "WARC/1.0" ++= Crlf
+    head ++= s"WARC-Type: $warcType" ++= Crlf
+    head ++= "WARC-Date: 2026-01-01T00:00:00Z" ++= Crlf
+    extraHeaders.foreach { case (k, v) => head ++= s"$k: $v" ++= Crlf }
+    head ++= s"Content-Length: ${payload.length}" ++= Crlf ++= Crlf
+    val h = head.result().getBytes("US-ASCII")
+    val out = new Array[Byte](h.length + payload.length + 4)
+    System.arraycopy(h, 0, out, 0, h.length)
+    System.arraycopy(payload, 0, out, h.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  private def httpResponse(k: Long): Array[Byte] = {
+    val code = status(k)
+    val reason = code match {
+      case 200 => "OK"; case 404 => "Not Found"; case 503 => "Service Unavailable"
+    }
+    val body = Array.fill[Byte](bodyLen(k))('x'.toByte)
+    val head = (s"HTTP/1.1 $code $reason" + Crlf +
+      "Content-Type: text/html" + Crlf +
+      s"Content-Length: ${body.length}" + Crlf + Crlf).getBytes("US-ASCII")
+    head ++ body
+  }
+
+  private def httpRequest(k: Long): Array[Byte] =
+    (s"GET /p/$k HTTP/1.1" + Crlf + s"Host: ${domain(k)}" + Crlf + Crlf)
+      .getBytes("US-ASCII")
+
+  /** Spec-compliant writer: a warcinfo record leads every file, each
+    * response optionally preceded by its request record; every second
+    * file is compressed as concatenated per-record gzip members (the
+    * standard `.warc.gz` layout, so range-readers can seek records). */
+  private[graft] def encodeWarc(fileId: Long, keys: Seq[Long]): Array[Byte] = {
+    val records = Seq(
+      record("warcinfo", Seq("WARC-Filename" -> s"graft-$fileId.warc"),
+        s"software: graft-synth$Crlf".getBytes("US-ASCII"))) ++
+      keys.sorted.flatMap { k =>
+        val req = if (hasRequest(k))
+          Seq(record("request",
+            Seq("WARC-Target-URI" -> uri(k),
+              "Content-Type" -> "application/http;msgtype=request"),
+            httpRequest(k)))
+        else Seq.empty
+        req :+ record("response",
+          Seq("WARC-Target-URI" -> uri(k),
+            "Content-Type" -> "application/http;msgtype=response"),
+          httpResponse(k))
+      }
+    if (gzipped(fileId)) {
+      val out = new java.io.ByteArrayOutputStream()
+      records.foreach { r =>
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(r); gz.finish()
+      }
+      out.toByteArray
+    } else records.flatten.toArray
+  }
+
+  /** Strict record walker: auto-detects gzip by magic (decodes the
+    * concatenated members), then walks WARC/1.0 records by header
+    * block + Content-Length extent, verifying version lines and
+    * record terminators. HTTP payloads split at the first CRLFCRLF;
+    * the status code comes off the status line. */
+  private[graft] def decodeWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val raw =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f
+          && (bytes(1) & 0xff) == 0x8b) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } else bytes
+    var pos = 0
+    val records = Seq.newBuilder[WarcRecord]
+    def line(): String = {
+      val start = pos
+      while (pos + 1 < raw.length && !(raw(pos) == '\r' && raw(pos + 1) == '\n'))
+        pos += 1
+      require(pos + 1 < raw.length, "unterminated header line")
+      val s = new String(raw, start, pos - start, "US-ASCII")
+      pos += 2
+      s
+    }
+    while (pos < raw.length) {
+      require(line().startsWith("WARC/"), "not a WARC record")
+      var warcType = ""; var target = ""; var len = -1
+      var h = line()
+      while (h.nonEmpty) {
+        val i = h.indexOf(':')
+        require(i > 0, s"malformed header: $h")
+        val (k, v) = (h.substring(0, i).trim.toLowerCase, h.substring(i + 1).trim)
+        k match {
+          case "warc-type" => warcType = v
+          case "warc-target-uri" => target = v
+          case "content-length" => len = v.toInt
+          case _ =>
+        }
+        h = line()
+      }
+      require(len >= 0, "missing Content-Length")
+      require(pos + len + 4 <= raw.length, "truncated record payload")
+      val payload = java.util.Arrays.copyOfRange(raw, pos, pos + len)
+      pos += len
+      require(raw(pos) == '\r' && raw(pos + 1) == '\n'
+        && raw(pos + 2) == '\r' && raw(pos + 3) == '\n',
+        "missing record terminator")
+      pos += 4
+      val (st, body) =
+        if (warcType == "response") {
+          val text = new String(payload, "US-ASCII")
+          val statusLine = text.takeWhile(_ != '\r')
+          val code = statusLine.split(" ")(1).toInt
+          val sep = text.indexOf(Crlf + Crlf)
+          require(sep >= 0, "HTTP payload without header terminator")
+          (code, payload.length - (sep + 4))
+        } else (0, payload.length)
+      records += WarcRecord(warcType, target, st, body)
+    }
+    records.result()
+  }
+
+  /** One WARC file per [[RecordsPerFile]] consecutive customer keys —
+    * real container bytes in one binary cell. The groupBy here is
+    * synth scaffolding; production replaces this table with
+    * `binaryFile`-style reads of .warc.gz objects. */
+  def warcTable(spark: SparkSession, sfDir: String): Dataset[WarcFile] = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir).select(col("c_custkey").as[Long])
+      .groupByKey(fileOf)
+      .mapGroups((fileId, keys) => WarcFile(fileId, encodeWarc(fileId, keys.toSeq)))
+  }
+
+  /** q142: walk every WARC file, keep the response records, roll up
+    * per-domain fetch health. `from_gzip` counts responses that came
+    * through the gzip member path, proving both framings decode. */
+  def fetchHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    warcTable(spark, sfDir)
+      .mapPartitions(_.flatMap { f =>
+        decodeWarc(f.content).collect {
+          case WarcRecord("response", target, st, body) =>
+            val dom = target.stripPrefix("https://").takeWhile(_ != '/')
+            (dom, st, body.toLong, gzipped(f.file_id))
+        }
+      })
+      .toDF("domain", "status", "body_bytes", "from_gzip")
+      .groupBy(col("domain")).agg(
+        count(lit(1)).as("n_responses"),
+        sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("status") >= 400, 1L).otherwise(0L)).as("n_err"),
+        sum(col("body_bytes")).as("body_bytes"),
+        sum(when(col("from_gzip"), 1L).otherwise(0L)).as("from_gzip"))
+      .orderBy(col("domain"))
+  }
+
+  /** The record definitions, mirrored: DuckDB never frames a byte —
+    * it recomputes what the walked records MUST contain. */
+  val fetchHealthSql: String =
+    s"""SELECT 'dom' || (c_custkey % 20) || '.test' AS domain,
+      |  COUNT(*) AS n_responses,
+      |  CAST(SUM(CASE WHEN c_custkey % 7 IN (0, 3) THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+      |  CAST(SUM(CASE WHEN c_custkey % 7 IN (0, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+      |  CAST(SUM(40 + (c_custkey % 100)) AS BIGINT) AS body_bytes,
+      |  CAST(SUM(CASE WHEN (c_custkey // $RecordsPerFile) % 2 = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS from_gzip
+      |FROM customer
+      |GROUP BY 1 ORDER BY domain""".stripMargin
+}
