@@ -32,10 +32,11 @@ object Bpe {
 
   val Rounds = 3
 
-  /** q96: the first [[Rounds]] BPE merges over the document corpus —
-    * per round the fused pair, its count, and the corpus token count
-    * after the merge (compression trajectory). */
-  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared merge loop: learns [[Rounds]] merges over the corpus
+    * word vocabulary and returns (per-round stats, final segmented
+    * vocabulary) — q96 reports the former, q143 applies the latter. */
+  private def mergeLoop(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, Long, Long)], DataFrame) = {
     val vocab = Tables.documents(spark, sfDir)
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -69,6 +70,14 @@ object Bpe {
         .collect().head.getLong(0)
       (r, s"$a+$b", n, tokensAfter)
     }
+    (roundRows, words)
+  }
+
+  /** q96: the first [[Rounds]] BPE merges over the document corpus —
+    * per round the fused pair, its count, and the corpus token count
+    * after the merge (compression trajectory). */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val (roundRows, _) = mergeLoop(spark, sfDir)
     import spark.implicits._
     roundRows.toDF("round", "merge", "pair_count", "corpus_tokens")
       .select(col("round"), col("merge"), col("pair_count"),
@@ -76,10 +85,55 @@ object Bpe {
       .orderBy(col("round"))
   }
 
-  val bpeMergesSql: String = {
+  /** q143: tokenizer fertility by source — APPLY the learned BPE
+    * segmentation to every word occurrence and report, per data
+    * source, tokens-per-word (fertility) and chars-per-token. This is
+    * the tokenizer-health dashboard a pretraining pipeline keeps per
+    * source: a source whose fertility spikes is one the tokenizer
+    * represents badly (costly in sequence length) and a candidate for
+    * vocabulary retraining or down-weighting in the mixture.
+    *
+    * Shape: the model is the WORD-level segmented vocabulary (distinct
+    * words, not occurrences), joined UNHINTED against per-(source,
+    * word) occurrence counts — the q69 lesson: a web-scale vocabulary
+    * is corpus-sized, so no broadcast hint; AQE still picks broadcast
+    * when the measured size permits. Occurrence counts partial-agg
+    * before the join, so token text crosses exactly one shuffle. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, words) = mergeLoop(spark, sfDir)
+    val model = words.select(col("word"),
+      size(split(trim(col("seg")), " ")).as("n_sym"))
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+    perSource.join(model, Seq("word"))
+      .groupBy(col("source")).agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sym")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double")
+          / col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double")
+          / col("n_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
+  /** The w0 + per-round (p_i, w_i) merge CTE chain, shared by the q96
+    * and q143 oracles. `withStats` adds q96's per-round r_i blocks. */
+  private def mergeCtesSql(withStats: Boolean): String = {
     val tok = TextOps.tokSql()
     def round(i: Int): String = {
       val prev = if (i == 1) "w0" else s"w${i - 1}"
+      val stats = if (withStats)
+        s""",
+        |r$i AS (
+        |  SELECT $i AS round,
+        |    (SELECT a FROM p$i) || '+' || (SELECT b FROM p$i) AS merge,
+        |    (SELECT n FROM p$i) AS pair_count,
+        |    (SELECT CAST(SUM(freq * len(string_split(trim(seg), ' '))) AS BIGINT)
+        |     FROM w$i) AS corpus_tokens)""".stripMargin
+      else ""
       s"""p$i AS (
         |  SELECT a, b, n FROM (
         |    SELECT u.a AS a, u.b AS b, CAST(SUM(freq) AS BIGINT) AS n
@@ -96,27 +150,47 @@ object Bpe {
         |  SELECT word, freq,
         |    replace(seg, ' ' || (SELECT a FROM p$i) || ' ' || (SELECT b FROM p$i) || ' ',
         |            ' ' || (SELECT a FROM p$i) || (SELECT b FROM p$i) || ' ') AS seg
-        |  FROM $prev),
-        |r$i AS (
-        |  SELECT $i AS round,
-        |    (SELECT a FROM p$i) || '+' || (SELECT b FROM p$i) AS merge,
-        |    (SELECT n FROM p$i) AS pair_count,
-        |    (SELECT CAST(SUM(freq * len(string_split(trim(seg), ' '))) AS BIGINT)
-        |     FROM w$i) AS corpus_tokens)""".stripMargin
+        |  FROM $prev)$stats""".stripMargin
     }
     val rounds = (1 to Rounds).map(round).mkString(",\n")
-    val selects = (1 to Rounds).map(i => s"SELECT * FROM r$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
       |    ' ' || array_to_string(
       |      list_transform(range(1, length(word) + 1),
       |        i -> substr(word, CAST(i AS INTEGER), 1)), ' ') || ' ' AS seg
       |  FROM (SELECT unnest($tok) AS word FROM documents)
       |  GROUP BY word),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val selects = (1 to Rounds).map(i => s"SELECT * FROM r$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${mergeCtesSql(withStats = true)}
       |SELECT round, merge, pair_count, corpus_tokens FROM (
       |$selects)
       |ORDER BY round""".stripMargin
+  }
+
+  val tokenizerFertilitySql: String = {
+    val tok = TextOps.tokSql()
+    s"""WITH ${mergeCtesSql(withStats = false)},
+      |model AS (
+      |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sym
+      |  FROM w$Rounds),
+      |pc AS (
+      |  SELECT source, word, COUNT(*) AS cnt
+      |  FROM (SELECT source, unnest($tok) AS word FROM documents)
+      |  GROUP BY source, word)
+      |SELECT source,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+      |  CAST(SUM(cnt * n_sym) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
+      |  ROUND(CAST(SUM(cnt * n_sym) AS DOUBLE)
+      |    / CAST(SUM(cnt) AS DOUBLE), 6) AS fertility,
+      |  ROUND(CAST(SUM(cnt * length(word)) AS DOUBLE)
+      |    / CAST(SUM(cnt * n_sym) AS DOUBLE), 6) AS chars_per_token
+      |FROM pc JOIN model USING (word)
+      |GROUP BY source ORDER BY source""".stripMargin
   }
 }

@@ -47,4 +47,36 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.bpeMerges(spark, sfDir).collect().toSeq
     assert(a === b)
   }
+
+  test("fertility conserves occurrences and sits between merged and char-level") {
+    val rows = Bpe.tokenizerFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-source word occurrences must conserve exactly
+    val wordCounts = Tables.documents(spark, sfDir)
+      .select($"source", explode(graft.functions.TextOps.tokens($"text")).as("w"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum(length($"w")).as("chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nWords, nChars) = wordCounts(src)
+      assert(r.getAs[Long]("n_words") === nWords, s"$src words")
+      assert(r.getAs[Long]("n_chars") === nChars, s"$src chars")
+      val fert = r.getAs[Double]("fertility")
+      val cpt = r.getAs[Double]("chars_per_token")
+      // 3 merges: tokens per word strictly above 1 (nothing fuses to a
+      // single symbol corpus-wide) and at most the char count
+      assert(fert > 1.0 && fert <= nChars.toDouble / nWords, s"$src fertility $fert")
+      // merged symbols average longer than 1 char, shorter than a word
+      assert(cpt > 1.0 - 1e-9 && cpt < nChars.toDouble / nWords, s"$src cpt $cpt")
+      // the two ratios factor the same integers: fert * cpt = chars/word
+      assert(math.abs(fert * cpt - nChars.toDouble / nWords) < 1e-3,
+        s"$src ratio factorization")
+    }
+    // fertility must be strictly below the char-level baseline
+    // (the 3 learned merges fire somewhere in every source)
+    val better = rows.count { r =>
+      r.getAs[Long]("n_tokens") < r.getAs[Long]("n_chars") }
+    assert(better === rows.length, "some source saw no merge fire")
+  }
 }
