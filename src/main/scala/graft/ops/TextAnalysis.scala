@@ -204,4 +204,77 @@ object TextAnalysis {
       |  GROUP BY f_thr, k)
       |SELECT vocab, n_tokens, k, CAST(f_thr AS BIGINT) AS f_thr, alpha
       |FROM est CROSS JOIN totals""".stripMargin
+
+  // ---- q144: encoding-damage (mojibake) detection -------------------
+
+  /** The classic UTF-8-decoded-as-Latin-1/cp1252 damage fingerprints
+    * (what ftfy calls "mojibake"): a multibyte UTF-8 sequence whose
+    * bytes were re-interpreted as single-byte chars. 'Ã©' is é, 'Ã¼'
+    * is ü, 'â€™' is a right single quote, 'â€”' an em-dash. Real web
+    * crawls are full of these — every charset-misdeclared page
+    * contributes — and a corpus that trains on them teaches the model
+    * garbage orthography. */
+  val MojibakeSignatures: Seq[String] = Seq("Ã©", "Ã¼", "â€™", "â€”")
+
+  /** Deterministic damage plant: docs with `doc_id % 13 == 0` get all
+    * 'e' double-encoded (the é-family damage), docs with
+    * `doc_id % 17 == 0` get every space turned into a mis-decoded
+    * em-dash. Mirrored verbatim in the oracle so both engines observe
+    * the SAME corrupted corpus — the query under test is the DETECTOR. */
+  private def plant(text: org.apache.spark.sql.Column, docId: org.apache.spark.sql.Column) = {
+    val withE = when(docId % 13 === 0, replace(text, lit("e"), lit("Ã©")))
+      .otherwise(text)
+    when(docId % 17 === 0, replace(withE, lit(" "), lit("â€”")))
+      .otherwise(withE)
+  }
+
+  /** q144: per-source encoding-damage audit — docs flagged, total
+    * fingerprint hits, and hits per 10k chars. Detection counts
+    * LITERAL signature occurrences via replace-length arithmetic
+    * (`(len(s) - len(replace(s, sig, ''))) / len(sig)`) — exact, no
+    * regex-dialect drift between engines, and a single codegen'd scan
+    * per doc (the signature set is a compile-time constant folded
+    * into the projection). At 100 TB this is one pass over text with
+    * a ≤|sources|-row partial-agg rollup. */
+  def mojibakeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        plant(col("text"), col("doc_id")).as("t"))
+    val hits = MojibakeSignatures.map { sig =>
+      (length(col("t")) - length(replace(col("t"), lit(sig), lit(""))))
+        .divide(lit(sig.length))
+    }.reduce(_ + _)
+    docs.select(col("source"), hits.cast("long").as("hits"),
+        length(col("t")).cast("long").as("chars"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(col("hits")).as("n_hits"),
+        round(sum(col("hits")).cast("double") * 10000.0
+          / sum(col("chars")).cast("double"), 6).as("hits_per_10k_chars"))
+      .orderBy(col("source"))
+  }
+
+  val mojibakeAuditSql: String = {
+    val hitExprs = MojibakeSignatures.map(sig =>
+      s"(length(t) - length(replace(t, '$sig', ''))) // ${sig.length}")
+      .mkString(" + ")
+    s"""WITH planted AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 17 = 0 THEN replace(e_dam, ' ', 'â€”')
+      |         ELSE e_dam END AS t
+      |  FROM (SELECT doc_id, source,
+      |          CASE WHEN doc_id % 13 = 0 THEN replace(text, 'e', 'Ã©')
+      |               ELSE text END AS e_dam
+      |        FROM documents)),
+      |scored AS (
+      |  SELECT source, length(t) AS chars, $hitExprs AS hits
+      |  FROM planted)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(hits) AS BIGINT) AS n_hits,
+      |  ROUND(CAST(SUM(hits) AS DOUBLE) * 10000.0
+      |    / CAST(SUM(chars) AS DOUBLE), 6) AS hits_per_10k_chars
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -69,4 +69,40 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.domainOf($"u")).as[String].head()
     assert(d === "d7.test")
   }
+
+  test("mojibake audit: planted damage detected, clean docs stay clean") {
+    import graft.ops.TextAnalysis
+    val rows = TextAnalysis.mojibakeAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent replay over the raw docs
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .collect()
+    def plant(id: Long, t: String): String = {
+      val e = if (id % 13 == 0) t.replace("e", "Ã©") else t
+      if (id % 17 == 0) e.replace(" ", "â€”") else e
+    }
+    def hits(t: String): Long = TextAnalysis.MojibakeSignatures.map { sig =>
+      var n = 0L; var i = t.indexOf(sig)
+      while (i >= 0) { n += 1; i = t.indexOf(sig, i + sig.length) }
+      n
+    }.sum
+    val expected = docs.groupBy(_.getString(1)).map { case (src, ds) =>
+      val hs = ds.map(r => hits(plant(r.getLong(0), r.getString(2))))
+      src -> (ds.length.toLong, hs.count(_ > 0).toLong, hs.sum)
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, corrupt, total) = expected(src)
+      assert(r.getAs[Long]("n_docs") === n, s"$src docs")
+      assert(r.getAs[Long]("n_corrupt") === corrupt, s"$src corrupt")
+      assert(r.getAs[Long]("n_hits") === total, s"$src hits")
+    }
+    // the plant actually fired and undamaged docs are not flagged
+    assert(rows.map(_.getAs[Long]("n_corrupt")).sum > 0)
+    val flagged = docs.count { r =>
+      hits(plant(r.getLong(0), r.getString(2))) > 0 }
+    val damaged = docs.count(r => r.getLong(0) % 13 == 0 || r.getLong(0) % 17 == 0)
+    assert(flagged <= damaged, "a clean doc was flagged")
+  }
 }
