@@ -91,8 +91,12 @@ object Pdf {
       else if (!r.content_type.contains("application/pdf"))
         PdfDecoded(r.id, "wrong_content_type", None, None)
       else {
-        // the bytes a fetcher would hand over: a complete PDF file
-        val bytes = PdfCodec.encode(r.pages)
+        // the bytes a fetcher would hand over: a complete PDF file —
+        // framing varies per doc (multi-stream /Contents arrays,
+        // ASCIIHex filter chains) so the corpus exercises the layouts
+        // real writers produce; recovered text is framing-invariant
+        val bytes = PdfCodec.encode(r.pages,
+          splitContents = r.id % 2 == 0, hexFilter = r.id % 3 == 0)
         val decoded = PdfCodec.decode(bytes)
         val text = decoded.pages.mkString("") // text += page.get_text()
         if (text.trim.isEmpty)

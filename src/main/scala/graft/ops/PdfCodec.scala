@@ -14,18 +14,23 @@ import scala.collection.mutable
   * subset of ISO 32000 that the extraction path needs, from scratch:
   *
   *   - [[encode]] writes a well-formed PDF 1.4: catalog → page tree →
-  *     one FlateDecode-compressed content stream per page (Helvetica
-  *     `Tj` text operators), a correct byte-offset xref table and
-  *     trailer. Output opens in any PDF viewer.
+  *     content streams per page (Helvetica `Tj` text operators), a
+  *     correct byte-offset xref table and trailer. Streams are
+  *     FlateDecode by default; options emit multi-stream `/Contents`
+  *     arrays (§7.8.2) and ASCIIHexDecode / filter-chain framings
+  *     (§7.4) so the parser is exercised on the layouts real writers
+  *     produce. Output opens in any PDF viewer.
   *   - [[decode]] is a genuine parser, not a regex over the input: it
   *     reads `startxref`, walks the xref table to object offsets,
   *     resolves trailer `/Root` → `/Pages` → `/Kids` → per-page
-  *     `/Contents` references, inflates each stream with
-  *     `java.util.zip.Inflater` (checked against the dict's
-  *     `/Length`), and tokenizes the decompressed content stream —
-  *     `(...) Tj` and `[... ] TJ` operators with full PDF
-  *     string-escape handling (nested parens, `\\`, `\(`, `\)`,
-  *     `\n`-family, octal `\ddd`, line continuations).
+  *     `/Contents` (single ref or array — array streams concatenate
+  *     per §7.8.2), decodes each stream through its declared filter
+  *     chain (`FlateDecode` via `java.util.zip.Inflater`,
+  *     `ASCIIHexDecode` with EOD/odd-digit semantics, name or array
+  *     form, checked against the dict's `/Length`), and tokenizes the
+  *     decoded content stream — `(...) Tj` and `[... ] TJ` operators
+  *     with full PDF string-escape handling (nested parens, `\\`,
+  *     `\(`, `\)`, `\n`-family, octal `\ddd`, line continuations).
   *
   * PDF text extraction is lossy in general (layout, fonts); for the
   * subset the encoder emits it is exact, which is what makes an
@@ -74,7 +79,9 @@ object PdfCodec {
     val buf = new Array[Byte](4096)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) // truncated stream
+      // a valid empty stream finishes on a 0-byte inflate with its
+      // input consumed — only an UNfinished dry inflate is truncation
+      if (n == 0 && !inf.finished() && inf.needsInput())
         throw new java.util.zip.DataFormatException("truncated FlateDecode stream")
       out.write(buf, 0, n)
     }
@@ -82,10 +89,32 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** ASCIIHexDecode-encode (§7.4.2): two hex digits per byte, '>'
+    * EOD marker, folded lines like real writers emit. */
+  private def asciiHex(bytes: Array[Byte]): Array[Byte] = {
+    val b = new StringBuilder(bytes.length * 2 + 8)
+    bytes.zipWithIndex.foreach { case (v, i) =>
+      b.append(f"${v & 0xff}%02x")
+      if ((i + 1) % 40 == 0) b.append('\n')
+    }
+    b.append('>')
+    b.toString.getBytes(ISO_8859_1)
+  }
+
   /** Build a complete single-font PDF with one page per input string.
-    * Object layout: 1 catalog, 2 page tree, 3 font, then (page,
-    * contents) pairs from 4. */
-  def encode(pages: Seq[String]): Array[Byte] = {
+    * Object layout: 1 catalog, 2 page tree, 3 font, then page objects
+    * followed by their content stream(s).
+    *
+    * `splitContents` emits each page's operators as a TWO-stream
+    * `/Contents` array (§7.8.2 — PDF consumers must concatenate);
+    * `hexFilter` encodes the first stream of each page through the
+    * `[/ASCIIHexDecode /FlateDecode]` filter CHAIN (§7.4) and, when
+    * splitting, the second stream as plain `/ASCIIHexDecode` — so one
+    * file can exercise name-form filters, array-form chains, and
+    * multi-stream pages at once. Defaults reproduce the round-3
+    * single-stream FlateDecode layout byte-for-byte. */
+  def encode(pages: Seq[String], splitContents: Boolean = false,
+      hexFilter: Boolean = false): Array[Byte] = {
     val ps = if (pages.isEmpty) Seq("") else pages
     val out = new ByteArrayOutputStream(1024)
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
@@ -94,27 +123,46 @@ object PdfCodec {
       offsets += out.size()
       w(s"${offsets.size} 0 obj\n"); body; w("endobj\n")
     }
+    val objsPerPage = if (splitContents) 3 else 2
     w("%PDF-1.4\n")
-    val kids = ps.indices.map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    val kids = ps.indices.map(i => s"${4 + objsPerPage * i} 0 R").mkString(" ")
     obj(w(s"<< /Type /Catalog /Pages 2 0 R >>\n"))
     obj(w(s"<< /Type /Pages /Kids [$kids] /Count ${ps.size} >>\n"))
     obj(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    def streamObj(ops: String, filter: String): Unit = {
+      val raw = ops.getBytes(ISO_8859_1)
+      val (data, dictFilter) = filter match {
+        case "flate" => (deflate(raw), "/Filter /FlateDecode")
+        case "hex+flate" =>
+          (asciiHex(deflate(raw)), "/Filter [/ASCIIHexDecode /FlateDecode]")
+        case "hex" => (asciiHex(raw), "/Filter /ASCIIHexDecode")
+      }
+      obj {
+        w(s"<< /Length ${data.length} $dictFilter >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
     ps.foreach { text =>
       val pageObj = offsets.size + 1
+      val contents =
+        if (splitContents) s"[${pageObj + 1} 0 R ${pageObj + 2} 0 R]"
+        else s"${pageObj + 1} 0 R"
       obj(w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 3 0 R >> >> " +
-        s"/Contents ${pageObj + 1} 0 R >>\n"))
+        s"/Contents $contents >>\n"))
       // one Tj per source line, stepped down the page like a real writer
       val lines = text.split("\n", -1)
       val ops = lines.zipWithIndex.map { case (ln, i) =>
         s"BT /F1 12 Tf 72 ${720 - 14 * i} Td (${escape(ln)}) Tj ET"
-      }.mkString("\n")
-      val data = deflate(ops.getBytes(ISO_8859_1))
-      obj {
-        w(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
-        out.write(data)
-        w("\nendstream\n")
       }
+      if (splitContents) {
+        // real split point: operators divide mid-page across streams
+        val (a, b) = ops.splitAt((ops.length + 1) / 2)
+        streamObj(a.mkString("\n"), if (hexFilter) "hex+flate" else "flate")
+        streamObj(b.mkString("\n"), if (hexFilter) "hex" else "flate")
+      } else
+        streamObj(ops.mkString("\n"), if (hexFilter) "hex+flate" else "flate")
     }
     val xref = out.size()
     w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
@@ -189,20 +237,60 @@ object PdfCodec {
     """(\d+)\s+0\s+R""".r.findAllMatchIn(arr).map(_.group(1).toInt).toSeq
   }
 
-  /** Inflated bytes of the stream object at `objStart`. Length comes
-    * from the dict; `stream` keyword per §7.3.8 (EOL after keyword). */
+  /** ASCIIHexDecode (§7.4.2): whitespace ignored, '>' is EOD, an odd
+    * trailing digit is padded with 0; anything else is an error. */
+  private def hexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        if (v < 0) fail(s"bad hex digit '$c' in ASCIIHexDecode stream")
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (!done) fail("ASCIIHexDecode stream missing '>' EOD")
+    if (hi >= 0) out.write(hi << 4) // odd digit: pad low nibble with 0
+    out.toByteArray
+  }
+
+  /** Decoded bytes of the stream object at `objStart`. Length comes
+    * from the dict; `stream` keyword per §7.3.8 (EOL after keyword).
+    * `/Filter` may be a single name or an array — a filter CHAIN
+    * applied in order (§7.4): `[/ASCIIHexDecode /FlateDecode]` means
+    * un-hex first, then inflate. */
   private def streamData(s: String, bytes: Array[Byte], objStart: Int): Array[Byte] = {
     val end = s.indexOf("endobj", objStart)
     val scope = s.substring(objStart, if (end < 0) s.length else end)
     val len = """/Length\s+(\d+)""".r.findFirstMatchIn(scope)
       .getOrElse(fail("missing /Length")).group(1).toInt
-    if (!scope.contains("/FlateDecode")) fail("unsupported filter")
+    val filters: Seq[String] =
+      """/Filter\s*\[([^\]]*)\]""".r.findFirstMatchIn(scope) match {
+        case Some(m) => """/(\w+)""".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSeq
+        case None => """/Filter\s*/(\w+)""".r.findFirstMatchIn(scope) match {
+          case Some(m) => Seq(m.group(1))
+          case None => Seq.empty // unfiltered stream
+        }
+      }
     val sk = s.indexOf("stream", objStart)
     if (sk < 0) fail("missing stream keyword")
     var dataStart = sk + 6
     if (bytes(dataStart) == '\r') dataStart += 1
     if (bytes(dataStart) == '\n') dataStart += 1
-    inflate(java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len))
+    val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len)
+    filters.foldLeft(raw) { (acc, f) =>
+      f match {
+        case "FlateDecode" => inflate(acc)
+        case "ASCIIHexDecode" => hexDecode(acc)
+        case other => fail(s"unsupported filter /$other")
+      }
+    }
   }
 
   /** Pull every shown string out of one decompressed content stream:
@@ -283,8 +371,18 @@ object PdfCodec {
     val pagesObj = ref(s, xref(root), "/Pages")
     val kids = intsAfter(s, xref(pagesObj), "/Kids")
     val pages = kids.map { pk =>
-      val contentsObj = ref(s, xref(pk), "/Contents")
-      extractText(new String(streamData(s, bytes, xref(contentsObj)), ISO_8859_1))
+      // /Contents is a single stream ref OR an array of refs whose
+      // streams concatenate (with intervening whitespace, §7.8.2)
+      // into one content stream before tokenization
+      val contentObjs =
+        try intsAfter(s, xref(pk), "/Contents")
+        catch { case _: IllegalArgumentException =>
+          Seq(ref(s, xref(pk), "/Contents")) }
+      if (contentObjs.isEmpty) fail("empty /Contents array")
+      val content = contentObjs
+        .map(o => new String(streamData(s, bytes, xref(o)), ISO_8859_1))
+        .mkString("\n")
+      extractText(content)
     }
     Decoded(pages)
   }

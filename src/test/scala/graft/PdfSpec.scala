@@ -53,4 +53,36 @@ class PdfSpec extends SparkSpec {
       Set("ok", "download_error", "wrong_content_type", "empty_text"))
     assert(outcomes("ok") > outcomes("download_error"))
   }
+
+  test("decode is framing-invariant: /Contents arrays and filter chains") {
+    import graft.ops.PdfCodec
+    val pages = Seq("line one\nline two\nline three", "page 2 (with) \\parens\\")
+    val baseline = PdfCodec.decode(PdfCodec.encode(pages)).pages
+    for (split <- Seq(false, true); hex <- Seq(false, true)) {
+      val bytes = PdfCodec.encode(pages, splitContents = split, hexFilter = hex)
+      val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (split) assert(txt.contains("/Contents ["), s"split=$split missing array")
+      if (hex) assert(txt.contains("[/ASCIIHexDecode /FlateDecode]"),
+        s"hex=$hex missing chain")
+      if (split && hex) assert(txt.contains("/Filter /ASCIIHexDecode >>")
+        || txt.contains("/Filter /ASCIIHexDecode\n"),
+        "split+hex missing name-form hex filter")
+      assert(PdfCodec.decode(bytes).pages === baseline,
+        s"framing split=$split hex=$hex changed recovered text")
+    }
+    // a single-line page still splits into (ops, empty) streams cleanly
+    assert(PdfCodec.decode(PdfCodec.encode(Seq("only"),
+      splitContents = true, hexFilter = true)).pages === Seq("only"))
+  }
+
+  test("hex decoder enforces EOD and rejects bad digits") {
+    import graft.ops.PdfCodec
+    val good = PdfCodec.encode(Seq("abc"), hexFilter = true)
+    val txt = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // corrupt one hex digit inside the stream body
+    val streamAt = txt.indexOf("stream\n") + 7
+    val corrupted = txt.substring(0, streamAt) + "zz" + txt.substring(streamAt + 2)
+    intercept[IllegalArgumentException](
+      PdfCodec.decode(corrupted.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+  }
 }
