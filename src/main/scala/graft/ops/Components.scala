@@ -21,6 +21,19 @@ object Components {
 
   val Rounds = 6
 
+  /** Canonical (a < b) near-dup pairs, materialized once — shared by
+    * the min-label loop (q53) and large-star/small-star (q145). */
+  private[ops] def pairTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = System.nanoTime()
+    val wide = Dedup.jaccardPairs(spark, sfDir)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val pairs = wide.coalesce(1).localCheckpoint()
+    System.err.println(
+      f"[cc] pairs materialized in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    pairs
+  }
+
   /** Undirected edge list from the exact Jaccard near-dup pairs.
     *
     * The pair pipeline (the full q23 plan: shingling, inverted index,
@@ -34,15 +47,7 @@ object Components {
     * checkpoint everything downstream is metadata-scale work.
     */
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
-    val t0 = System.nanoTime()
-    // materialize the pipeline at its natural parallelism …
-    val wide = Dedup.jaccardPairs(spark, sfDir)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
-    // … then pin the tiny result as one block for the label loop
-    val pairs = wide.coalesce(1).localCheckpoint()
-    System.err.println(
-      f"[q53] edges materialized in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val pairs = pairTable(spark, sfDir)
     pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
   }
@@ -86,6 +91,125 @@ object Components {
         count(lit(1)).as("n_groups"),
         sum(col("lbl")).as("canonical_sum"))
       .orderBy(col("sz"))
+  }
+
+  // ---- q145: large-star / small-star connected components ----------
+
+  /** Alternation rounds (one round = large-star + small-star). The
+    * algorithm converges in O(log² n) rounds (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond", Thm 4.2) and
+    * both operators are idempotent on the converged star graph, so a
+    * fixed unroll past the fixpoint is a no-op — the same
+    * oracle-parity trick as [[Rounds]]. */
+  val StarRounds = 4
+
+  /** One large-star + small-star alternation over a canonical (a, b)
+    * edge relation, as plain relational algebra (groupBy min + join
+    * back — NO driver-side state, no broadcast requirement):
+    *
+    *   large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) ∀ v ∈ Γ(u), v > u
+    *   small-star(u): over edges oriented big→small, m = min(Γ(u) ∪ {u});
+    *                  emit (v, m) ∀ v ∈ Γ(u) \ {m}, plus (u, m)
+    *
+    * This is the CC shape that holds at 100 TB: every step is a
+    * partial-agg shuffle on node id — no component ever has to fit
+    * anywhere, no label table is broadcast, and skew on hub nodes is
+    * exactly what large-star is designed to shatter. */
+  private def starRound(edges: DataFrame): DataFrame = {
+    // large-star over the symmetric view
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val lsMin = sym.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("m"))
+    val ls = sym.join(lsMin, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+    // small-star over big→small orientation
+    val oriented = ls.select(
+      greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+    val ssMin = oriented.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("m"))
+    val leaf = oriented.join(ssMin, Seq("u"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+    val self = ssMin.select(col("u").as("a"), col("m").as("b"))
+    leaf.unionByName(self).distinct()
+  }
+
+  /** q145: the q53 dup-group summary via large-star/small-star —
+    * identical output through a fundamentally different (and
+    * scale-native) algorithm. The per-round localCheckpoint cuts the
+    * doubling lineage; convergence is detected on the materialized
+    * edge set (star edges stable), capped at [[StarRounds]]. */
+  def dedupGroupsStar(spark: SparkSession, sfDir: String): DataFrame = {
+    var es = pairTable(spark, sfDir)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (round < StarRounds && !converged) {
+      val t0 = System.nanoTime()
+      val next = starRound(es).localCheckpoint()
+      // fixpoint: the star edge set reproduces itself
+      converged = next.exceptAll(es).isEmpty && es.exceptAll(next).isEmpty
+      es = next
+      round += 1
+      System.err.println(
+        f"[q145] star round $round: ${(System.nanoTime() - t0) / 1e9}%.2fs" +
+          (if (converged) " (converged)" else ""))
+    }
+    // star edges are (node → component min); roots label themselves
+    val labels = es.select(col("a").as("node"), col("b").as("lbl"))
+      .unionByName(es.select(col("b").as("node"), col("b").as("lbl")))
+      .distinct()
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("lbl")).as("canonical_sum"))
+      .orderBy(col("sz"))
+  }
+
+  val dedupGroupsStarSql: String = {
+    // every CTE that is referenced more than once is MATERIALIZED —
+    // DuckDB inlines CTEs by default, and the per-round double/triple
+    // references would otherwise expand the whole upstream pair
+    // pipeline exponentially across the unrolled rounds
+    def round(i: Int): String = {
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""sym$i AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM $prev
+         |  UNION ALL SELECT b AS u, a AS v FROM $prev),
+         |lsm$i AS MATERIALIZED (
+         |  SELECT u, LEAST(MIN(v), u) AS m FROM sym$i GROUP BY u),
+         |ls$i AS MATERIALIZED (
+         |  SELECT DISTINCT s.v AS a, m.m AS b
+         |  FROM sym$i s JOIN lsm$i m USING (u) WHERE s.v > s.u),
+         |ori$i AS MATERIALIZED (
+         |  SELECT GREATEST(a, b) AS u, LEAST(a, b) AS v
+         |  FROM ls$i WHERE a <> b),
+         |ssm$i AS MATERIALIZED (
+         |  SELECT u, LEAST(MIN(v), u) AS m FROM ori$i GROUP BY u),
+         |e$i AS MATERIALIZED (
+         |  SELECT o.v AS a, m.m AS b
+         |  FROM ori$i o JOIN ssm$i m USING (u) WHERE o.v <> m.m
+         |  UNION
+         |  SELECT u AS a, m AS b FROM ssm$i)""".stripMargin
+    }
+    val rounds = (1 to StarRounds).map(round).mkString(",\n")
+    val pairSource = Dedup.jaccardPairsSql
+      .replace("ORDER BY a_id, b_id", "")
+    s"""WITH pairs AS MATERIALIZED ($pairSource),
+      |e0 AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM pairs),
+      |$rounds,
+      |labels AS (
+      |  SELECT DISTINCT node, lbl FROM (
+      |    SELECT a AS node, b AS lbl FROM e$StarRounds
+      |    UNION ALL SELECT b AS node, b AS lbl FROM e$StarRounds))
+      |SELECT sz, COUNT(*) AS n_groups, CAST(SUM(lbl) AS BIGINT) AS canonical_sum
+      |FROM (SELECT lbl, COUNT(*) AS sz FROM labels GROUP BY lbl)
+      |GROUP BY sz ORDER BY sz""".stripMargin
   }
 
   val dedupGroupsSql: String = {

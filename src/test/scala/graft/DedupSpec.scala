@@ -142,4 +142,18 @@ class DedupSpec extends SparkSpec {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("large-star/small-star components agree with the min-label loop") {
+    import graft.ops.Components
+    // two independent algorithms over the same pair graph must emit
+    // the exact same group-size/canonical-sum summary
+    val label = Components.dedupGroups(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("sz"), r.getAs[Long]("n_groups"),
+        r.getAs[Long]("canonical_sum"))).toSet
+    val star = Components.dedupGroupsStar(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("sz"), r.getAs[Long]("n_groups"),
+        r.getAs[Long]("canonical_sum"))).toSet
+    assert(star === label)
+    assert(star.nonEmpty)
+  }
 }
