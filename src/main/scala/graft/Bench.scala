@@ -39,7 +39,31 @@ package graft
   */
 object Bench {
 
-  private def ms3(v: Double): Double = math.rint(v * 1000) / 1000
+  private[graft] def ms3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  /** Fixed CPU-bound micro-calibration (hash-sum over 100M longs,
+    * codegen'd, no IO): its time on an idle 32-thread host is stable,
+    * so a 2-5× inflated calib in the record marks the host as
+    * contended — the round-6 q23 9.7s-vs-1.7s ambiguity becomes
+    * self-identifying. */
+  private[graft] def calibrate(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 100000000L, 1L, 32).selectExpr("sum(hash(id))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private[graft] def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  /** [min, median, max] as a compact JSON array (record line must stay
+    * under the driver's ~2 KB output capture). */
+  private def tri(vs: Seq[Double]): String =
+    if (vs.isEmpty) "[]"
+    else {
+      val s = vs.sorted
+      Seq(s.head, s(s.size / 2), s.last).map(ms3).mkString("[", ",", "]")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,12 +79,15 @@ object Bench {
       if (fork) names.map(runForked(_, sfDir, reps))
       else runShared(names, sfDir, reps)
     def short(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + short(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + short(k) + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = ms3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val envs = results.flatMap(_._4)
+    val calib = tri(envs.map(_._1))
+    val load = tri(envs.map(_._2))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"calib":$calib,"load":$load,"sf":"$sfDir"}""")
   }
 
   /** Child JVM command line: same java binary, classpath, and JVM
@@ -83,7 +110,7 @@ object Bench {
   private val ChildTimeoutSec = 900L
 
   private def runForked(name: String, sfDir: String, reps: Int)
-      : (String, Double, Boolean) = {
+      : (String, Double, Boolean, Option[(Double, Double)]) = {
     val t0 = System.nanoTime()
     val pb = new ProcessBuilder(childCmd(sfDir, reps, name): _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -103,6 +130,7 @@ object Bench {
       new java.io.InputStreamReader(p.getInputStream))
     var line: String = null
     var got: Option[(Double, Boolean)] = None
+    var env: Option[(Double, Double)] = None
     try {
       while ({ line = out.readLine(); line != null }) line match {
         case l if l.startsWith("BENCHONE ") =>
@@ -110,6 +138,10 @@ object Bench {
           val ok = parts(1) == "1"
           val times = parts.drop(2).map(_.toDouble)
           if (times.nonEmpty) got = Some((times.min, ok))
+        case l if l.startsWith("BENCHENV ") =>
+          // "BENCHENV <calib_sec> <load_avg>" — contention markers
+          val parts = l.split("\\s+")
+          env = Some((parts(1).toDouble, parts(2).toDouble))
         case l => System.err.println(l) // child chatter → parent stderr
       }
       p.waitFor()
@@ -121,18 +153,20 @@ object Bench {
     } finally out.close()
     val wall = (System.nanoTime() - t0) / 1e9
     val (best, ok) = got.getOrElse((wall, false))
-    System.err.println(f"[bench] $name%s ${ms3(best)}%.3f ok=$ok%b wall=${ms3(wall)}%.1f")
-    (name, ms3(best), ok)
+    System.err.println(s"[bench] $name ${ms3(best)} ok=$ok wall=${ms3(wall)}" +
+      env.map { case (c, l) => s" calib=${ms3(c)} load=$l" }.getOrElse(""))
+    (name, ms3(best), ok, env)
   }
 
   /** Legacy shared-JVM path (dev only): all queries in this process,
     * scrub between runs, measured window excludes the scrub. */
   private def runShared(names: Seq[String], sfDir: String, reps: Int)
-      : Seq[(String, Double, Boolean)] = {
+      : Seq[(String, Double, Boolean, Option[(Double, Double)])] = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.nation(spark, sfDir).groupBy("n_regionkey").count().count()
+    val env = Some((calibrate(spark), loadAvg()))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to reps).map { _ =>
@@ -143,10 +177,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val dt = (System.nanoTime() - t0) / 1e9 // clock stops before scrub
         GraftSession.scrub(spark)
-        System.err.println(f"[bench] $name%s ${ms3(dt)}%.3f ok=$ok%b")
+        System.err.println(s"[bench] $name ${ms3(dt)} ok=$ok")
         (dt, ok)
       }
-      (name, ms3(runs.map(_._1).min), runs.forall(_._2))
+      (name, ms3(runs.map(_._1).min), runs.forall(_._2), env)
     }
     spark.stop()
     results
@@ -171,6 +205,11 @@ object BenchOne {
     // expression compilation stays in the measurement (it's part of
     // the engine's real cost)
     Tables.nation(spark, sfDir).groupBy("n_regionkey").count().count()
+    // contention markers: fixed CPU-bound calib + host load average,
+    // reported on their own protocol line so a contended record is
+    // self-identifying (round-6 lesson: driver host was 2-5× loaded)
+    val calib = Bench.calibrate(spark)
+    println("BENCHENV " + Bench.ms3(calib) + " " + Bench.loadAvg())
     val fn = SparkEntry.queries(name)
     val runs = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
@@ -182,8 +221,11 @@ object BenchOne {
       GraftSession.scrub(spark)
       (dt, ok)
     }
+    // Double.toString, NOT f"%.3f": the f interpolator is
+    // locale-sensitive and a comma-decimal default locale would break
+    // the parent's toDouble parse of this protocol line
     println("BENCHONE " + (if (runs.forall(_._2)) "1" else "0") + " " +
-      runs.map(r => f"${r._1}%.3f").mkString(" "))
+      runs.map(r => Bench.ms3(r._1).toString).mkString(" "))
     spark.stop()
   }
 }

@@ -21,14 +21,30 @@ object Components {
 
   val Rounds = 6
 
+  /** Pair sets below this row count are pinned to one partition: the
+    * downstream loop then runs single-task with no exchange — the same
+    * fixed-cost cut the label loop uses. At or above it the incoming
+    * partitioning is kept: a 100 TB corpus realistically yields
+    * billions of near-dup pairs, and a single-partition pin there is a
+    * one-task bottleneck and a single-node memory hazard. */
+  val SmallPairs = 1000000L
+
+  /** Size-conditional pin: coalesce(1) ONLY when the (already
+    * materialized) pair set is small; otherwise keep the shuffle
+    * partitioning. Exposed for the plan spec. */
+  private[graft] def pinPairs(pairs: DataFrame): DataFrame = {
+    val n = pairs.count()
+    (if (n < SmallPairs) pairs.coalesce(1) else pairs).localCheckpoint()
+  }
+
   /** Canonical (a < b) near-dup pairs, materialized once — shared by
     * the min-label loop (q53) and large-star/small-star (q145). */
-  private[ops] def pairTable(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def pairTable(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = System.nanoTime()
     val wide = Dedup.jaccardPairs(spark, sfDir)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint()
-    val pairs = wide.coalesce(1).localCheckpoint()
+    val pairs = pinPairs(wide)
     System.err.println(
       f"[cc] pairs materialized in ${(System.nanoTime() - t0) / 1e9}%.2fs")
     pairs
@@ -52,10 +68,20 @@ object Components {
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
   }
 
-  /** q53: dup-group summary — component count, size distribution,
-    * canonical-id checksum. */
-  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
-    val es = edges(spark, sfDir)
+  /** Min-label propagation over a symmetric (src, dst) edge relation,
+    * capped at `rounds` with early exit on convergence. Returns the
+    * final (node, lbl) table.
+    *
+    * CONVERGENCE BOUND: the minimum label travels one hop per round,
+    * so the result is true connected components only when every
+    * component's diameter is ≤ `rounds`. A deeper graph returns the
+    * partial labels after `rounds` hops — by design: q53's oracle
+    * unrolls exactly the same rounds, so both engines agree
+    * round-for-round, but the ANSWER is "connected components" only
+    * for shallow graphs (near-dup graphs are: a dup cluster is a
+    * quasi-clique, diameter 1-2). [[dedupGroupsStar]] (q145) is the
+    * production CC — O(log² n) rounds regardless of diameter. */
+  private[graft] def minLabelLoop(es: DataFrame, rounds: Int): DataFrame = {
     // a small label table (the usual case — only dup-pair ENDPOINTS
     // carry labels) runs the loop with broadcast joins and 1-partition
     // checkpoints, the same fixed-cost cut as the PageRank loop; a
@@ -70,7 +96,7 @@ object Components {
       if (small) broadcast(df) else df
     var converged = false
     var round = 0
-    while (round < Rounds && !converged) {
+    while (round < rounds && !converged) {
       val t0 = System.nanoTime()
       val neighborMin = es.join(maybeBroadcast(labels),
           col("dst") === col("node"))
@@ -86,6 +112,18 @@ object Components {
         f"[q53] round $round: ${(System.nanoTime() - t0) / 1e9}%.2fs" +
           (if (converged) " (converged)" else ""))
     }
+    if (!converged) System.err.println(
+      s"[q53] WARNING: min-label loop hit the $rounds-round cap without " +
+        "converging — labels are partial (component diameter > cap). " +
+        "Use dedupGroupsStar (q145) for deep graphs.")
+    labels
+  }
+
+  /** q53: dup-group summary — component count, size distribution,
+    * canonical-id checksum. Oracle-parity-bounded at diameter
+    * [[Rounds]]; see [[minLabelLoop]]. */
+  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = minLabelLoop(edges(spark, sfDir), Rounds)
     labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(
         count(lit(1)).as("n_groups"),
@@ -138,28 +176,53 @@ object Components {
     leaf.unionByName(self).distinct()
   }
 
+  /** Large-star/small-star alternation over a canonical (a, b) edge
+    * relation, capped at `rounds` with early exit on the fixpoint.
+    * Returns the converged star edge set (node → component min).
+    *
+    * Fixpoint probe: both inputs are sets (starRound ends in
+    * .distinct(); the pair table is canonical a < b), so
+    * `next == es  ⟺  |next| = |es| ∧ |next ∪ es| = |es|` — one count
+    * on the freshly checkpointed set (metadata-cheap) plus ONE
+    * union+distinct shuffle, replacing the old double-`exceptAll`
+    * (two shuffle-backed actions per round). The previous round's
+    * count is carried forward so each round pays exactly one extra
+    * shuffle job for the probe. */
+  private[graft] def starLoop(edges0: DataFrame, rounds: Int): DataFrame = {
+    var es = edges0.localCheckpoint()
+    var nEs = es.count()
+    var converged = false
+    var round = 0
+    while (round < rounds && !converged) {
+      val t0 = System.nanoTime()
+      val next = starRound(es).localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == nEs &&
+        next.unionByName(es).distinct().count() == nEs
+      es = next
+      nEs = nNext
+      round += 1
+      System.err.println(
+        f"[q145] star round $round: ${(System.nanoTime() - t0) / 1e9}%.2fs" +
+          (if (converged) " (converged)" else ""))
+    }
+    if (!converged) System.err.println(
+      s"[q145] WARNING: star loop hit the $rounds-round cap without " +
+        "reaching the fixpoint — component labels may be non-final. " +
+        "Raise StarRounds (convergence is O(log² n) rounds).")
+    es
+  }
+
   /** q145: the q53 dup-group summary via large-star/small-star —
     * identical output through a fundamentally different (and
     * scale-native) algorithm. The per-round localCheckpoint cuts the
     * doubling lineage; convergence is detected on the materialized
     * edge set (star edges stable), capped at [[StarRounds]]. */
   def dedupGroupsStar(spark: SparkSession, sfDir: String): DataFrame = {
-    var es = pairTable(spark, sfDir)
-      .select(col("a_id").as("a"), col("b_id").as("b"))
-      .localCheckpoint()
-    var converged = false
-    var round = 0
-    while (round < StarRounds && !converged) {
-      val t0 = System.nanoTime()
-      val next = starRound(es).localCheckpoint()
-      // fixpoint: the star edge set reproduces itself
-      converged = next.exceptAll(es).isEmpty && es.exceptAll(next).isEmpty
-      es = next
-      round += 1
-      System.err.println(
-        f"[q145] star round $round: ${(System.nanoTime() - t0) / 1e9}%.2fs" +
-          (if (converged) " (converged)" else ""))
-    }
+    val es = starLoop(
+      pairTable(spark, sfDir)
+        .select(col("a_id").as("a"), col("b_id").as("b")),
+      StarRounds)
     // star edges are (node → component min); roots label themselves
     val labels = es.select(col("a").as("node"), col("b").as("lbl"))
       .unionByName(es.select(col("b").as("node"), col("b").as("lbl")))

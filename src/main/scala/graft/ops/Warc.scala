@@ -123,7 +123,9 @@ object Warc {
       val out = new java.io.ByteArrayOutputStream()
       records.foreach { r =>
         val gz = new java.util.zip.GZIPOutputStream(out)
-        gz.write(r); gz.finish()
+        // close() (not just finish()) frees the native Deflater now
+        // rather than at finalization — one per record adds up
+        gz.write(r); gz.finish(); gz.close()
       }
       out.toByteArray
     } else records.flatten.toArray

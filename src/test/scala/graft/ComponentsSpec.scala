@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Components
+
+/** Connected-components scale and convergence contracts:
+  *
+  *  - the pair-table pin is SIZE-CONDITIONAL — a large pair set keeps
+  *    its shuffle partitioning (never funnels through one task), a
+  *    small one is pinned to a single partition for the fixed-cost
+  *    loop;
+  *  - the min-label loop (q53) is oracle-parity-bounded at diameter
+  *    [[Components.Rounds]]: on a deeper graph it returns partial
+  *    labels (documented behavior, warns loudly);
+  *  - the large-star/small-star loop (q145) converges on the same
+  *    deep graph — it is the production CC.
+  */
+class ComponentsSpec extends SparkSpec {
+
+  test("pinPairs keeps >1 partition for a large pair set") {
+    val big = spark.range(0L, Components.SmallPairs + 200000L, 1L, 8)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val pinned = Components.pinPairs(big)
+    assert(pinned.rdd.getNumPartitions > 1,
+      "large pair set must not be coalesced to one partition")
+  }
+
+  test("pinPairs pins a small pair set to one partition") {
+    val small = spark.range(0L, 1000L, 1L, 8)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    assert(Components.pinPairs(small).rdd.getNumPartitions == 1)
+  }
+
+  /** Symmetric chain 0-1-…-8: 9 nodes, diameter 8. */
+  private def chainEdges = {
+    val fwd = spark.range(0L, 8L)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("min-label loop is diameter-bounded: partial labels past the cap") {
+    // min label travels one hop per round: after 6 rounds node 7 has
+    // label 1 and node 8 has label 2 — three distinct labels remain
+    val labels = Components.minLabelLoop(chainEdges, Components.Rounds)
+    val distinctLbls = labels.select(col("lbl")).distinct().count()
+    assert(distinctLbls == 3,
+      s"diameter-8 chain after ${Components.Rounds} rounds should hold " +
+        s"labels {0,1,2}, got $distinctLbls distinct")
+  }
+
+  test("star loop converges on the diameter-8 chain") {
+    val pairs = spark.range(0L, 8L)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val es = Components.starLoop(pairs, 6)
+    val labels = es.select(col("a").as("node"), col("b").as("lbl"))
+      .unionByName(es.select(col("b").as("node"), col("b").as("lbl")))
+      .distinct()
+    val lbls = labels.select(col("lbl")).distinct().collect().map(_.getLong(0))
+    assert(lbls.toSet == Set(0L),
+      s"star CC must collapse the chain to component 0, got ${lbls.toSet}")
+    assert(labels.count() == 9L)
+  }
+}
