@@ -48,30 +48,21 @@ object TextOps {
   def ftsMatch(text: Column, query: Column): Column =
     arrays_overlap(tokens(text), tokens(query))
 
-  /** Stemming-lite suffix set shared by q52's vocabulary and the
-    * stemmed FTS variant. The fold nests CASEs so the LAST element is
-    * checked first → ordered shortest→longest to give longer suffixes
-    * priority; [[stemSql]] builds the identical nesting for DuckDB. */
-  val StemSuffixes: Seq[String] = Seq("s", "es", "ed", "edly", "ing", "ings")
-
-  /** Suffix-stripping normalizer: plural/gerund/past suffixes removed
-    * from tokens ≥ 5 chars — the deterministic core of index-time
-    * text normalization (the reference gets real Snowball stemming
-    * from Postgres `to_tsquery('english', …)`, `search.py:61`; this
-    * is the cross-engine-reproducible subset). */
-  def stem(t: Column): Column =
-    StemSuffixes.foldLeft(t) { (acc, suf) =>
-      when(length(t) >= 5 && t.endsWith(suf),
-        t.substr(lit(1), length(t) - lit(suf.length))).otherwise(acc)
-    }
+  /** Token normalizer behind q52's vocabulary and the stemmed FTS
+    * variant: the Snowball English (Porter2) stemmer — the SAME
+    * algorithm Postgres `to_tsquery('english', …)` applies in the
+    * reference (`search.py:61`). Implemented natively
+    * ([[graft.expressions.Porter2Stem]], codegen'd) with a
+    * mechanically mirrored DuckDB rendering ([[stemSql]] →
+    * [[Porter2.sql]]) so stemmed queries keep a full hash-gate
+    * oracle. Until round 7 this was a 6-suffix "stemming-lite"
+    * approximation; Porter2Spec + the Porter2Dump differential run
+    * cover the upgrade. */
+  def stem(t: Column): Column = graft.expressions.Porter2Stem.stem(t)
 
   /** The DuckDB rendering of [[stem]] over token expression `v` —
     * same single-source rule as [[tokSql]]. */
-  def stemSql(v: String): String =
-    StemSuffixes.foldLeft(v) { (acc, suf) =>
-      s"CASE WHEN length($v) >= 5 AND $v LIKE '%$suf' " +
-        s"THEN substr($v, 1, length($v) - ${suf.length}) ELSE $acc END"
-    }
+  def stemSql(v: String): String = Porter2.sql(v)
 
   /** Stemmed full-text match: both haystack and query tokens pass
     * through [[stem]] before the overlap test, so inflected forms
