@@ -93,10 +93,15 @@ object Pdf {
       else {
         // the bytes a fetcher would hand over: a complete PDF file —
         // framing varies per doc (multi-stream /Contents arrays,
-        // ASCIIHex filter chains) so the corpus exercises the layouts
-        // real writers produce; recovered text is framing-invariant
-        val bytes = PdfCodec.encode(r.pages,
-          splitContents = r.id % 2 == 0, hexFilter = r.id % 3 == 0)
+        // ASCIIHex filter chains, and since r7 the PDF 1.5+ xref-
+        // stream/ObjStm layout on every 5th doc) so the corpus
+        // exercises the layouts real writers produce; recovered text
+        // is framing-invariant
+        val bytes =
+          if (r.id % 5 == 0) PdfCodec.encodeModern(r.pages,
+            splitContents = r.id % 2 == 0, hexFilter = r.id % 3 == 0)
+          else PdfCodec.encode(r.pages,
+            splitContents = r.id % 2 == 0, hexFilter = r.id % 3 == 0)
         val decoded = PdfCodec.decode(bytes)
         val text = decoded.pages.mkString("") // text += page.get_text()
         if (text.trim.isEmpty)

@@ -172,6 +172,125 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** Modern (PDF 1.5+) layout: dictionary objects packed into a
+    * compressed `/ObjStm` object stream, and the cross-reference
+    * table replaced by a `/Type /XRef` stream — W [1 3 2] binary
+    * rows, FlateDecode, PNG Up predictor (/Predictor 12), the layout
+    * virtually every contemporary writer emits. Content streams stay
+    * file-resident (ISO 32000 §7.5.7 forbids streams inside object
+    * streams) and keep whatever filter framing `splitContents` /
+    * `hexFilter` select, so one file can exercise compressed xref,
+    * object streams, predictors, filter chains and multi-stream
+    * pages at once. */
+  def encodeModern(pages: Seq[String], splitContents: Boolean = false,
+      hexFilter: Boolean = false): Array[Byte] = {
+    val ps = if (pages.isEmpty) Seq("") else pages
+    val out = new ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val objsPerPage = if (splitContents) 3 else 2
+    val offsets = mutable.Map[Int, Int]() // file-resident objnum -> offset
+    w("%PDF-1.5\n")
+    def streamObjAt(num: Int, ops: String, filter: String): Unit = {
+      val raw = ops.getBytes(ISO_8859_1)
+      val (data, dictFilter) = filter match {
+        case "flate" => (deflate(raw), "/Filter /FlateDecode")
+        case "hex+flate" =>
+          (asciiHex(deflate(raw)), "/Filter [/ASCIIHexDecode /FlateDecode]")
+        case "hex" => (asciiHex(raw), "/Filter /ASCIIHexDecode")
+      }
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n<< /Length ${data.length} $dictFilter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    ps.zipWithIndex.foreach { case (text, i) =>
+      val pageObj = 4 + objsPerPage * i
+      val lines = text.split("\n", -1)
+      val ops = lines.zipWithIndex.map { case (ln, j) =>
+        s"BT /F1 12 Tf 72 ${720 - 14 * j} Td (${escape(ln)}) Tj ET"
+      }
+      if (splitContents) {
+        val (a, b) = ops.splitAt((ops.length + 1) / 2)
+        streamObjAt(pageObj + 1, a.mkString("\n"),
+          if (hexFilter) "hex+flate" else "flate")
+        streamObjAt(pageObj + 2, b.mkString("\n"),
+          if (hexFilter) "hex" else "flate")
+      } else
+        streamObjAt(pageObj + 1, ops.mkString("\n"),
+          if (hexFilter) "hex+flate" else "flate")
+    }
+    // object stream: catalog, page tree, font, page dicts
+    val kids = ps.indices.map(i => s"${4 + objsPerPage * i} 0 R").mkString(" ")
+    val members: Seq[(Int, String)] = Seq(
+      1 -> s"<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count ${ps.size} >>",
+      3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      ps.indices.map { i =>
+        val pageObj = 4 + objsPerPage * i
+        val contents =
+          if (splitContents) s"[${pageObj + 1} 0 R ${pageObj + 2} 0 R]"
+          else s"${pageObj + 1} 0 R"
+        pageObj -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contents >>")
+      }
+    val bodyParts = members.map(_._2)
+    val relOffsets = bodyParts.scanLeft(0)((acc, b) => acc + b.length + 1)
+    val header = members.zip(relOffsets).map { case ((num, _), off) =>
+      s"$num $off"
+    }.mkString(" ") + "\n"
+    val stmContent = header + bodyParts.mkString("\n")
+    val stmData = deflate(stmContent.getBytes(ISO_8859_1))
+    val objStmNum = 4 + objsPerPage * ps.size
+    offsets(objStmNum) = out.size()
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.size} " +
+      s"/First ${header.length} /Filter /FlateDecode " +
+      s"/Length ${stmData.length} >>\nstream\n")
+    out.write(stmData)
+    w("\nendstream\nendobj\n")
+    // xref stream: W [1 3 2] rows, PNG Up predictor, FlateDecode
+    val xrefNum = objStmNum + 1
+    val size = xrefNum + 1
+    val xrefStart = out.size()
+    offsets(xrefNum) = xrefStart
+    val memberIdx = members.map(_._1).zipWithIndex.toMap
+    val rowLen = 6
+    val raw = new Array[Byte](size * rowLen)
+    def putRow(n: Int, t: Int, f2: Int, f3: Int): Unit = {
+      val o = n * rowLen
+      raw(o) = t.toByte
+      raw(o + 1) = ((f2 >> 16) & 0xff).toByte
+      raw(o + 2) = ((f2 >> 8) & 0xff).toByte
+      raw(o + 3) = (f2 & 0xff).toByte
+      raw(o + 4) = ((f3 >> 8) & 0xff).toByte
+      raw(o + 5) = (f3 & 0xff).toByte
+    }
+    putRow(0, 0, 0, 0xffff)
+    (1 until size).foreach { n =>
+      memberIdx.get(n) match {
+        case Some(idx) => putRow(n, 2, objStmNum, idx)
+        case None => putRow(n, 1, offsets(n), 0)
+      }
+    }
+    // PNG Up predictor: tag byte 2 per row, delta vs previous raw row
+    val pred = new Array[Byte](size * (rowLen + 1))
+    (0 until size).foreach { r =>
+      pred(r * (rowLen + 1)) = 2
+      (0 until rowLen).foreach { c =>
+        val cur = raw(r * rowLen + c) & 0xff
+        val prev = if (r == 0) 0 else raw((r - 1) * rowLen + c) & 0xff
+        pred(r * (rowLen + 1) + 1 + c) = ((cur - prev) & 0xff).toByte
+      }
+    }
+    val xrefData = deflate(pred)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 3 2] " +
+      s"/Index [0 $size] /Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefStart\n%%EOF\n")
+    out.toByteArray
+  }
+
   // ----------------------------------------------------------------- decode
 
   /** Classification of a fetched document, mirroring the reference's
@@ -188,15 +307,52 @@ object PdfCodec {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"pdf parse error: $msg")
 
-  /** Byte offset of each numbered object, from the xref table the
-    * trailer points at (subsection headers `start count` handled). */
-  private def readXref(s: String): Map[Int, Int] = {
-    val sx = s.lastIndexOf("startxref")
-    if (sx < 0) fail("no startxref")
-    val xrefPos = """\d+""".r.findFirstIn(s.substring(sx + 9)).getOrElse(fail("bad startxref")).toInt
-    if (!s.startsWith("xref", xrefPos)) fail("xref table not at offset")
+  /** Resolved object universe of one file: byte offsets for
+    * file-resident objects, extracted dict bodies for objects living
+    * inside `/ObjStm` object streams, and the catalog root. */
+  private final case class ObjTable(s: String, bytes: Array[Byte],
+      offsets: Map[Int, Int], members: Map[Int, String], root: Int) {
+    /** Dict body of object n, wherever it lives. */
+    def scope(n: Int): String = members.getOrElse(n, {
+      val start = offsets.getOrElse(n, fail(s"unresolved object $n"))
+      val end = s.indexOf("endobj", start)
+      s.substring(start, if (end < 0) s.length else end)
+    })
+    /** Decoded stream payload of object n. Streams are always
+      * file-resident (§7.5.7: no streams inside object streams). */
+    def stream(n: Int): Array[Byte] =
+      streamData(s, bytes, offsets.getOrElse(n,
+        fail(s"stream object $n must be file-resident")))
+  }
+
+  private def refIn(scope: String, name: String): Int =
+    (name + """\s+(\d+)\s+0\s+R""").r.findFirstMatchIn(scope)
+      .getOrElse(fail(s"missing $name")).group(1).toInt
+
+  /** `/Name [a 0 R b 0 R …]` reference array in a dict body. */
+  private def intsIn(scope: String, name: String): Seq[Int] = {
+    val arr = (name + """\s*\[([^\]]*)\]""").r.findFirstMatchIn(scope)
+      .getOrElse(fail(s"missing $name array")).group(1)
+    """(\d+)\s+0\s+R""".r.findAllMatchIn(arr).map(_.group(1).toInt).toSeq
+  }
+
+  /** `/Name [n n n …]` plain integer array (xref stream /W, /Index). */
+  private def numsIn(scope: String, name: String): Seq[Int] = {
+    val arr = (name + """\s*\[([^\]]*)\]""").r.findFirstMatchIn(scope)
+      .getOrElse(fail(s"missing $name array")).group(1)
+    """(\d+)""".r.findAllMatchIn(arr).map(_.group(0).toInt).toSeq
+  }
+
+  private def intIn(scope: String, name: String): Option[Int] =
+    (name + """\s+(\d+)""").r.findFirstMatchIn(scope).map(_.group(1).toInt)
+
+  /** One classic `xref` section + its trailer. Fills only objnums not
+    * already defined (newer sections win across a /Prev chain).
+    * Returns (/Root if present, /Prev if present). */
+  private def readClassicSection(s: String, xrefPos: Int,
+      defined: mutable.Set[Int], offsets: mutable.Map[Int, Int])
+      : (Option[Int], Option[Int]) = {
     var i = xrefPos + 4
-    val entries = mutable.Map[Int, Int]()
     val lineRe = """(?s)\s*(\d+)\s+(\d+)""".r
     var done = false
     while (!done) {
@@ -205,36 +361,122 @@ object PdfCodec {
           val start = m.group(1).toInt
           val count = m.group(2).toInt
           i += m.end
-          // skip to first 20-byte entry (after the newline)
           while (s.charAt(i) == '\r' || s.charAt(i) == '\n' || s.charAt(i) == ' ') i += 1
           for (k <- 0 until count) {
             val entry = s.substring(i, i + 20)
-            if (entry.charAt(17) == 'n')
-              entries(start + k) = entry.substring(0, 10).toInt
+            if (defined.add(start + k) && entry.charAt(17) == 'n')
+              offsets(start + k) = entry.substring(0, 10).toInt
             i += 20
           }
           if (s.substring(i).trim.startsWith("trailer")) done = true
         case _ => done = true
       }
     }
-    entries.toMap
+    val tEnd = s.indexOf("startxref", i)
+    val trailer = s.substring(i, if (tEnd < 0) s.length else tEnd)
+    (("""/Root\s+(\d+)\s+0\s+R""").r.findFirstMatchIn(trailer)
+       .map(_.group(1).toInt),
+     intIn(trailer, "/Prev"))
   }
 
-  /** Value of `/Name` in the dict at/after `from`: an `N 0 R`
-    * reference (returns N) — scoped to the object body. */
-  private def ref(s: String, objStart: Int, name: String): Int = {
-    val end = s.indexOf("endobj", objStart)
-    val scope = s.substring(objStart, if (end < 0) s.length else end)
-    (name + """\s+(\d+)\s+0\s+R""").r.findFirstMatchIn(scope)
-      .getOrElse(fail(s"missing $name")).group(1).toInt
+  /** One `/Type /XRef` cross-reference STREAM (§7.5.8): binary rows
+    * of /W-sized big-endian fields over the /Index subsections, after
+    * the stream's own filter chain + predictor. Type 1 rows are file
+    * offsets; type 2 rows live in an object stream. */
+  private def readXrefStreamSection(s: String, bytes: Array[Byte], pos: Int,
+      defined: mutable.Set[Int], offsets: mutable.Map[Int, Int],
+      inStm: mutable.Map[Int, (Int, Int)]): (Option[Int], Option[Int]) = {
+    val end = s.indexOf("endobj", pos)
+    val scope = s.substring(pos, if (end < 0) s.length else end)
+    val w = numsIn(scope, "/W")
+    if (w.length != 3) fail(s"xref stream /W must have 3 fields, got $w")
+    val size = intIn(scope, "/Size").getOrElse(fail("xref stream missing /Size"))
+    val index = ("""/Index\s*\[""").r.findFirstIn(scope) match {
+      case Some(_) => numsIn(scope, "/Index")
+      case None => Seq(0, size)
+    }
+    val data = streamData(s, bytes, pos)
+    val rowLen = w.sum
+    var r = 0
+    index.grouped(2).foreach { case Seq(start, count) =>
+      for (k <- 0 until count) {
+        val o = r * rowLen
+        if (o + rowLen > data.length) fail("truncated xref stream data")
+        var p = o
+        def field(width: Int, default: Int): Int = {
+          if (width == 0) default
+          else {
+            var v = 0
+            for (_ <- 0 until width) { v = (v << 8) | (data(p) & 0xff); p += 1 }
+            v
+          }
+        }
+        val typ = field(w(0), 1)
+        val f2 = field(w(1), 0)
+        val f3 = field(w(2), 0)
+        val objNum = start + k
+        if (defined.add(objNum)) typ match {
+          case 0 => // free
+          case 1 => offsets(objNum) = f2
+          case 2 => inStm(objNum) = (f2, f3)
+          case other => fail(s"unknown xref stream entry type $other")
+        }
+        r += 1
+      }
+    }
+    (("""/Root\s+(\d+)\s+0\s+R""").r.findFirstMatchIn(scope)
+       .map(_.group(1).toInt),
+     intIn(scope, "/Prev"))
   }
 
-  private def intsAfter(s: String, objStart: Int, name: String): Seq[Int] = {
-    val end = s.indexOf("endobj", objStart)
-    val scope = s.substring(objStart, if (end < 0) s.length else end)
-    val arr = (name + """\s*\[([^\]]*)\]""").r.findFirstMatchIn(scope)
-      .getOrElse(fail(s"missing $name array")).group(1)
-    """(\d+)\s+0\s+R""".r.findAllMatchIn(arr).map(_.group(1).toInt).toSeq
+  /** Walk the cross-reference chain from `startxref` (classic tables
+    * and/or xref streams, newest first — incremental-update /Prev
+    * links honored, newer entries win), then burst every referenced
+    * `/ObjStm` into its member dict bodies. */
+  private def buildTable(s: String, bytes: Array[Byte]): ObjTable = {
+    val sx = s.lastIndexOf("startxref")
+    if (sx < 0) fail("no startxref")
+    var pos = """\d+""".r.findFirstIn(s.substring(sx + 9))
+      .getOrElse(fail("bad startxref")).toInt
+    val defined = mutable.Set[Int]()
+    val offsets = mutable.Map[Int, Int]()
+    val inStm = mutable.Map[Int, (Int, Int)]()
+    var root = -1
+    var guard = 0
+    while (pos >= 0 && guard < 64) {
+      guard += 1
+      val (r, prev) =
+        if (s.startsWith("xref", pos))
+          readClassicSection(s, pos, defined, offsets)
+        else readXrefStreamSection(s, bytes, pos, defined, offsets, inStm)
+      r.foreach(rt => if (root < 0) root = rt)
+      pos = prev.getOrElse(-1)
+    }
+    if (root < 0) fail("no /Root in xref chain")
+    // burst object streams: header = 2N ints (objnum offset)*, bodies
+    // at /First + offset
+    val members = mutable.Map[Int, String]()
+    inStm.groupBy(_._2._1).foreach { case (stmNum, entries) =>
+      val stmOff = offsets.getOrElse(stmNum,
+        fail(s"object stream $stmNum not file-resident"))
+      val end = s.indexOf("endobj", stmOff)
+      val scope = s.substring(stmOff, if (end < 0) s.length else end)
+      val n = intIn(scope, "/N").getOrElse(fail("ObjStm missing /N"))
+      val first = intIn(scope, "/First").getOrElse(fail("ObjStm missing /First"))
+      val text = new String(streamData(s, bytes, stmOff), ISO_8859_1)
+      val header = """(\d+)""".r.findAllMatchIn(text.substring(0, first))
+        .map(_.group(0).toInt).toSeq
+      if (header.length < 2 * n) fail("short ObjStm header")
+      val offs = (0 until n).map(i => header(2 * i + 1))
+      def body(i: Int): String =
+        text.substring(first + offs(i),
+          if (i + 1 < n) first + offs(i + 1) else text.length)
+      entries.foreach { case (objNum, (_, idx)) =>
+        if (idx < 0 || idx >= n) fail(s"ObjStm index $idx out of range")
+        members(objNum) = body(idx)
+      }
+    }
+    ObjTable(s, bytes, offsets.toMap, members.toMap, root)
   }
 
   /** ASCIIHexDecode (§7.4.2): whitespace ignored, '>' is EOD, an odd
@@ -284,12 +526,76 @@ object PdfCodec {
     if (bytes(dataStart) == '\r') dataStart += 1
     if (bytes(dataStart) == '\n') dataStart += 1
     val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len)
-    filters.foldLeft(raw) { (acc, f) =>
+    val decoded = filters.foldLeft(raw) { (acc, f) =>
       f match {
         case "FlateDecode" => inflate(acc)
         case "ASCIIHexDecode" => hexDecode(acc)
         case other => fail(s"unsupported filter /$other")
       }
+    }
+    // /DecodeParms predictor (xref streams near-universally use PNG Up)
+    """/Predictor\s+(\d+)""".r.findFirstMatchIn(scope)
+      .map(_.group(1).toInt).filter(_ >= 2) match {
+      case Some(pred) =>
+        val cols = intIn(scope, "/Columns").getOrElse(1)
+        val colors = intIn(scope, "/Colors").getOrElse(1)
+        val bpc = intIn(scope, "/BitsPerComponent").getOrElse(8)
+        unpredict(decoded, pred, cols, colors, bpc)
+      case None => decoded
+    }
+  }
+
+  /** Reverse a TIFF (2) or PNG (10-15) predictor over decoded stream
+    * bytes (§7.4.4.4). PNG rows carry a per-row filter tag byte:
+    * 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth. */
+  private def unpredict(data: Array[Byte], pred: Int, cols: Int,
+      colors: Int, bpc: Int): Array[Byte] = {
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (cols * colors * bpc + 7) / 8
+    if (pred == 2) { // TIFF: horizontal differencing
+      val out = data.clone()
+      var r = 0
+      while ((r + 1) * rowLen <= out.length) {
+        var i = r * rowLen + bpp
+        while (i < (r + 1) * rowLen) {
+          out(i) = ((out(i) + out(i - bpp)) & 0xff).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    } else { // PNG family: tag byte + filtered row
+      val nRows = data.length / (rowLen + 1)
+      val out = new Array[Byte](nRows * rowLen)
+      var r = 0
+      while (r < nRows) {
+        val tag = data(r * (rowLen + 1)) & 0xff
+        val src = r * (rowLen + 1) + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val x = data(src + i) & 0xff
+          val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val b = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+          val c = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+          val v = tag match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other => fail(s"unknown PNG filter tag $other")
+          }
+          out(dst + i) = (v & 0xff).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
     }
   }
 
@@ -359,28 +665,28 @@ object PdfCodec {
     lines.mkString("\n")
   }
 
-  /** Parse a full PDF byte array back to per-page text. */
+  /** Parse a full PDF byte array back to per-page text. Accepts both
+    * classic xref-table files (PDF 1.4) and compressed xref-stream /
+    * object-stream files (PDF 1.5+), including /Prev incremental
+    * chains. */
   def decode(bytes: Array[Byte]): Decoded = {
     val s = new String(bytes, ISO_8859_1)
     if (!s.startsWith("%PDF-")) fail("not a PDF header")
-    val xref = readXref(s)
-    val trailerAt = s.lastIndexOf("trailer")
-    if (trailerAt < 0) fail("no trailer")
-    val root = """/Root\s+(\d+)\s+0\s+R""".r
-      .findFirstMatchIn(s.substring(trailerAt)).getOrElse(fail("no /Root")).group(1).toInt
-    val pagesObj = ref(s, xref(root), "/Pages")
-    val kids = intsAfter(s, xref(pagesObj), "/Kids")
+    val tab = buildTable(s, bytes)
+    val pagesObj = refIn(tab.scope(tab.root), "/Pages")
+    val kids = intsIn(tab.scope(pagesObj), "/Kids")
     val pages = kids.map { pk =>
       // /Contents is a single stream ref OR an array of refs whose
       // streams concatenate (with intervening whitespace, §7.8.2)
       // into one content stream before tokenization
+      val pscope = tab.scope(pk)
       val contentObjs =
-        try intsAfter(s, xref(pk), "/Contents")
+        try intsIn(pscope, "/Contents")
         catch { case _: IllegalArgumentException =>
-          Seq(ref(s, xref(pk), "/Contents")) }
+          Seq(refIn(pscope, "/Contents")) }
       if (contentObjs.isEmpty) fail("empty /Contents array")
       val content = contentObjs
-        .map(o => new String(streamData(s, bytes, xref(o)), ISO_8859_1))
+        .map(o => new String(tab.stream(o), ISO_8859_1))
         .mkString("\n")
       extractText(content)
     }

@@ -75,6 +75,29 @@ class PdfSpec extends SparkSpec {
       splitContents = true, hexFilter = true)).pages === Seq("only"))
   }
 
+  test("modern layout: xref stream + ObjStm + PNG Up predictor") {
+    import graft.ops.PdfCodec
+    val pages = Seq("line one\nline two\nline three", "page 2 (with) \\parens\\")
+    val baseline = PdfCodec.decode(PdfCodec.encode(pages)).pages
+    for (split <- Seq(false, true); hex <- Seq(false, true)) {
+      val bytes = PdfCodec.encodeModern(pages, splitContents = split,
+        hexFilter = hex)
+      val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      // really the 1.5+ layout: no classic table, compressed xref +
+      // object stream + predictor all present
+      assert(!txt.contains("\nxref\n") && !txt.contains("trailer"))
+      assert(txt.contains("/Type /XRef") && txt.contains("/Type /ObjStm"))
+      assert(txt.contains("/Predictor 12"))
+      assert(PdfCodec.decode(bytes).pages === baseline,
+        s"modern split=$split hex=$hex changed recovered text")
+    }
+    // many pages: 3-byte offset fields and multi-member ObjStm hold up
+    val many = (1 to 40).map(i => s"page $i\nsecond line $i")
+    assert(PdfCodec.decode(PdfCodec.encodeModern(many)).pages ===
+      PdfCodec.decode(PdfCodec.encode(many)).pages)
+    assert(PdfCodec.decode(PdfCodec.encodeModern(Seq.empty)).pages === Seq(""))
+  }
+
   test("hex decoder enforces EOD and rejects bad digits") {
     import graft.ops.PdfCodec
     val good = PdfCodec.encode(Seq("abc"), hexFilter = true)
