@@ -136,6 +136,60 @@ class PlanSpec extends SparkSpec {
       s"histogram not map-side combined:\n$p")
   }
 
+  test("q135 stemmed listing keeps the q9 shape: top-k heap, no window, codegen'd stem") {
+    val df = ops.Search.listingStemmed(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"not top-k planned:\n$p")
+    assert(!p.contains("Window"), s"page uses a window:\n$p")
+    // the Porter2Stem expression must not knock the filter pipeline
+    // out of whole-stage codegen (it generates a single static call)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "stemmed filter broke whole-stage codegen")
+  }
+
+  test("q136/q139/q144 audits partial-aggregate before their exchanges") {
+    Seq("q136" -> ops.Snapshot.snapshotDrift _,
+        "q139" -> ops.Curation.perplexityBuckets _,
+        "q144" -> ops.TextAnalysis.mojibakeAudit _).foreach { case (n, q) =>
+      val p = plan(q(spark, sfDir))
+      assert("partial_|Partial".r.findFirstIn(p).isDefined,
+        s"$n not map-side combined:\n$p")
+    }
+  }
+
+  test("q140 calibration sweep is ONE codegen'd scan, not one scan per threshold") {
+    val df = ops.Curation.filterCalibration(spark, sfDir)
+    val p = plan(df)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$p")
+    assert("partial_|Partial".r.findFirstIn(p).isDefined,
+      s"threshold columns not map-side combined:\n$p")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "conditional-agg scan not codegen'd")
+  }
+
+  test("q137 epoch plan windows the corpus per-source; q143 fertility has no single-partition corpus path") {
+    // q137's only global window is the largest-remainder seat ranking
+    // over the SOURCE table (one row per source — bounded, not corpus-
+    // sized); the per-document rank must be hash-partitioned by source
+    val p137 = plan(ops.Mixture.epochPlan(spark, sfDir))
+    assert(p137.contains("Exchange hashpartitioning(source"),
+      s"q137 per-doc window not partitioned by source:\n$p137")
+    val p143 = plan(ops.Bpe.tokenizerFertility(spark, sfDir))
+    val bad = p143.linesIterator.exists(l =>
+      l.contains("Exchange SinglePartition") && !l.contains("rangepartitioning"))
+    assert(!bad, s"q143 serializes the corpus through one partition:\n$p143")
+  }
+
+  test("q142 WARC health rolls up per domain with map-side combine") {
+    val p = plan(ops.Warc.fetchHealth(spark, sfDir))
+    assert("partial_|Partial".r.findFirstIn(p).isDefined,
+      s"health rollup not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
