@@ -50,6 +50,11 @@ object Warc {
   case class WarcFile(file_id: Long, content: Array[Byte])
   case class WarcRecord(warcType: String, targetUri: String,
     httpStatus: Int, bodyBytes: Int)
+  /** A walked record with its payload body retained — the streaming-
+    * ingest entry ([[graft.streaming.WarcIngest]]) needs the bytes,
+    * the q142 health rollup only the extent. */
+  case class WarcFullRecord(warcType: String, targetUri: String,
+    httpStatus: Int, body: Array[Byte])
 
   // ---- closed-form record definitions (mirrored in the oracle) ----
   private[graft] def domain(k: Long): String = s"dom${k % 20}.test"
@@ -136,7 +141,11 @@ object Warc {
     * block + Content-Length extent, verifying version lines and
     * record terminators. HTTP payloads split at the first CRLFCRLF;
     * the status code comes off the status line. */
-  private[graft] def decodeWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
+  private[graft] def decodeWarc(bytes: Array[Byte]): Seq[WarcRecord] =
+    decodeWarcFull(bytes).map(r =>
+      WarcRecord(r.warcType, r.targetUri, r.httpStatus, r.body.length))
+
+  private[graft] def decodeWarcFull(bytes: Array[Byte]): Seq[WarcFullRecord] = {
     val raw =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f
           && (bytes(1) & 0xff) == 0x8b) {
@@ -149,7 +158,7 @@ object Warc {
         out.toByteArray
       } else bytes
     var pos = 0
-    val records = Seq.newBuilder[WarcRecord]
+    val records = Seq.newBuilder[WarcFullRecord]
     def line(): String = {
       val start = pos
       while (pos + 1 < raw.length && !(raw(pos) == '\r' && raw(pos + 1) == '\n'))
@@ -190,9 +199,9 @@ object Warc {
           val code = statusLine.split(" ")(1).toInt
           val sep = text.indexOf(Crlf + Crlf)
           require(sep >= 0, "HTTP payload without header terminator")
-          (code, payload.length - (sep + 4))
-        } else (0, payload.length)
-      records += WarcRecord(warcType, target, st, body)
+          (code, java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
+        } else (0, payload)
+      records += WarcFullRecord(warcType, target, st, body)
     }
     records.result()
   }
@@ -206,6 +215,26 @@ object Warc {
     Tables.customer(spark, sfDir).select(col("c_custkey").as[Long])
       .groupByKey(fileOf)
       .mapGroups((fileId, keys) => WarcFile(fileId, encodeWarc(fileId, keys.toSeq)))
+  }
+
+  /** WARC container frames → ingestable page items: walk each file,
+    * keep the response records, surface (url, domain, http_status,
+    * content, file_type, embedding_type, from_gzip). This is the
+    * route step of the streaming ingest
+    * ([[graft.streaming.WarcIngest]]): scan-local mapPartitions —
+    * works identically on a batch Dataset and a Structured Streaming
+    * one, payload bytes never cross a shuffle. */
+  def responseItems(files: Dataset[WarcFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.flatMap { f =>
+      decodeWarcFull(f.content).collect {
+        case WarcFullRecord("response", target, st, body) =>
+          val dom = target.stripPrefix("https://").takeWhile(_ != '/')
+          (target, dom, st, new String(body, "US-ASCII"),
+            "html", "text", gzipped(f.file_id))
+      }
+    }).toDF("url", "domain", "http_status", "content",
+      "file_type", "embedding_type", "from_gzip")
   }
 
   /** q142: walk every WARC file, keep the response records, roll up
