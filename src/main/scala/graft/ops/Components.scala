@@ -197,7 +197,10 @@ object Components {
       val t0 = System.nanoTime()
       val next = starRound(es).localCheckpoint()
       val nNext = next.count()
-      converged = nNext == nEs &&
+      // round 1 can only be a fixpoint if the input already was one —
+      // skip its probe shuffle (idempotence makes the extra round in
+      // that rare case harmless)
+      converged = round > 0 && nNext == nEs &&
         next.unionByName(es).distinct().count() == nEs
       es = next
       nEs = nNext
