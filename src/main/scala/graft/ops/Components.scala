@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,7 +63,7 @@ object Components {
     * The pair set itself is tiny (~10³ rows at sf0.1), so after the
     * checkpoint everything downstream is metadata-scale work.
     */
-  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def edges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = pairTable(spark, sfDir)
     pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -276,6 +277,67 @@ object Components {
       |SELECT sz, COUNT(*) AS n_groups, CAST(SUM(lbl) AS BIGINT) AS canonical_sum
       |FROM (SELECT lbl, COUNT(*) AS sz FROM labels GROUP BY lbl)
       |GROUP BY sz ORDER BY sz""".stripMargin
+  }
+
+  /** q147: canonical selection per near-dup cluster — the step that
+    * turns dup GROUPS into a curation DECISION: within each connected
+    * component of the near-dup graph, keep the highest-quality member
+    * (the [[Curation.scoreDocs]] classifier score; ties → lowest
+    * doc_id via the q130 packed-key trick) and ledger the rest.
+    * Min-id canonicalization (what q53 labels give) throws away the
+    * best copy whenever quality and id disagree; real pipelines keep
+    * the best, not the first.
+    *
+    * Scale shape: the label table holds dup-graph ENDPOINTS only
+    * (clusters, not the corpus); scores join on doc_id (one shuffle),
+    * and the per-cluster argmax is a packed-key MAX_BY partial agg —
+    * no window, no sort, no text movement. */
+  def canonicalKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = minLabelLoop(edges(spark, sfDir), Rounds)
+    val scored = Curation.scoreDocs(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("score"))
+    labels.join(scored, labels("node") === scored("doc_id"))
+      .withColumn("ord_key",
+        round(col("score") * 1e6, 0) * lit(1e7) - col("node"))
+      .groupBy(col("lbl")).agg(
+        count(lit(1)).as("sz"),
+        max_by(col("node"), col("ord_key")).as("keep_doc"),
+        max(col("score")).as("best_score"),
+        sum(col("node")).as("node_sum"))
+      .select(col("lbl"), col("sz"), col("keep_doc"), col("best_score"),
+        (col("sz") - 1).as("n_removed"),
+        (col("node_sum") - col("keep_doc")).as("removed_checksum"))
+      .orderBy(col("lbl"))
+  }
+
+  val canonicalKeepSql: String = {
+    val rounds = (1 to Rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT l.node,
+         |    LEAST(l.lbl, COALESCE(MIN(nb.lbl), l.lbl)) AS lbl
+         |  FROM l${i - 1} l
+         |  LEFT JOIN edges e ON e.src = l.node
+         |  LEFT JOIN l${i - 1} nb ON nb.node = e.dst
+         |  GROUP BY l.node, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    val pairSource = Dedup.jaccardPairsSql
+      .replace("ORDER BY a_id, b_id", "")
+    s"""WITH pairs AS ($pairSource),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      |$rounds,
+      |${Curation.scoreCtesSql},
+      |j AS (
+      |  SELECT lab.lbl, lab.node, s.score,
+      |    ROUND(s.score * 1e6, 0) * 1e7 - lab.node AS ord_key
+      |  FROM l$Rounds lab JOIN s ON s.doc_id = lab.node)
+      |SELECT lbl, COUNT(*) AS sz, arg_max(node, ord_key) AS keep_doc,
+      |  MAX(score) AS best_score,
+      |  CAST(COUNT(*) - 1 AS BIGINT) AS n_removed,
+      |  CAST(SUM(node) - arg_max(node, ord_key) AS BIGINT) AS removed_checksum
+      |FROM j GROUP BY lbl ORDER BY lbl""".stripMargin
   }
 
   val dedupGroupsSql: String = {

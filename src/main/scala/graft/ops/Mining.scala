@@ -360,4 +360,69 @@ object Mining {
       |    / COUNT(*), 6) AS pct_removed
       |FROM paras JOIN dfc ON paras.ph = dfc.ph
       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** q149: cross-source contamination matrix — which data sources
+    * share content with which? The inter-source cousin of q63's
+    * benchmark-contamination check, and a standing curation question
+    * (mirror sites, syndication, scraped re-posts inflate a mixture's
+    * effective epoch count). Per source-pair: shared distinct 8-gram
+    * count and the Jaccard of the two sources' distinct gram sets.
+    *
+    * Scale shape: grams are hashed and deduped per (source, gram)
+    * BEFORE the self-join, so the join input is bounded by distinct
+    * grams x sources, the join key is the gram hash (one shuffle),
+    * and a gram shared by k sources fans out to C(k,2) <= C(|S|,2)
+    * pairs — bounded by the SOURCE count, not the corpus. Per-source
+    * gram totals are a |S|-row broadcast. No text crosses a shuffle.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("source"), explode(array_distinct(transform(
+        TextOps.shinglesFromTokens(col("toks"), 8),
+        s => TextOps.hash60(s)))).as("g"))
+      .distinct()
+      .localCheckpoint() // shared by sizes + both join sides
+    val sizes = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("x")
+      .join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_grams").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_grams").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared_grams"),
+        round(col("n_shared_grams").cast("double") /
+          (col("na") + col("nb") - col("n_shared_grams")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String = {
+    val tokSql = TextOps.tokSql()
+    val grams8 =
+      s"""list_distinct(list_transform(
+         |  CASE WHEN len($tokSql) < 8 THEN [array_to_string($tokSql, ' ')]
+         |       ELSE list_transform(generate_series(1, len($tokSql) - 7),
+         |              i -> array_to_string(($tokSql)[i:i+7], ' ')) END,
+         |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))""".stripMargin
+    s"""WITH g AS (
+      |  SELECT DISTINCT source, unnest($grams8) AS g
+      |  FROM documents),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      |inter AS (
+      |  SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_shared_grams
+      |  FROM g x JOIN g y ON x.g = y.g AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared_grams,
+      |  ROUND(CAST(n_shared_grams AS DOUBLE)
+      |    / (sa.n + sb.n - n_shared_grams), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+  }
 }

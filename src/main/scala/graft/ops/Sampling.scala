@@ -33,6 +33,60 @@ object Sampling {
       |    AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Number of training shards in the q148 epoch-shuffle plan (real
+    * runs use thousands; the mechanics are shard-count-invariant). */
+  val ShuffleShards = 8
+
+  /** q148: deterministic per-epoch training order — the reproducible
+    * global shuffle every pretraining run needs (restart-safe data
+    * order, different permutation per epoch). The order key is a pure
+    * hash of (epoch, doc_id), so the permutation is a function of the
+    * corpus, not of cluster state; docs are first bucketed into
+    * shards by a second independent hash and ordered WITHIN shards —
+    * the hierarchy real loaders use (shard files, then in-shard
+    * order), and the reason this scales: every window is per-shard,
+    * never global. Output pins the full permutation per (epoch,
+    * shard): size, head doc, and a position-weighted checksum — one
+    * displaced doc anywhere breaks it.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epochs = explode(array((1 to 3).map(lit): _*)).as("epoch")
+    val keyed = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .select(col("doc_id"), epochs)
+      .withColumn("ord_key", TextOps.hash60(
+        concat(lit("shuf:"), col("epoch"), lit(":"), col("doc_id"))))
+      .withColumn("shard", pmod(TextOps.hash60(
+        concat(lit("shard:"), col("epoch"), lit(":"), col("doc_id"))),
+        lit(ShuffleShards.toLong)))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("ord_key"), col("doc_id"))))
+      .groupBy(col("epoch"), col("shard")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pos") === 1, col("doc_id"))).as("head_doc"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  val epochShuffleSql: String =
+    s"""WITH e(epoch) AS (VALUES (1), (2), (3)),
+      |k AS (
+      |  SELECT epoch, doc_id,
+      |    ('0x' || substr(md5('shuf:' || epoch || ':' || doc_id), 1, 15))::BIGINT AS ord_key,
+      |    ('0x' || substr(md5('shard:' || epoch || ':' || doc_id), 1, 15))::BIGINT % $ShuffleShards AS shard
+      |  FROM documents CROSS JOIN e),
+      |p AS (
+      |  SELECT epoch, shard, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |      ORDER BY ord_key, doc_id) AS pos
+      |  FROM k)
+      |SELECT epoch, shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc,
+      |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+      |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
   /** q52: stem-normalized vocabulary — top terms after stemming
     * ([[TextOps.stem]], the shared stemming-lite normalizer), proving
     * the normalizer collapses inflected forms. */

@@ -48,6 +48,31 @@ class ComponentsSpec extends SparkSpec {
         s"labels {0,1,2}, got $distinctLbls distinct")
   }
 
+  test("canonical keep: best-quality member wins each cluster; ledger balances") {
+    import graft.ops.{Curation, Components}
+    val rows = Components.canonicalKeep(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // replay: labels + scores recomputed independently, then argmax
+    val labels = Components.minLabelLoop(
+      graft.ops.Components.edges(spark, sfDir), Components.Rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scores = Curation.scoreDocs(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.keys.toSeq)
+    rows.foreach { r =>
+      val (lbl, sz, keep) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // token-less docs have no quality score and are not keep
+      // candidates (both engines drop them at the score join)
+      val members = byCluster(lbl).filter(scores.contains)
+      assert(members.size.toLong == sz)
+      val want = members.maxBy(d => (math.round(scores(d) * 1e6), -d))
+      assert(keep == want, s"cluster $lbl kept $keep, want $want")
+      assert(r.getLong(4) == sz - 1) // n_removed
+      assert(r.getLong(5) == members.sum - keep) // removed_checksum
+    }
+  }
+
   test("star loop converges on the diameter-8 chain") {
     val pairs = spark.range(0L, 8L)
       .select(col("id").as("a"), (col("id") + 1).as("b"))
