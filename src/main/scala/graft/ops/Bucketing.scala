@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins — the storage-layout lever that deletes
+  * the join shuffle entirely. A join between two tables bucketed by
+  * the join key into the same bucket count needs NO Exchange on
+  * either side: matching keys already live in matching bucket files,
+  * so the join plans as a zipped per-bucket SortMergeJoin (and with
+  * `sortBy`, no Sort either). At 100 TB this is THE recipe for
+  * recurring joins (corpus ⋈ embeddings, corpus ⋈ scores, snapshot ⋈
+  * snapshot): pay one bucketed write, then every downstream join in
+  * every job skips both exchanges.
+  *
+  * Spark only honors bucketing through the catalog, so the writer
+  * goes via `saveAsTable` (session catalog; warehouse dir is whatever
+  * the session configures). BucketingSpec proves the contract: the
+  * bucketed join subplan has ZERO Exchange operators, the
+  * plain-parquet control has them, and both layouts return identical
+  * rows.
+  */
+object Bucketing {
+
+  val Buckets = 8
+
+  /** Write documents + embeddings as doc_id-bucketed, doc_id-sorted
+    * EXTERNAL catalog tables under `base` (idempotent: drops stale
+    * catalog entries and locations first — an explicit path keeps the
+    * layout out of the default warehouse dir). */
+  def writeBucketed(spark: SparkSession, sfDir: String, base: String,
+      docsTable: String = "docs_bucketed",
+      embTable: String = "emb_bucketed"): Unit = {
+    def write(df: DataFrame, table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(s"$base/$table")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(loc, true)
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(Buckets, "doc_id").sortBy("doc_id")
+        .option("path", loc.toString)
+        .format("parquet").saveAsTable(table)
+    }
+    write(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text")),
+      docsTable)
+    write(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding")), embTable)
+  }
+
+  /** The recurring join itself, off the bucketed layout — no agg on
+    * top, so its plan isolates the join contract: with both sides
+    * bucketed by doc_id there must be no Exchange anywhere in it. */
+  def bucketedJoined(spark: SparkSession,
+      docsTable: String = "docs_bucketed",
+      embTable: String = "emb_bucketed"): DataFrame =
+    spark.table(docsTable).select(col("doc_id"), col("source"))
+      .join(spark.table(embTable).select(col("doc_id"),
+        col("embedding")), Seq("doc_id"))
+
+  /** Control: the same join off plain parquet (exchanges both sides). */
+  def plainJoined(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+
+  /** Per-source rollup used to compare answers across layouts. */
+  def rollup(joined: DataFrame): DataFrame =
+    joined.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("embedding")).cast("long")).as("dim_sum"))
+      .orderBy(col("source"))
+}
