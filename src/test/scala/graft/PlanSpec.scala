@@ -190,6 +190,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q146 blocklist sweep is one codegen'd scan; q149 overlap join is equi-keyed") {
+    val bl = ops.Blocklist.blocklistAudit(spark, sfDir)
+    val bp = plan(bl)
+    // the corpus-total side re-scans metadata only; exactly ONE scan
+    // may read the text column (K patterns share a single automaton
+    // pass — never one text scan per pattern)
+    val textScans = bp.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("text:string"))
+    assert(textScans == 1,
+      s"expected 1 text-reading scan, got $textScans:\n$bp")
+    bl.collect()
+    assert(bl.queryExecution.executedPlan.toString.contains("*("),
+      "multi_contains broke whole-stage codegen")
+    val so = plan(ops.Mining.sourceOverlap(spark, sfDir))
+    assert(!so.contains("CartesianProduct") &&
+      !so.contains("BroadcastNestedLoopJoin"),
+      s"gram self-join not equi-keyed:\n$so")
+  }
+
+  test("q148 epoch shuffle windows are per-(epoch, shard), never global") {
+    val p = plan(ops.Sampling.epochShuffle(spark, sfDir))
+    assert(p.contains("Window"), s"expected a window plan:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange SinglePartition") && !l.contains("rangepartitioning")),
+      s"training order serialized through one partition:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
