@@ -40,6 +40,7 @@ object Robots {
         lit("Disallow: /"),
         lit(""),
         lit("User-agent: *"),
+        concat(lit("Crawl-delay: "), pmod(col("id"), lit(5)) + 1),
         concat(lit("Disallow: /p/"), pmod(col("id"), lit(10))),
         concat(lit("Allow: /p/"), pmod(col("id"), lit(10)),
           pmod(col("id"), lit(10))),
@@ -69,7 +70,8 @@ object Robots {
     * each rule line to the most recent `User-agent` group above it
     * (a running max-line window — the grouped-record shape of the
     * file format). */
-  def parseRules(robots: DataFrame): DataFrame = {
+  def parseRules(robots: DataFrame,
+      directives: Seq[String] = Seq("allow", "disallow")): DataFrame = {
     val lines = robots
       .select(col("domain"), posexplode(split(col("txt"), "\n")))
       .toDF("domain", "line_no", "line")
@@ -85,7 +87,7 @@ object Robots {
       .select(col("domain"), col("line_no").as("agent_line"),
         col("value").as("agent"))
     grouped
-      .filter(col("directive").isin("allow", "disallow") && col("value") =!= "")
+      .filter(col("directive").isin(directives: _*) && col("value") =!= "")
       .join(agents, Seq("domain", "agent_line"))
       .select(col("domain"), col("agent"), col("directive").as("rule"),
         col("value").as("prefix"), length(col("value")).as("plen"))
@@ -134,6 +136,7 @@ object Robots {
       |    concat_ws(chr(10),
       |      'User-agent: googlebot', 'Disallow: /', '',
       |      'User-agent: *',
+      |      'Crawl-delay: ' || ((k % 5) + 1),
       |      'Disallow: /p/' || (k % 10),
       |      'Allow: /p/' || (k % 10) || (k % 10),
       |      'Disallow: /p/1*' || (k % 10) || '$',
@@ -184,4 +187,66 @@ object Robots {
       |  CAST(SUM(CASE WHEN NOT (rule IS NULL OR rule = 'allow') THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
       |FROM matched WHERE rn = 1
       |GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** Fetch slots assumed by the q150 politeness plan (a crawl
+    * cluster's concurrent per-domain fetch lanes). */
+  val FetchSlots = 32
+
+  /** q150: politeness-aware fetch plan — the scheduling question every
+    * polite crawl has to answer BEFORE it starts: given each domain's
+    * robots `Crawl-delay` and URL inventory, how long does each
+    * domain take (politeness serializes within a domain: n_urls x
+    * delay, no worker count changes it), and what is the best
+    * achievable makespan with [[FetchSlots]] lanes (the LPT lower
+    * bound: max(longest domain, ceil(total work / slots)))? The
+    * `bottleneck_share` column names the long-pole domains a planner
+    * would shard by IP or deprioritize.
+    *
+    * Scale shape: robots parse is a tiny scan; URL counts are one
+    * partial-agg groupBy over the frontier; the plan is a
+    * |domains|-row join with two 1-row broadcast aggregates. */
+  def fetchPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val delays = parseRules(robotsTxt(spark), Seq("crawl-delay"))
+      .filter(col("agent") === "*")
+      .select(col("domain"), col("prefix").cast("long").as("crawl_delay_s"))
+    val urls = graft.Tables.part(spark, sfDir)
+      .select(concat(lit("d"), pmod(col("p_partkey"), lit(20)),
+        lit(".test")).as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_urls"))
+    val perDomain = urls.join(delays, Seq("domain"))
+      .withColumn("serial_s", col("n_urls") * col("crawl_delay_s"))
+    val bound = perDomain.agg(
+      greatest(max(col("serial_s")),
+        ceil(sum(col("serial_s")).cast("double") / FetchSlots).cast("long"))
+        .as("makespan_lb_s"))
+    perDomain.crossJoin(broadcast(bound))
+      .select(col("domain"), col("n_urls"), col("crawl_delay_s"),
+        col("serial_s"), col("makespan_lb_s"),
+        round(col("serial_s").cast("double") / col("makespan_lb_s"), 6)
+          .as("bottleneck_share"))
+      .orderBy(col("domain"))
+  }
+
+  val fetchPlanSql: String =
+    s"""WITH urls AS (
+      |  SELECT 'd' || (p_partkey % 20) || '.test' AS domain,
+      |    COUNT(*) AS n_urls
+      |  FROM part GROUP BY 1),
+      |delays AS (
+      |  SELECT 'd' || k || '.test' AS domain,
+      |    CAST((k % 5) + 1 AS BIGINT) AS crawl_delay_s
+      |  FROM generate_series(0, 19) AS t(k)),
+      |per_domain AS (
+      |  SELECT u.domain, u.n_urls, d.crawl_delay_s,
+      |    u.n_urls * d.crawl_delay_s AS serial_s
+      |  FROM urls u JOIN delays d ON u.domain = d.domain),
+      |bound AS (
+      |  SELECT GREATEST(MAX(serial_s),
+      |    CAST(CEIL(CAST(SUM(serial_s) AS DOUBLE) / $FetchSlots) AS BIGINT))
+      |    AS makespan_lb_s
+      |  FROM per_domain)
+      |SELECT domain, n_urls, crawl_delay_s, serial_s, makespan_lb_s,
+      |  ROUND(CAST(serial_s AS DOUBLE) / makespan_lb_s, 6) AS bottleneck_share
+      |FROM per_domain CROSS JOIN bound
+      |ORDER BY domain""".stripMargin
 }

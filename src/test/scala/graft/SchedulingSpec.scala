@@ -120,4 +120,43 @@ class SchedulingSpec extends SparkSpec {
     assert(nAttr > 0 && nAttr < nPur,
       "test data exercised only one attribution branch")
   }
+
+  test("fetch plan: per-domain serialization and LPT makespan bound") {
+    import graft.ops.Robots
+    val rows = Robots.fetchPlan(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // politeness serializes within a domain: serial = n_urls * delay
+    rows.foreach { r =>
+      assert(r.getAs[Long]("serial_s") ==
+        r.getAs[Long]("n_urls") * r.getAs[Long]("crawl_delay_s"))
+      assert((1L to 5L).contains(r.getAs[Long]("crawl_delay_s")))
+    }
+    // makespan lower bound = max(longest domain, ceil(total / slots)),
+    // identical on every row (1-row broadcast aggregate)
+    val serials = rows.map(_.getAs[Long]("serial_s"))
+    val expect = math.max(serials.max,
+      math.ceil(serials.sum.toDouble / Robots.FetchSlots).toLong)
+    assert(rows.map(_.getAs[Long]("makespan_lb_s")).distinct.toSeq
+      == Seq(expect))
+    // the long-pole domain owns the largest bottleneck share, and no
+    // share exceeds 1 (nothing can beat the lower bound)
+    val shares = rows.map(_.getAs[Double]("bottleneck_share"))
+    assert(shares.forall(s => s > 0 && s <= 1.0))
+    assert(shares.max == shares(serials.indexOf(serials.max)))
+  }
+
+  test("parseRules extracts crawl-delay directives per agent group") {
+    import graft.ops.Robots
+    val delays = Robots.parseRules(Robots.robotsTxt(spark),
+      Seq("crawl-delay")).collect()
+    // only the '*' group declares a delay in the synthetic corpus
+    assert(delays.nonEmpty)
+    assert(delays.forall(_.getAs[String]("agent") == "*"))
+    assert(delays.forall(r =>
+      (1 to 5).contains(r.getAs[String]("prefix").toInt)))
+    // and the default directive filter still excludes it
+    val rules = Robots.parseRules(Robots.robotsTxt(spark)).collect()
+    assert(rules.forall(r => Set("allow", "disallow")
+      .contains(r.getAs[String]("rule"))))
+  }
 }
