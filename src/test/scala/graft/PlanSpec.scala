@@ -217,6 +217,23 @@ class PlanSpec extends SparkSpec {
       s"training order serialized through one partition:\n$p")
   }
 
+  test("q151/q152 novelty attribution: partial aggs, equi-joins, no text through shuffles") {
+    Seq(plan(ops.Novelty.noveltyScore(spark, sfDir)),
+        plan(ops.Novelty.gramSaturation(spark, sfDir))).foreach { p =>
+      assert("partial_|Partial".r.findFirstIn(p).isDefined,
+        s"gram attribution not map-side combined:\n$p")
+      assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+      // gram pairs carry (doc_id, g) only; document text must never
+      // appear in an exchange's output schema
+      assert(!p.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("text#")),
+        s"document text crosses a shuffle:\n$p")
+    }
+    // the novelty cut is a top-k heap, not a global sort
+    assert(plan(ops.Novelty.noveltyScore(spark, sfDir))
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
