@@ -87,7 +87,19 @@ object Bench {
     val envs = results.flatMap(_._4)
     val calib = tri(envs.map(_._1))
     val load = tri(envs.map(_._2))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$failed,"calib":$calib,"load":$load,"sf":"$sfDir"}""")
+    // Field ORDER is load-bearing: the driver's output capture keeps
+    // only the LAST ~2 KB of stdout, and the r7 record line (152
+    // queries) was cut at the FRONT, losing the suite total (ADVICE
+    // r7). The big per-query map goes first and every scalar summary
+    // field goes last, so any truncation eats query timings, never the
+    // headline metrics; the complete record is also persisted to
+    // BENCH_FULL_LATEST.json in the working dir for reconstruction.
+    val record = s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$failed,"calib":$calib,"load":$load,"metric":"total","unit":"sec","value":$total}"""
+    println(record)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL_LATEST.json"), record + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-record persist failed: ${e.getMessage}") }
   }
 
   /** Child JVM command line: same java binary, classpath, and JVM

@@ -17,13 +17,15 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's vector
-    * reader refuses; read nanos as long and floor-convert to
-    * microsecond timestamps — exactly what DuckDB does natively, so
-    * the oracle sees identical values. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * ([[GraftSession]] sets it; plan construction must not mutate
-    * session config as a side effect). */
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: parquet INT64 TIMESTAMP(NANOS) — which Spark's vector
+    * reader only surfaces as BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — and native
+    * `timestamp[us]`, which Spark reads directly as a timestamp type.
+    * The loader is an adapter over that boundary: it branches on the
+    * column's resolved dtype so both layouts land on identical
+    * microsecond timestamps (matching what DuckDB reads natively, so
+    * the oracle sees the same values either way). */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
 
@@ -36,8 +38,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    eventsRaw(s, d).withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = eventsRaw(s, d)
+    raw.schema("ts").dataType match {
+      case LongType =>        // legacy INT64-nanos layout via nanosAsLong
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // native timestamp[us]; align to TIMESTAMP
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw            // already TIMESTAMP — pass through
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -72,4 +72,39 @@ object Bucketing {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("embedding")).cast("long")).as("dim_sum"))
       .orderBy(col("source"))
+
+  /** q153: the storage-layout lever as a DECLARED query, not just a
+    * spec demo — write the doc_id-bucketed layout, run the recurring
+    * corpus ⋈ embeddings join off it, and HARD-ASSERT the join subplan
+    * is exchange-free before reporting the per-source rollup. The
+    * assertion runs with broadcast disabled so what's proven is the
+    * non-broadcast regime — at 100 TB neither side broadcasts, and
+    * the bucketed layout is exactly what deletes the two shuffles the
+    * SortMergeJoin would otherwise need. Config is restored after the
+    * probe (plan construction must not mutate session state). */
+  def bucketedRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    writeBucketed(spark, sfDir,
+      java.nio.file.Files.createTempDirectory("graft_bucketed").toString)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = bucketedJoined(spark)
+      joined.collect() // finalize the adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join must plan zero Exchange operators, got:\n$plan")
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed join must be a per-bucket SMJ, got:\n$plan")
+      rollup(joined)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  /** DuckDB oracle for q153 — the same rollup off the plain tables
+    * (the layout changes the PLAN, never the answer). */
+  val bucketedRollupSql: String =
+    """SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(e.embedding)) AS BIGINT) AS dim_sum
+      |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

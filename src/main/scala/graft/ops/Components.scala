@@ -30,22 +30,30 @@ object Components {
     * one-task bottleneck and a single-node memory hazard. */
   val SmallPairs = 1000000L
 
-  /** Size-conditional pin: coalesce(1) ONLY when the (already
-    * materialized) pair set is small; otherwise keep the shuffle
-    * partitioning. Exposed for the plan spec. */
+  /** Size-conditional pin: coalesce(1) ONLY when the pair set is
+    * small; otherwise keep the shuffle partitioning. The row count
+    * that picks the branch rides the SAME job that materializes the
+    * checkpoint (an `observe` CollectMetrics node — codegen-safe
+    * pass-through), so the pin decision costs zero extra passes over
+    * the suite's hottest shared subtree (feeds q53/q145/q147). The
+    * large branch returns the first checkpoint as-is (no re-pass);
+    * only the small branch pays a second (metadata-scale, cached-
+    * block-read) checkpoint to land on one partition. Exposed for the
+    * plan spec. */
   private[graft] def pinPairs(pairs: DataFrame): DataFrame = {
-    val n = pairs.count()
-    (if (n < SmallPairs) pairs.coalesce(1) else pairs).localCheckpoint()
+    val obs = org.apache.spark.sql.Observation()
+    val ck = pairs.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n < SmallPairs) ck.coalesce(1).localCheckpoint() else ck
   }
 
   /** Canonical (a < b) near-dup pairs, materialized once — shared by
-    * the min-label loop (q53) and large-star/small-star (q145). */
+    * the min-label loop (q53) and large-star/small-star (q145).
+    * [[pinPairs]] owns the (single) materialization. */
   private[graft] def pairTable(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = System.nanoTime()
-    val wide = Dedup.jaccardPairs(spark, sfDir)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
-    val pairs = pinPairs(wide)
+    val pairs = pinPairs(
+      Dedup.jaccardPairs(spark, sfDir).select(col("a_id"), col("b_id")))
     System.err.println(
       f"[cc] pairs materialized in ${(System.nanoTime() - t0) / 1e9}%.2fs")
     pairs
