@@ -107,23 +107,39 @@ object Media {
   case class DecodedImage(id: Long, width: Int, height: Int,
       mean_pixel: Double, h0: Int, h1: Int, h2: Int, h3: Int)
 
+  /** 16-byte payload laid out as a 4×4 8-bit grayscale raster. */
+  private[graft] def grayRaster4x4(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < 16) {
+      raster.setSample(i % 4, i / 4, 0, bytes(i) & 0xff)
+      i += 1
+    }
+    img
+  }
+
+  /** One 4×4 grayscale raster through the JDK's PNG encoder (single-
+    * raster form — shared with the AVI frame muxer, [[Avi]]). */
+  private[graft] def pngBytes(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grayRaster4x4(bytes), "png", bos)
+    bos.toByteArray
+  }
+
+  /** One 4×4 grayscale raster through the JDK's JPEG encoder. */
+  private[graft] def jpegBytes(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grayRaster4x4(bytes), "jpg", bos)
+    bos.toByteArray
+  }
+
   /** REAL image encode: the 16-byte payload laid out as a 4×4 8-bit
     * grayscale raster and written through the JDK's PNG encoder —
     * actual image bytes, per partition, no driver involvement. */
   private[graft] def encodePng(rows: Iterator[MediaRow]): Iterator[ImageBytes] =
-    rows.map { r =>
-      val img = new java.awt.image.BufferedImage(
-        4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var i = 0
-      while (i < 16) {
-        raster.setSample(i % 4, i / 4, 0, r.content(i) & 0xff)
-        i += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      ImageBytes(r.id, bos.toByteArray)
-    }
+    rows.map(r => ImageBytes(r.id, pngBytes(r.content)))
 
   /** REAL image encode, JPEG flavor: same 4×4 grayscale raster
     * through the JDK's JPEG writer. The reference re-encodes ANY
@@ -134,19 +150,7 @@ object Media {
     * checks) rather than cross-engine oracle-hashed — the DCT output
     * is codec-specific. */
   private[graft] def encodeJpeg(rows: Iterator[MediaRow]): Iterator[ImageBytes] =
-    rows.map { r =>
-      val img = new java.awt.image.BufferedImage(
-        4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var i = 0
-      while (i < 16) {
-        raster.setSample(i % 4, i / 4, 0, r.content(i) & 0xff)
-        i += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      ImageBytes(r.id, bos.toByteArray)
-    }
+    rows.map(r => ImageBytes(r.id, jpegBytes(r.content)))
 
   /** The reference's image-normalization step as a per-partition
     * transform: decode WHATEVER format the payload is in (ImageIO

@@ -4,77 +4,124 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Video-column plumbing: frame-stride sampling over an opaque
-  * `binary` video payload — the preprocessing step every multimodal
-  * training pipeline runs before a vision encoder sees anything
-  * (decode is per-frame; you never featurize all 30 fps, you sample).
+/** Video-column plumbing over a REAL container codec: each video is
+  * one opaque `binary` cell holding an actual RIFF/AVI file ([[Avi]])
+  * whose frames are complete PNG codestreams (the `MPNG` flavor of
+  * the MJPEG codec family — one still-image codestream per `00dc`
+  * chunk, here produced by the same per-frame image encoder as q78).
+  * Frame-stride sampling is the preprocessing step every multimodal
+  * training pipeline runs before a vision encoder sees anything: you
+  * never featurize all 30 fps, you sample.
   *
-  * The payload is synthesized — one video per part row, 16-byte md5
-  * "frames" concatenated behind a frame count (this container ships
-  * no video codec, same honest-stub contract as q33) — but every
-  * Spark-side mechanism is
-  * the real one: the video is ONE binary cell, frames come out with
-  * byte-offset `substr` slicing on the binary column, the sampled
-  * frame set explodes from a stride sequence (never one row per raw
-  * frame), and per-frame "decode" runs as a typed mapPartitions
-  * batch — the exact shape a JNI/FFmpeg decode would drop into.
+  * Reference anchor: the vision ingest path
+  * `/root/reference/backend/src/embeddings.py:18-43` (fetch → decode
+  * → re-encode) generalized to frames.
   *
-  * Scale: one row per SAMPLED frame is the only fan-out (stride 4 →
-  * 4× fewer rows than frames); features reduce per duration bucket
-  * with decimal-accumulated means (partial aggs). Nothing touches the
-  * driver.
+  * Oracle strategy (same split as q78): PNG frames are LOSSLESS, so
+  * each decoded 4×4 raster equals the frame's source bytes —
+  * md5(video_id:idx), which DuckDB derives independently from the hex
+  * — putting real mux → demux → per-frame decode under the
+  * cross-engine hash check. The MJPG (JPEG-frame) flavor rides the
+  * same writer/reader and is spec-pinned instead (VideoSpec — DCT
+  * output is codec-specific, like q78's JPEG tier).
+  *
+  * Scale shape: the container is built and parsed INSIDE
+  * `mapPartitions` (no driver involvement); frame extraction slices
+  * the `movi` chunk list, so only SAMPLED frames are ever decoded;
+  * the only fan-out is one row per sampled frame (stride 4 → 4×
+  * fewer rows than frames); features reduce per duration bucket with
+  * decimal-accumulated means (partial aggs).
   */
 object Video {
 
   /** Sampling stride: keep every 4th frame. */
   val Stride = 4
 
-  case class FrameRow(video_id: Long, bucket: String, n_frames: Int,
-    frame_idx: Int, frame: Array[Byte])
+  case class VideoMeta(video_id: Long, n_frames: Int)
+  case class VideoFile(video_id: Long, n_frames: Int, content: Array[Byte])
   case class FrameFeatures(video_id: Long, bucket: String, n_frames: Int,
     mean_byte: Double, h0: Int, h1: Int, h2: Int, h3: Int)
 
-  /** Synthetic video table: 8-32 frames of 16 bytes each per part. */
-  def videoTable(spark: SparkSession, sfDir: String): DataFrame =
+  /** Frame idx of video id — 16 deterministic bytes both engines can
+    * derive: md5("<id>:<idx>"), same derivation as the former inline
+    * synthesis so the oracle math is unchanged. */
+  private[graft] def frameBytes(videoId: Long, idx: Int): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$videoId:$idx".getBytes("UTF-8"))
+
+  /** Mux one synthetic video: n frames of md5-derived 4×4 rasters,
+    * each PNG-encoded ([[Media.pngBytes]]) and written into a real
+    * AVI container. */
+  private[graft] def muxVideo(videoId: Long, nFrames: Int,
+      handler: String = "MPNG"): Array[Byte] = {
+    val frames = (0 until nFrames).map { i =>
+      val b = frameBytes(videoId, i)
+      if (handler == "MJPG") Media.jpegBytes(b) else Media.pngBytes(b)
+    }
+    Avi.write(frames, 4, 4, handler)
+  }
+
+  /** Synthetic video table: one real AVI binary per part row, 8-32
+    * PNG frames each, muxed per partition. */
+  def videoTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     Tables.part(spark, sfDir).select(
       col("p_partkey").as("video_id"),
       (lit(8) + pmod(col("p_partkey"), lit(25))).cast("int").as("n_frames"))
-      .withColumn("content",
-        unhex(concat_ws("", transform(
-          sequence(lit(0), col("n_frames") - lit(1)),
-          f => md5(concat(col("video_id").cast("string"), lit(":"),
-            f.cast("string")))))))
+      .as[VideoMeta]
+      .mapPartitions(_.map(v =>
+        VideoFile(v.video_id, v.n_frames, muxVideo(v.video_id, v.n_frames))))
+      .toDF()
+  }
 
-  /** Per-frame decode stub over real frame bytes (q33 contract). */
-  private def decodeFrames(rows: Iterator[FrameRow]): Iterator[FrameFeatures] =
-    rows.map { r =>
-      val bytes = r.frame.map(_ & 0xff)
-      val hist = new Array[Int](4)
-      bytes.foreach(b => hist(b >> 6) += 1)
-      FrameFeatures(r.video_id, r.bucket, r.n_frames,
-        math.round(bytes.sum.toDouble / bytes.length * 10000.0) / 10000.0,
-        hist(0), hist(1), hist(2), hist(3))
+  /** Demux + stride-sample + per-frame decode, per partition: parse
+    * the container, take every [[Stride]]th frame chunk, decode ONLY
+    * those through the image codec, feature each raster. The frame
+    * count comes from the PARSED header (cross-checked against the
+    * declared metadata — a real pipeline trusts the container, then
+    * audits it). */
+  private def sampleAndDecode(rows: Iterator[VideoFile]): Iterator[FrameFeatures] =
+    rows.flatMap { r =>
+      val av = Avi.read(r.content)
+      require(av.totalFrames == av.frames.length,
+        s"video ${r.video_id}: header declares ${av.totalFrames} frames, " +
+          s"movi carries ${av.frames.length}")
+      require(av.totalFrames == r.n_frames,
+        s"video ${r.video_id}: container says ${av.totalFrames} frames, " +
+          s"metadata column says ${r.n_frames}")
+      val n = av.totalFrames
+      val bucket =
+        if (n < 16) "short" else if (n < 24) "medium" else "long"
+      (0 until n by Stride).iterator.map { idx =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(av.frames(idx)))
+        val raster = img.getRaster
+        val hist = new Array[Int](4)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = raster.getSample(x, y, 0)
+            sum += p
+            hist(p >> 6) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val np = img.getWidth * img.getHeight
+        FrameFeatures(r.video_id, bucket, n,
+          math.round(sum.toDouble / np * 10000.0) / 10000.0,
+          hist(0), hist(1), hist(2), hist(3))
+      }
     }
 
-  /** q97: stride-sample frames out of the binary video column,
-    * feature each sampled frame, roll up by duration bucket. */
+  /** q97: mux → demux → stride-sample → decode real frames out of the
+    * AVI binary column, roll up by duration bucket. */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sampled = videoTable(spark, sfDir)
-      .withColumn("bucket",
-        when(col("n_frames") < 16, lit("short"))
-          .when(col("n_frames") < 24, lit("medium"))
-          .otherwise(lit("long")))
-      .select(col("video_id"), col("bucket"), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - lit(1), lit(Stride)))
-          .as("frame_idx"),
-        col("content"))
-      .withColumn("frame",
-        col("content").substr(col("frame_idx") * lit(16) + lit(1), lit(16)))
-      .select(col("video_id"), col("bucket"), col("n_frames"),
-        col("frame_idx"), col("frame"))
     val feats: Dataset[FrameFeatures] =
-      sampled.as[FrameRow].mapPartitions(decodeFrames)
+      videoTable(spark, sfDir).as[VideoFile].mapPartitions(sampleAndDecode)
     feats.toDF().groupBy(col("bucket")).agg(
       countDistinct(col("video_id")).as("n_videos"),
       count(lit(1)).as("n_sampled"),
@@ -85,6 +132,9 @@ object Video {
       .orderBy(col("bucket"))
   }
 
+  /** Oracle: PNG frames are lossless, so every decoded raster equals
+    * the md5-derived source bytes — DuckDB runs the identical feature
+    * math straight from the hex, never touching the container. */
   val frameSampleSql: String =
     s"""WITH videos AS (
       |  SELECT p_partkey AS video_id,

@@ -89,29 +89,44 @@ class MediaSpec extends SparkSpec {
     }
   }
 
-  test("video payload is one real binary cell of 16-byte frames") {
+  test("video payload is one real AVI binary cell per video") {
+    import graft.ops.Avi
     val v = graft.ops.Video.videoTable(spark, sfDir)
-      .select($"video_id", $"n_frames", length($"content").as("len"))
+      .select($"video_id", $"n_frames", $"content")
       .limit(100).collect()
     assert(v.nonEmpty)
-    v.foreach(r =>
-      assert(r.getAs[Int]("len") === 16 * r.getAs[Int]("n_frames")))
+    v.foreach { r =>
+      val content = r.getAs[Array[Byte]]("content")
+      // real RIFF/AVI magic, and the parsed container agrees with the
+      // metadata column
+      assert(new String(content.slice(0, 4), "US-ASCII") === "RIFF")
+      assert(new String(content.slice(8, 12), "US-ASCII") === "AVI ")
+      val av = Avi.read(content)
+      assert(av.totalFrames === r.getAs[Int]("n_frames"))
+      assert(av.frames.length === av.totalFrames)
+      assert(av.width === 4 && av.height === 4)
+      assert(av.handler === "MPNG")
+    }
   }
 
-  test("frame-stride sampling slices the frames the stride dictates") {
-    import graft.ops.Video
-    // every sampled frame must byte-equal the md5 block it was cut
-    // from, and the per-bucket counts must be exactly Σ ceil(n/4)
+  test("frame-stride sampling decodes the frames the stride dictates") {
+    import graft.ops.{Avi, Video}
+    // every sampled frame must DECODE (demux → PNG decode) back to
+    // the md5 bytes it encodes, and per-bucket counts must be exactly
+    // Σ ceil(n/4)
     val md = java.security.MessageDigest.getInstance("MD5")
     val one = Video.videoTable(spark, sfDir)
       .select($"video_id", $"n_frames", $"content").limit(5).collect()
     one.foreach { r =>
       val id = r.getAs[Long]("video_id")
-      val content = r.getAs[Array[Byte]]("content")
+      val av = Avi.read(r.getAs[Array[Byte]]("content"))
       (0 until r.getAs[Int]("n_frames") by Video.Stride).foreach { f =>
-        val expect = md.digest(s"$id:$f".getBytes("UTF-8"))
-        val got = content.slice(f * 16, f * 16 + 16)
-        assert(got.sameElements(expect), s"video $id frame $f")
+        val expect = md.digest(s"$id:$f".getBytes("UTF-8")).map(_ & 0xff)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(av.frames(f)))
+        val got = (0 until 16).map(i =>
+          img.getRaster.getSample(i % 4, i / 4, 0))
+        assert(got == expect.toSeq, s"video $id frame $f")
       }
     }
     val buckets = Video.frameSample(spark, sfDir).collect()
