@@ -172,6 +172,74 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** RC4-encrypted flavor (standard security handler §7.6): classic
+    * xref layout, one FlateDecode content stream per page, every
+    * stream RC4-enciphered under its per-object key (Algorithm 1).
+    * Empty USER password — the file opens in any viewer without a
+    * prompt, exactly the class of encrypted PDFs the reference's
+    * PyMuPDF path ingests silently (`file_handler.py:21-31`) — with
+    * `ownerPw` holding the permissions. `rev` 2 = 40-bit /V 1;
+    * rev 3 = 128-bit /V 2. The deterministic /ID is derived from the
+    * page text so encode is reproducible across engines/runs. */
+  def encodeEncrypted(pages: Seq[String], ownerPw: String = "owner",
+      rev: Int = 2): Array[Byte] = {
+    require(rev == 2 || rev == 3, s"standard handler rev must be 2 or 3, got $rev")
+    val ps = if (pages.isEmpty) Seq("") else pages
+    val keyLen = if (rev == 2) 5 else 16
+    val p = -44 // print+copy denied; the usual owner-locked profile
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(ps.mkString(" ").getBytes(ISO_8859_1))
+    val o = StdSecurity.ownerEntry(
+      ownerPw.getBytes(ISO_8859_1), Array.empty, rev, keyLen)
+    val key = StdSecurity.fileKey(Array.empty, o, p, id, rev, keyLen)
+    val u = StdSecurity.userEntry(key, id, rev)
+    def hexStr(b: Array[Byte]): String =
+      b.map(x => f"${x & 0xff}%02x").mkString("<", "", ">")
+
+    val out = new ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = mutable.ArrayBuffer[Int]()
+    def obj(body: => Unit): Unit = {
+      offsets += out.size()
+      w(s"${offsets.size} 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val kids = ps.indices.map(i => s"${5 + 2 * i} 0 R").mkString(" ")
+    obj(w(s"<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(w(s"<< /Type /Pages /Kids [$kids] /Count ${ps.size} >>\n"))
+    obj(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    // object 4: the encrypt dict — its own strings are never
+    // encrypted (§7.6.2), which hex form sidesteps entirely
+    obj(w(s"<< /Filter /Standard /V ${rev - 1} /R $rev " +
+      s"/Length ${keyLen * 8} /O ${hexStr(o)} /U ${hexStr(u)} /P $p >>\n"))
+    ps.foreach { text =>
+      val pageObj = offsets.size + 1
+      obj(w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents ${pageObj + 1} 0 R >>\n"))
+      val ops = text.split("\n", -1).zipWithIndex.map { case (ln, i) =>
+        s"BT /F1 12 Tf 72 ${720 - 14 * i} Td (${escape(ln)}) Tj ET"
+      }.mkString("\n")
+      val objNum = offsets.size + 1
+      val data = StdSecurity.rc4(
+        StdSecurity.objectKey(key, objNum, 0),
+        deflate(ops.getBytes(ISO_8859_1)))
+      obj {
+        w(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
+    val xref = out.size()
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o2 => w(f"$o2%010d 00000 n \n"))
+    val idHex = id.map(x => f"${x & 0xff}%02x").mkString
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R " +
+      s"/Encrypt 4 0 R /ID [<$idHex> <$idHex>] >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Modern (PDF 1.5+) layout: dictionary objects packed into a
     * compressed `/ObjStm` object stream, and the cross-reference
     * table replaced by a `/Type /XRef` stream — W [1 3 2] binary
@@ -291,6 +359,97 @@ object PdfCodec {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------------- crypto
+
+  /** Standard security handler, RC4 flavor (ISO 32000-1 §7.6.2-7.6.4,
+    * revisions 2 and 3 — 40/128-bit RC4). This is DECODE-side support
+    * for a public file format (PyMuPDF accepts these silently,
+    * `file_handler.py:21-31`) plus a writer for test fixtures; RC4 is
+    * long deprecated for protecting anything and is implemented here
+    * solely for format compatibility. */
+  private[ops] object StdSecurity {
+
+    /** §7.6.3.3 Table 21: the 32-byte password padding constant. */
+    val Pad: Array[Byte] = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+    /** RC4 (KSA + PRGA) — symmetric, so one function is both ways. */
+    def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val st = Array.tabulate(256)(identity)
+      var j = 0
+      for (i <- 0 until 256) {
+        j = (j + st(i) + (key(i % key.length) & 0xff)) & 0xff
+        val t = st(i); st(i) = st(j); st(j) = t
+      }
+      val out = new Array[Byte](data.length)
+      var a = 0; var b = 0
+      for (i <- data.indices) {
+        a = (a + 1) & 0xff
+        b = (b + st(a)) & 0xff
+        val t = st(a); st(a) = st(b); st(b) = t
+        out(i) = (data(i) ^ st((st(a) + st(b)) & 0xff)).toByte
+      }
+      out
+    }
+
+    private def md5(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(d.update)
+      d.digest()
+    }
+
+    private def pad32(pw: Array[Byte]): Array[Byte] =
+      (pw.take(32) ++ Pad).take(32)
+
+    private def le32(v: Int): Array[Byte] = Array(
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+    /** Algorithm 3: the /O (owner) entry. */
+    def ownerEntry(ownerPw: Array[Byte], userPw: Array[Byte],
+        rev: Int, keyLen: Int): Array[Byte] = {
+      var digest = md5(pad32(ownerPw))
+      if (rev >= 3) for (_ <- 0 until 50) digest = md5(digest)
+      val key = digest.take(keyLen)
+      var o = rc4(key, pad32(userPw))
+      if (rev >= 3) for (i <- 1 to 19)
+        o = rc4(key.map(b => (b ^ i).toByte), o)
+      o
+    }
+
+    /** Algorithm 2: the file encryption key. */
+    def fileKey(userPw: Array[Byte], o: Array[Byte], p: Int,
+        id: Array[Byte], rev: Int, keyLen: Int): Array[Byte] = {
+      var digest = md5(pad32(userPw), o, le32(p), id)
+      if (rev >= 3) for (_ <- 0 until 50) digest = md5(digest.take(keyLen))
+      digest.take(keyLen)
+    }
+
+    /** Algorithms 4 (rev 2) and 5 (rev 3): the /U (user) entry. */
+    def userEntry(key: Array[Byte], id: Array[Byte], rev: Int): Array[Byte] =
+      if (rev == 2) rc4(key, Pad)
+      else {
+        var u = rc4(key, md5(Pad, id))
+        for (i <- 1 to 19) u = rc4(key.map(b => (b ^ i).toByte), u)
+        u ++ new Array[Byte](16) // 32-byte entry; tail is arbitrary
+      }
+
+    /** Algorithm 1: per-object key — MD5(fileKey ∥ objnum-lo3-LE ∥
+      * gennum-lo2-LE), truncated to min(len+5, 16). */
+    def objectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] =
+      md5(key, Array(num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+        gen.toByte, (gen >> 8).toByte))
+        .take(math.min(key.length + 5, 16))
+  }
+
+  /** Live decryption context for one encrypted file. */
+  private[ops] final case class Decryptor(key: Array[Byte]) {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      StdSecurity.rc4(StdSecurity.objectKey(key, num, gen), data)
+  }
+
   // ----------------------------------------------------------------- decode
 
   /** Classification of a fetched document, mirroring the reference's
@@ -309,9 +468,13 @@ object PdfCodec {
 
   /** Resolved object universe of one file: byte offsets for
     * file-resident objects, extracted dict bodies for objects living
-    * inside `/ObjStm` object streams, and the catalog root. */
+    * inside `/ObjStm` object streams, the catalog root, and (for
+    * encrypted files) the /Encrypt ref, first-/ID bytes, and the
+    * derived decryption context. */
   private final case class ObjTable(s: String, bytes: Array[Byte],
-      offsets: Map[Int, Int], members: Map[Int, String], root: Int) {
+      offsets: Map[Int, Int], members: Map[Int, String], root: Int,
+      encryptRef: Option[Int] = None, idBytes: Array[Byte] = Array.empty,
+      decryptor: Option[Decryptor] = None) {
     /** Dict body of object n, wherever it lives. */
     def scope(n: Int): String = members.getOrElse(n, {
       val start = offsets.getOrElse(n, fail(s"unresolved object $n"))
@@ -322,7 +485,7 @@ object PdfCodec {
       * file-resident (§7.5.7: no streams inside object streams). */
     def stream(n: Int): Array[Byte] =
       streamData(s, bytes, offsets.getOrElse(n,
-        fail(s"stream object $n must be file-resident")))
+        fail(s"stream object $n must be file-resident")), decryptor)
   }
 
   private def refIn(scope: String, name: String): Int =
@@ -348,10 +511,11 @@ object PdfCodec {
 
   /** One classic `xref` section + its trailer. Fills only objnums not
     * already defined (newer sections win across a /Prev chain).
-    * Returns (/Root if present, /Prev if present). */
+    * Returns (/Root, /Prev, /Encrypt ref, first /ID bytes) — each if
+    * present. */
   private def readClassicSection(s: String, xrefPos: Int,
       defined: mutable.Set[Int], offsets: mutable.Map[Int, Int])
-      : (Option[Int], Option[Int]) = {
+      : (Option[Int], Option[Int], Option[Int], Option[Array[Byte]]) = {
     var i = xrefPos + 4
     val lineRe = """(?s)\s*(\d+)\s+(\d+)""".r
     var done = false
@@ -376,7 +540,11 @@ object PdfCodec {
     val trailer = s.substring(i, if (tEnd < 0) s.length else tEnd)
     (("""/Root\s+(\d+)\s+0\s+R""").r.findFirstMatchIn(trailer)
        .map(_.group(1).toInt),
-     intIn(trailer, "/Prev"))
+     intIn(trailer, "/Prev"),
+     ("""/Encrypt\s+(\d+)\s+0\s+R""").r.findFirstMatchIn(trailer)
+       .map(_.group(1).toInt),
+     ("""/ID\s*\[\s*<([0-9a-fA-F]+)>""").r.findFirstMatchIn(trailer)
+       .map(m => hexDecode((m.group(1) + ">").getBytes(ISO_8859_1))))
   }
 
   /** One `/Type /XRef` cross-reference STREAM (§7.5.8): binary rows
@@ -385,7 +553,8 @@ object PdfCodec {
     * offsets; type 2 rows live in an object stream. */
   private def readXrefStreamSection(s: String, bytes: Array[Byte], pos: Int,
       defined: mutable.Set[Int], offsets: mutable.Map[Int, Int],
-      inStm: mutable.Map[Int, (Int, Int)]): (Option[Int], Option[Int]) = {
+      inStm: mutable.Map[Int, (Int, Int)])
+      : (Option[Int], Option[Int], Option[Int], Option[Array[Byte]]) = {
     val end = s.indexOf("endobj", pos)
     val scope = s.substring(pos, if (end < 0) s.length else end)
     val w = numsIn(scope, "/W")
@@ -426,7 +595,9 @@ object PdfCodec {
     }
     (("""/Root\s+(\d+)\s+0\s+R""").r.findFirstMatchIn(scope)
        .map(_.group(1).toInt),
-     intIn(scope, "/Prev"))
+     intIn(scope, "/Prev"),
+     None, // encrypted xref-stream files (/V 4+) are out of subset
+     None)
   }
 
   /** Walk the cross-reference chain from `startxref` (classic tables
@@ -442,17 +613,23 @@ object PdfCodec {
     val offsets = mutable.Map[Int, Int]()
     val inStm = mutable.Map[Int, (Int, Int)]()
     var root = -1
+    var encryptRef: Option[Int] = None
+    var idBytes: Option[Array[Byte]] = None
     var guard = 0
     while (pos >= 0 && guard < 64) {
       guard += 1
-      val (r, prev) =
+      val (r, prev, enc, id) =
         if (s.startsWith("xref", pos))
           readClassicSection(s, pos, defined, offsets)
         else readXrefStreamSection(s, bytes, pos, defined, offsets, inStm)
       r.foreach(rt => if (root < 0) root = rt)
+      enc.foreach(e => if (encryptRef.isEmpty) encryptRef = Some(e))
+      id.foreach(i => if (idBytes.isEmpty) idBytes = Some(i))
       pos = prev.getOrElse(-1)
     }
     if (root < 0) fail("no /Root in xref chain")
+    if (encryptRef.isDefined && inStm.nonEmpty)
+      fail("encrypted object-stream files (/V 4+) not supported")
     // burst object streams: header = 2N ints (objnum offset)*, bodies
     // at /First + offset
     val members = mutable.Map[Int, String]()
@@ -476,7 +653,8 @@ object PdfCodec {
         members(objNum) = body(idx)
       }
     }
-    ObjTable(s, bytes, offsets.toMap, members.toMap, root)
+    ObjTable(s, bytes, offsets.toMap, members.toMap, root,
+      encryptRef, idBytes.getOrElse(Array.empty))
   }
 
   /** ASCIIHexDecode (§7.4.2): whitespace ignored, '>' is EOD, an odd
@@ -505,8 +683,13 @@ object PdfCodec {
     * from the dict; `stream` keyword per §7.3.8 (EOL after keyword).
     * `/Filter` may be a single name or an array — a filter CHAIN
     * applied in order (§7.4): `[/ASCIIHexDecode /FlateDecode]` means
-    * un-hex first, then inflate. */
-  private def streamData(s: String, bytes: Array[Byte], objStart: Int): Array[Byte] = {
+    * un-hex first, then inflate. In an encrypted file the per-object
+    * RC4 decrypt runs FIRST — encryption wraps the filtered bytes
+    * (§7.6.2), so decrypt precedes every declared filter; the object
+    * number the key derivation needs is read off the `N G obj`
+    * header at `objStart`. */
+  private def streamData(s: String, bytes: Array[Byte], objStart: Int,
+      decryptor: Option[Decryptor] = None): Array[Byte] = {
     val end = s.indexOf("endobj", objStart)
     val scope = s.substring(objStart, if (end < 0) s.length else end)
     val len = """/Length\s+(\d+)""".r.findFirstMatchIn(scope)
@@ -525,7 +708,14 @@ object PdfCodec {
     var dataStart = sk + 6
     if (bytes(dataStart) == '\r') dataStart += 1
     if (bytes(dataStart) == '\n') dataStart += 1
-    val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len)
+    val raw0 = java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + len)
+    val raw = decryptor match {
+      case Some(dec) =>
+        val hdr = """(\d+)\s+(\d+)\s+obj""".r.findPrefixMatchOf(
+          s.substring(objStart)).getOrElse(fail("no object header"))
+        dec.decrypt(hdr.group(1).toInt, hdr.group(2).toInt, raw0)
+      case None => raw0
+    }
     val decoded = filters.foldLeft(raw) { (acc, f) =>
       f match {
         case "FlateDecode" => inflate(acc)
@@ -665,14 +855,89 @@ object PdfCodec {
     lines.mkString("\n")
   }
 
+  /** `/Name <hex>` or `/Name (literal)` string entry as raw bytes
+    * (the forms /O and /U ship in). Literal strings here handle the
+    * byte-level escapes (§7.3.4.2); encrypt-dict entries are 32
+    * arbitrary bytes, so octal and symbol escapes both occur. */
+  private def pdfStringIn(scope: String, name: String): Array[Byte] = {
+    (name + """\s*<([0-9a-fA-F\s]*)>""").r.findFirstMatchIn(scope) match {
+      case Some(m) =>
+        return hexDecode((m.group(1) + ">").getBytes(ISO_8859_1))
+      case None => ()
+    }
+    val start = (name + """\s*\(""").r.findFirstMatchIn(scope)
+      .getOrElse(fail(s"missing $name string")).end - 1
+    val out = new ByteArrayOutputStream(34)
+    var i = start + 1
+    var depth = 1
+    while (i < scope.length && depth > 0) {
+      scope.charAt(i) match {
+        case '\\' if i + 1 < scope.length =>
+          scope.charAt(i + 1) match {
+            case 'n' => out.write('\n'); i += 2
+            case 'r' => out.write('\r'); i += 2
+            case 't' => out.write('\t'); i += 2
+            case 'b' => out.write('\b'); i += 2
+            case 'f' => out.write('\f'); i += 2
+            case c @ ('(' | ')' | '\\') => out.write(c); i += 2
+            case c if c >= '0' && c <= '7' =>
+              var j = i + 1; var v = 0
+              while (j < scope.length && j < i + 4 &&
+                  scope.charAt(j) >= '0' && scope.charAt(j) <= '7') {
+                v = v * 8 + (scope.charAt(j) - '0'); j += 1
+              }
+              out.write(v & 0xff); i = j
+            case c => out.write(c); i += 2
+          }
+        case '(' => depth += 1; out.write('('); i += 1
+        case ')' =>
+          depth -= 1; if (depth > 0) out.write(')'); i += 1
+        case c => out.write(c); i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Derive the file key from the /Encrypt dict (EMPTY user password
+    * — the "encrypted but openable anywhere" case the reference's
+    * PyMuPDF path accepts silently) and PROVE it by recomputing /U:
+    * a mismatch means a real password or an unsupported handler, and
+    * the parse fails loudly instead of emitting garbage. */
+  private def buildDecryptor(encScope: String, id: Array[Byte]): Decryptor = {
+    if (!encScope.contains("/Standard"))
+      fail("unsupported security handler (only /Standard)")
+    val v = intIn(encScope, "/V").getOrElse(0)
+    val r = intIn(encScope, "/R").getOrElse(fail("encrypt dict missing /R"))
+    if (v > 2 || r > 3)
+      fail(s"unsupported encryption /V $v /R $r (RC4 subset is V<=2, R<=3)")
+    val keyLen = intIn(encScope, "/Length").getOrElse(40) / 8
+    val o = pdfStringIn(encScope, "/O")
+    val u = pdfStringIn(encScope, "/U")
+    if (o.length < 32 || u.length < 32) fail("short /O or /U entry")
+    val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(encScope)
+      .getOrElse(fail("encrypt dict missing /P")).group(1).toInt
+    val key = StdSecurity.fileKey(Array.empty, o, p, id, r, keyLen)
+    val expectU = StdSecurity.userEntry(key, id, r)
+    val checkLen = if (r == 2) 32 else 16
+    if (!java.util.Arrays.equals(expectU.take(checkLen), u.take(checkLen)))
+      fail("cannot decrypt: non-empty user password or corrupt /U")
+    Decryptor(key)
+  }
+
   /** Parse a full PDF byte array back to per-page text. Accepts both
     * classic xref-table files (PDF 1.4) and compressed xref-stream /
     * object-stream files (PDF 1.5+), including /Prev incremental
-    * chains. */
+    * chains, and RC4-encrypted files (standard security handler
+    * R2/R3, empty user password). */
   def decode(bytes: Array[Byte]): Decoded = {
     val s = new String(bytes, ISO_8859_1)
     if (!s.startsWith("%PDF-")) fail("not a PDF header")
-    val tab = buildTable(s, bytes)
+    val tab0 = buildTable(s, bytes)
+    val tab = tab0.encryptRef match {
+      case Some(encNum) => tab0.copy(decryptor =
+        Some(buildDecryptor(tab0.scope(encNum), tab0.idBytes)))
+      case None => tab0
+    }
     val pagesObj = refIn(tab.scope(tab.root), "/Pages")
     val kids = intsIn(tab.scope(pagesObj), "/Kids")
     val pages = kids.map { pk =>

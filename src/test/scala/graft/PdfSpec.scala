@@ -98,6 +98,49 @@ class PdfSpec extends SparkSpec {
     assert(PdfCodec.decode(PdfCodec.encodeModern(Seq.empty)).pages === Seq(""))
   }
 
+  test("encrypted doc decodes to the same text as its plaintext twin") {
+    import graft.ops.PdfCodec
+    val pages = Seq("line one\nline two\nline three", "page 2 (with) \\parens\\")
+    val baseline = PdfCodec.decode(PdfCodec.encode(pages)).pages
+    for (rev <- Seq(2, 3)) {
+      val bytes = PdfCodec.encodeEncrypted(pages, rev = rev)
+      val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      // really encrypted: encrypt dict + ID present, and the stream
+      // bytes must NOT inflate without the per-object RC4 pass
+      assert(txt.contains("/Filter /Standard") && txt.contains("/Encrypt 4 0 R"))
+      assert(txt.contains(s"/R $rev"))
+      val plain = new String(PdfCodec.encode(pages),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(!txt.contains(plain.substring(plain.indexOf("stream\n") + 7,
+        plain.indexOf("stream\n") + 27)), "stream bytes identical to plaintext")
+      assert(PdfCodec.decode(bytes).pages === baseline,
+        s"rev=$rev encrypted decode differs from plaintext twin")
+    }
+  }
+
+  test("encryption edge cases: wrong password class and R3 key schedule") {
+    import graft.ops.PdfCodec
+    // tamper with /U -> loud failure, not garbage text
+    val bytes = PdfCodec.encodeEncrypted(Seq("secret"), rev = 3)
+    val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = txt.indexOf("/U <") + 4
+    val flipped = txt.substring(0, uAt) +
+      (if (txt.charAt(uAt) == '0') '1' else '0') + txt.substring(uAt + 1)
+    val ex = intercept[IllegalArgumentException](PdfCodec.decode(
+      flipped.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    assert(ex.getMessage.contains("cannot decrypt"))
+    // owner passwords diverge -> different /O, same recovered text
+    // (user-password-empty files open regardless of owner secret)
+    val a = PdfCodec.encodeEncrypted(Seq("x"), ownerPw = "alpha", rev = 2)
+    val b = PdfCodec.encodeEncrypted(Seq("x"), ownerPw = "beta", rev = 2)
+    assert(!java.util.Arrays.equals(a, b))
+    assert(PdfCodec.decode(a).pages === PdfCodec.decode(b).pages)
+    // multi-page R3: per-object keys really differ page to page
+    val many = (1 to 12).map(i => s"page $i")
+    assert(PdfCodec.decode(PdfCodec.encodeEncrypted(many, rev = 3)).pages ===
+      PdfCodec.decode(PdfCodec.encode(many)).pages)
+  }
+
   test("hex decoder enforces EOD and rejects bad digits") {
     import graft.ops.PdfCodec
     val good = PdfCodec.encode(Seq("abc"), hexFilter = true)
