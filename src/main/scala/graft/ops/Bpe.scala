@@ -73,6 +73,110 @@ object Bpe {
     (roundRows, words)
   }
 
+  /** The SCALABLE formulation: batched top-N compatible merges. The
+    * driver-paced loop above pays 3 actions per learned merge — fine
+    * at [[Rounds]]=3, but a real 30k-merge vocabulary would mean ~90k
+    * driver round-trips and as many plan materializations. Batching
+    * amortizes: each iteration counts pairs ONCE, takes the top of
+    * the ranking, and accepts the longest PREFIX of pairwise
+    * SYMBOL-DISJOINT pairs, stopping the batch at the FIRST pair that
+    * shares a symbol with an accepted one (skipping past a conflict
+    * would let a lower-ranked pair jump the queue: the conflicting
+    * pair's count may survive the earlier merge intact, as (o,r)
+    * does after e+r on this corpus). Disjoint merges can't change
+    * each other's counts, so applying the accepted prefix in one
+    * chained-replace pass is order-independent; everything at and
+    * beyond the conflict re-ranks in the next batch, AFTER a
+    * re-count. Cost: between ceil(M / batch) and M counting passes
+    * for M merges, degrading gracefully toward sequential exactly
+    * when the ranking is conflict-dense.
+    *
+    * This is the standard large-scale BPE trade (batch merges between
+    * re-counts); it can diverge from strictly-sequential BPE only
+    * when a merge creates a NEW pair that out-ranks an already
+    * accepted one — rare on natural text and absent on this corpus:
+    * BpeSpec pins merge-for-merge equivalence with [[mergeLoop]] at
+    * [[Rounds]]=3, and q154's oracle is the sequential CTE chain, so
+    * the equivalence is cross-engine-hashed every round. */
+  private[graft] def mergeLoopBatched(spark: SparkSession, sfDir: String,
+      rounds: Int = Rounds, batch: Int = 8)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg",
+        concat(lit(" "),
+          array_join(transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))), " "),
+          lit(" ")))
+      .localCheckpoint()
+
+    var words = vocab
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var guard = 0
+    while (merges.size < rounds && guard < rounds) {
+      guard += 1
+      val syms = words.withColumn("syms", split(trim(col("seg")), " "))
+      val ranked = syms
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("syms")) - lit(2)),
+            i => struct(element_at(col("syms"), i + lit(1)).as("a"),
+              element_at(col("syms"), i + lit(2)).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        // headroom: conflicts shrink the accepted prefix, so pull a
+        // few times the batch size in the single collect
+        .limit(batch * 4)
+        .collect()
+      val used = scala.collection.mutable.Set[String]()
+      val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var open = true
+      ranked.iterator
+        .takeWhile(_ => open && accepted.size < batch &&
+          merges.size + accepted.size < rounds)
+        .foreach { row =>
+          val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(a) && !used(b) && !used(a + b)) {
+            accepted += ((a, b, n))
+            used ++= Seq(a, b, a + b)
+          } else open = false // first conflict CLOSES the batch
+        }
+      if (accepted.isEmpty) guard = rounds // vocabulary fully fused
+      else {
+        words = words.withColumn("seg",
+          accepted.foldLeft(col("seg")) { case (c, (a, b, _)) =>
+            replace(c, lit(s" $a $b "), lit(s" $a$b "))
+          }).localCheckpoint()
+        merges ++= accepted
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** q154: the batched merge table — same first [[Rounds]] merges as
+    * q96, learned through the batched formulation (the 100 TB path).
+    * The oracle is the SEQUENTIAL CTE chain: a hash match every round
+    * certifies batched ≡ sequential on this corpus. */
+  def bpeMergesBatched(spark: SparkSession, sfDir: String): DataFrame = {
+    val (merges, _) = mergeLoopBatched(spark, sfDir)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1, s"$a+$b", n) }
+      .toDF("round", "merge", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  val bpeMergesBatchedSql: String = {
+    val selects = (1 to Rounds).map(i => s"SELECT * FROM r$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${mergeCtesSql(withStats = true)}
+      |SELECT round, merge, pair_count FROM (
+      |$selects)
+      |ORDER BY round""".stripMargin
+  }
+
   /** q96: the first [[Rounds]] BPE merges over the document corpus —
     * per round the fused pair, its count, and the corpus token count
     * after the merge (compression trajectory). */
