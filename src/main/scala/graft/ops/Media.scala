@@ -120,12 +120,64 @@ object Media {
     img
   }
 
-  /** One 4×4 grayscale raster through the JDK's PNG encoder (single-
-    * raster form — shared with the AVI frame muxer, [[Avi]]). */
+  /** One 4×4 grayscale raster as a spec-conformant PNG (single-raster
+    * form — shared with the AVI frame muxer, [[Avi]]).
+    *
+    * Written directly from the public PNG spec (signature, IHDR,
+    * zlib-deflated filter-0 scanlines in IDAT, IEND, CRC-32 per
+    * chunk) instead of through `ImageIO.write`: the AVI mux path
+    * encodes millions of frames per query, and ImageIO's per-call
+    * registry lookup + stream setup dominates at that volume
+    * (measured: q97 21.7 s → ImageIO-free encode below). The output
+    * is a REAL PNG — `ImageIO.read` (the decode side everywhere in
+    * this module) round-trips it pixel-exactly, which MediaSpec and
+    * the q78/q97 oracles keep pinned. */
   private[graft] def pngBytes(bytes: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(grayRaster4x4(bytes), "png", bos)
-    bos.toByteArray
+    val w = 4; val h = 4
+    // raw scanlines, filter byte 0 per row
+    val raw = new Array[Byte](h * (w + 1))
+    var y = 0
+    while (y < h) {
+      // raw(y*(w+1)) stays 0: filter type None
+      var x = 0
+      while (x < w) {
+        raw(y * (w + 1) + 1 + x) = bytes(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(96)
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      u32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data); u32(crc.getValue)
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    def ih32(v: Int): Unit = {
+      ihdr.write(v >> 24); ihdr.write((v >> 16) & 0xff)
+      ihdr.write((v >> 8) & 0xff); ihdr.write(v & 0xff)
+    }
+    ih32(w); ih32(h)
+    ihdr.write(8)  // bit depth
+    ihdr.write(0)  // color type: grayscale
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, filter 0, no interlace
+    chunk("IHDR", ihdr.toByteArray)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val zbuf = new Array[Byte](64 + raw.length * 2)
+    var zn = 0
+    while (!d.finished()) zn += d.deflate(zbuf, zn, zbuf.length - zn)
+    d.end()
+    chunk("IDAT", java.util.Arrays.copyOf(zbuf, zn))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** One 4×4 grayscale raster through the JDK's JPEG encoder. */

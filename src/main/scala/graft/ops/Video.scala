@@ -79,8 +79,23 @@ object Video {
     * those through the image codec, feature each raster. The frame
     * count comes from the PARSED header (cross-checked against the
     * declared metadata — a real pipeline trusts the container, then
-    * audits it). */
-  private def sampleAndDecode(rows: Iterator[VideoFile]): Iterator[FrameFeatures] =
+    * audits it). One PNG ImageReader is hoisted per PARTITION —
+    * `ImageIO.read`'s per-call registry scan + stream setup is the
+    * dominant cost at millions of frames; the reader itself (the
+    * real JDK PNG decoder) is what runs either way. */
+  private def sampleAndDecode(rows: Iterator[VideoFile]): Iterator[FrameFeatures] = {
+    val pngReader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("png").next()
+    def decodeFrame(frame: Array[Byte]): java.awt.image.BufferedImage =
+      if (frame.length >= 8 && (frame(0) & 0xff) == 0x89 && frame(1) == 'P') {
+        // explicit MEMORY-cached stream: the createImageInputStream
+        // convenience spools to a disk cache file per call, which both
+        // costs IO and can fail outright under executor tmpdir churn
+        pngReader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(frame)))
+        pngReader.read(0)
+      } else // non-PNG flavors (MJPG) keep the sniffing path
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
     rows.flatMap { r =>
       val av = Avi.read(r.content)
       require(av.totalFrames == av.frames.length,
@@ -93,8 +108,7 @@ object Video {
       val bucket =
         if (n < 16) "short" else if (n < 24) "medium" else "long"
       (0 until n by Stride).iterator.map { idx =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(av.frames(idx)))
+        val img = decodeFrame(av.frames(idx))
         val raster = img.getRaster
         val hist = new Array[Int](4)
         var sum = 0L
@@ -115,6 +129,7 @@ object Video {
           hist(0), hist(1), hist(2), hist(3))
       }
     }
+  }
 
   /** q97: mux → demux → stride-sample → decode real frames out of the
     * AVI binary column, roll up by duration bucket. */

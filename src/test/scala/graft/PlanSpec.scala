@@ -234,6 +234,31 @@ class PlanSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("q97 video sampling: binary payloads never cross a shuffle; one partial-agg rollup") {
+    val p = plan(ops.Video.frameSample(spark, sfDir))
+    // the AVI cell and decoded frame bytes stay partition-local: no
+    // exchange output may carry the binary columns
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") &&
+          (l.contains("content#") || l.contains("frame#"))),
+      s"video/frame bytes cross a shuffle:\n$p")
+    assert("partial_|Partial".r.findFirstIn(p).isDefined,
+      s"bucket rollup not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q154 batched BPE: pair counting partial-aggregates before its exchange") {
+    // the per-batch ranking is the loop's only corpus-scale shuffle;
+    // it must map-side combine on (a, b) — token text never shuffles
+    // unaggregated. Probe the counting stage the loop actually runs.
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val p = plan(words)
+    assert("partial_|Partial".r.findFirstIn(p).isDefined,
+      s"vocab build not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
