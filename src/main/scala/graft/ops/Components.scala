@@ -49,11 +49,16 @@ object Components {
 
   /** Canonical (a < b) near-dup pairs, materialized once — shared by
     * the min-label loop (q53) and large-star/small-star (q145).
-    * [[pinPairs]] owns the (single) materialization. */
+    * [[pinPairs]] owns the (single) materialization. UNSORTED source:
+    * edges don't need q23's deterministic order, and materializing
+    * through the global sort would re-execute the verification join
+    * in the range partitioner's sampling pass (~2× the pipeline —
+    * measured 10-14 s vs ~4 s at sf0.1). */
   private[graft] def pairTable(spark: SparkSession, sfDir: String): DataFrame = {
     val t0 = System.nanoTime()
     val pairs = pinPairs(
-      Dedup.jaccardPairs(spark, sfDir).select(col("a_id"), col("b_id")))
+      Dedup.jaccardPairsUnsorted(spark, sfDir)
+        .select(col("a_id"), col("b_id")))
     System.err.println(
       f"[cc] pairs materialized in ${(System.nanoTime() - t0) / 1e9}%.2fs")
     pairs

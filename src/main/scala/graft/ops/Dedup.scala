@@ -128,7 +128,18 @@ object Dedup {
     * self-join explodes on frequent shingles. Verification is exact
     * (array_intersect on full shingle sets); the result set is
     * IDENTICAL to the naive algorithm. */
-  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** q23 surface: the near-dup pairs in deterministic (a_id, b_id)
+    * order for the oracle hash. Consumers that don't need the order
+    * (the CC family) use [[jaccardPairsUnsorted]] — a global sort
+    * materialized through checkpoint/collect pays the range
+    * partitioner's SAMPLING pass, which re-executes the verification
+    * join (the pipeline's most expensive uncached stage) a second
+    * time. Under q23's own `count()` the optimizer eliminates the
+    * sort, which is why q23 solo never showed the cost. */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairsUnsorted(spark, sfDir).orderBy(col("a_id"), col("b_id"))
+
+  def jaccardPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // repartition: the source is one small parquet file → one input
     // partition; the md5-shingle computation is CPU-bound and must
@@ -171,7 +182,6 @@ object Dedup {
         / (col("na") + col("nb") - col("shared")))
       .filter(col("jac_raw") >= 0.6)
       .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   val jaccardPairsSql: String =
