@@ -94,15 +94,17 @@ object Pdf {
         // the bytes a fetcher would hand over: a complete PDF file —
         // framing varies per doc (multi-stream /Contents arrays,
         // ASCIIHex filter chains, since r7 the PDF 1.5+ xref-
-        // stream/ObjStm layout on every 5th doc, and since r8
-        // RC4-encrypted files — 40-bit R2 and 128-bit R3 — on every
-        // 7th) so the corpus exercises the layouts real writers
-        // produce; recovered text is framing-invariant
+        // stream/ObjStm layout on every 5th doc, since r8 encrypted
+        // files — RC4 R2/R3 and AES-128 R4, cycling — on every 7th,
+        // and composite-font /ToUnicode CMap files on every 11th) so
+        // the corpus exercises the layouts real writers produce;
+        // recovered text is framing-invariant
         val bytes =
           if (r.id % 5 == 0) PdfCodec.encodeModern(r.pages,
             splitContents = r.id % 2 == 0, hexFilter = r.id % 3 == 0)
           else if (r.id % 7 == 0) PdfCodec.encodeEncrypted(r.pages,
-            rev = if (r.id % 2 == 0) 2 else 3)
+            rev = 2 + (r.id % 3).toInt)
+          else if (r.id % 11 == 0) PdfCodec.encodeCMap(r.pages)
           else PdfCodec.encode(r.pages,
             splitContents = r.id % 2 == 0, hexFilter = r.id % 3 == 0)
         val decoded = PdfCodec.decode(bytes)

@@ -172,27 +172,34 @@ object PdfCodec {
     out.toByteArray
   }
 
-  /** RC4-encrypted flavor (standard security handler §7.6): classic
+  /** Encrypted flavor (standard security handler §7.6): classic
     * xref layout, one FlateDecode content stream per page, every
-    * stream RC4-enciphered under its per-object key (Algorithm 1).
+    * stream enciphered under its per-object key (Algorithm 1).
     * Empty USER password — the file opens in any viewer without a
     * prompt, exactly the class of encrypted PDFs the reference's
     * PyMuPDF path ingests silently (`file_handler.py:21-31`) — with
-    * `ownerPw` holding the permissions. `rev` 2 = 40-bit /V 1;
-    * rev 3 = 128-bit /V 2. The deterministic /ID is derived from the
-    * page text so encode is reproducible across engines/runs. */
+    * `ownerPw` holding the permissions. `rev` 2 = 40-bit RC4 /V 1;
+    * rev 3 = 128-bit RC4 /V 2; rev 4 = AES-128-CBC through the /V 4
+    * /StdCF /AESV2 crypt-filter profile (per-object IVs derived
+    * deterministically from the object number so fixtures are
+    * byte-reproducible — a fixture property, NOT a security one).
+    * The deterministic /ID is derived from the page text so encode
+    * is reproducible across engines/runs. */
   def encodeEncrypted(pages: Seq[String], ownerPw: String = "owner",
       rev: Int = 2): Array[Byte] = {
-    require(rev == 2 || rev == 3, s"standard handler rev must be 2 or 3, got $rev")
+    require(rev >= 2 && rev <= 4,
+      s"standard handler rev must be 2, 3, or 4, got $rev")
     val ps = if (pages.isEmpty) Seq("") else pages
     val keyLen = if (rev == 2) 5 else 16
+    val rAlg = math.min(rev, 3) // R4 reuses the R3 key algorithms
+    val aes = rev == 4
     val p = -44 // print+copy denied; the usual owner-locked profile
     val id = java.security.MessageDigest.getInstance("MD5")
-      .digest(ps.mkString(" ").getBytes(ISO_8859_1))
+      .digest(ps.mkString(" ").getBytes(ISO_8859_1))
     val o = StdSecurity.ownerEntry(
-      ownerPw.getBytes(ISO_8859_1), Array.empty, rev, keyLen)
-    val key = StdSecurity.fileKey(Array.empty, o, p, id, rev, keyLen)
-    val u = StdSecurity.userEntry(key, id, rev)
+      ownerPw.getBytes(ISO_8859_1), Array.empty, rAlg, keyLen)
+    val key = StdSecurity.fileKey(Array.empty, o, p, id, rAlg, keyLen)
+    val u = StdSecurity.userEntry(key, id, rAlg)
     def hexStr(b: Array[Byte]): String =
       b.map(x => f"${x & 0xff}%02x").mkString("<", "", ">")
 
@@ -209,8 +216,13 @@ object PdfCodec {
     obj(w(s"<< /Type /Pages /Kids [$kids] /Count ${ps.size} >>\n"))
     obj(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
     // object 4: the encrypt dict — its own strings are never
-    // encrypted (§7.6.2), which hex form sidesteps entirely
-    obj(w(s"<< /Filter /Standard /V ${rev - 1} /R $rev " +
+    // encrypted (§7.6.2), which hex form sidesteps entirely. V4
+    // declares the named crypt filter both streams and strings use.
+    val vDict =
+      if (aes) "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        "/StmF /StdCF /StrF /StdCF"
+      else s"/V ${rev - 1} /R $rev"
+    obj(w(s"<< /Filter /Standard $vDict " +
       s"/Length ${keyLen * 8} /O ${hexStr(o)} /U ${hexStr(u)} /P $p >>\n"))
     ps.foreach { text =>
       val pageObj = offsets.size + 1
@@ -221,9 +233,15 @@ object PdfCodec {
         s"BT /F1 12 Tf 72 ${720 - 14 * i} Td (${escape(ln)}) Tj ET"
       }.mkString("\n")
       val objNum = offsets.size + 1
-      val data = StdSecurity.rc4(
-        StdSecurity.objectKey(key, objNum, 0),
-        deflate(ops.getBytes(ISO_8859_1)))
+      val objKey = StdSecurity.objectKey(key, objNum, 0, aes)
+      val plainData = deflate(ops.getBytes(ISO_8859_1))
+      val data =
+        if (aes) StdSecurity.aesEncrypt(objKey,
+          // deterministic per-object IV (fixture reproducibility)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"iv:$objNum".getBytes(ISO_8859_1)),
+          plainData)
+        else StdSecurity.rc4(objKey, plainData)
       obj {
         w(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
         out.write(data)
@@ -236,6 +254,85 @@ object PdfCodec {
     val idHex = id.map(x => f"${x & 0xff}%02x").mkString
     w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R " +
       s"/Encrypt 4 0 R /ID [<$idHex> <$idHex>] >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Composite-font flavor: a /Type0 font with an embedded
+    * /ToUnicode CMap, text shown as HEX strings of 2-byte
+    * font-private character codes (code = unicode + 0x0100, so a
+    * naive hex→Latin-1 reading yields garbage — the text is only
+    * recoverable THROUGH the CMap, like any real embedded-font PDF).
+    * The CMap exercises both mapping forms: 32 `bfchar` singles for
+    * codes 0x0120-0x013F and one incrementing `bfrange` for
+    * 0x0140-0x01FF. This is the extraction path PyMuPDF's
+    * `get_text()` takes on composite fonts (`file_handler.py:29-31`
+    * accepts them silently). */
+  def encodeCMap(pages: Seq[String]): Array[Byte] = {
+    val ps = if (pages.isEmpty) Seq("") else pages
+    val out = new ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = mutable.ArrayBuffer[Int]()
+    def obj(body: => Unit): Unit = {
+      offsets += out.size()
+      w(s"${offsets.size} 0 obj\n"); body; w("endobj\n")
+    }
+    def code(c: Char): Int =
+      if (c >= 0x20 && c <= 0xFF) c + 0x100 else 0x13F // '?' code
+    w("%PDF-1.4\n")
+    val kids = ps.indices.map(i => s"${5 + 2 * i} 0 R").mkString(" ")
+    obj(w(s"<< /Type /Catalog /Pages 2 0 R >>\n"))
+    obj(w(s"<< /Type /Pages /Kids [$kids] /Count ${ps.size} >>\n"))
+    obj(w("<< /Type /Font /Subtype /Type0 /BaseFont /Graft-CID " +
+      "/Encoding /Identity-H /ToUnicode 4 0 R >>\n"))
+    // object 4: the ToUnicode CMap stream (real CMap syntax)
+    val bfchars = (0x20 to 0x3F).map(c =>
+      f"<${c + 0x100}%04x> <$c%04x>").mkString("\n")
+    val cmapSrc =
+      s"""/CIDInit /ProcSet findresource begin
+         |12 dict begin
+         |begincmap
+         |/CMapName /Graft-ToUnicode def
+         |/CMapType 2 def
+         |1 begincodespacerange
+         |<0000> <ffff>
+         |endcodespacerange
+         |32 beginbfchar
+         |$bfchars
+         |endbfchar
+         |1 beginbfrange
+         |<0140> <01ff> <0040>
+         |endbfrange
+         |endcmap
+         |CMapName currentdict /CMap defineresource pop
+         |end
+         |end""".stripMargin
+    val cmapData = deflate(cmapSrc.getBytes(ISO_8859_1))
+    obj {
+      w(s"<< /Length ${cmapData.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(cmapData)
+      w("\nendstream\n")
+    }
+    ps.foreach { text =>
+      val pageObj = offsets.size + 1
+      obj(w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents ${pageObj + 1} 0 R >>\n"))
+      val ops = text.split("\n", -1).zipWithIndex.map { case (ln, i) =>
+        val hex = ln.map(c => f"${code(c)}%04x").mkString
+        s"BT /F1 12 Tf 72 ${720 - 14 * i} Td <$hex> Tj ET"
+      }.mkString("\n")
+      val data = deflate(ops.getBytes(ISO_8859_1))
+      obj {
+        w(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
+    val xref = out.size()
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o2 => w(f"$o2%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xref\n%%EOF\n")
     out.toByteArray
   }
@@ -437,17 +534,49 @@ object PdfCodec {
       }
 
     /** Algorithm 1: per-object key — MD5(fileKey ∥ objnum-lo3-LE ∥
-      * gennum-lo2-LE), truncated to min(len+5, 16). */
-    def objectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] =
-      md5(key, Array(num.toByte, (num >> 8).toByte, (num >> 16).toByte,
-        gen.toByte, (gen >> 8).toByte))
-        .take(math.min(key.length + 5, 16))
+      * gennum-lo2-LE ∥ ["sAlT" for AESV2]), truncated to
+      * min(len+5, 16). */
+    def objectKey(key: Array[Byte], num: Int, gen: Int,
+        aes: Boolean = false): Array[Byte] = {
+      val tail = Array(num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+        gen.toByte, (gen >> 8).toByte)
+      val salted = if (aes) tail ++ Array[Byte](0x73, 0x41, 0x6C, 0x54)
+        else tail
+      md5(key, salted).take(math.min(key.length + 5, 16))
+    }
+
+    /** AES-128-CBC for the /AESV2 crypt filter (§7.6.2): ciphertext
+      * is IV ∥ CBC blocks, PKCS#5 padded. JDK `javax.crypto` only —
+      * no new dependency. */
+    def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      require(data.length >= 32 && data.length % 16 == 0,
+        s"AESV2 stream must be IV + whole blocks, got ${data.length} bytes")
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data.take(16)))
+      c.doFinal(data, 16, data.length - 16)
+    }
+
+    def aesEncrypt(key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(data)
+    }
   }
 
-  /** Live decryption context for one encrypted file. */
-  private[ops] final case class Decryptor(key: Array[Byte]) {
-    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
-      StdSecurity.rc4(StdSecurity.objectKey(key, num, gen), data)
+  /** Live decryption context for one encrypted file. `aes` selects
+    * the /AESV2 crypt filter (V4/R4) over plain RC4 (V1-2/R2-3). */
+  private[ops] final case class Decryptor(key: Array[Byte],
+      aes: Boolean = false) {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val ok = StdSecurity.objectKey(key, num, gen, aes)
+      if (aes) StdSecurity.aesDecrypt(ok, data)
+      else StdSecurity.rc4(ok, data)
+    }
   }
 
   // ----------------------------------------------------------------- decode
@@ -790,12 +919,51 @@ object PdfCodec {
   }
 
   /** Pull every shown string out of one decompressed content stream:
-    * `(...) Tj`, `(...) '`, `(...) "` and `[(..) -kern (..)] TJ`,
-    * with full escape handling. One shown string (or TJ array) per
-    * output line — the layout granularity the encoder emits. */
-  private[ops] def extractText(content: String): String = {
+    * `(...) Tj`, `<hex> Tj`, `(...) '`, `(...) "` and
+    * `[(..) -kern (..)] TJ`, with full escape handling. One shown
+    * string (or TJ array) per output line — the layout granularity
+    * the encoder emits.
+    *
+    * `cmap`: the page font's /ToUnicode mapping, when it carries one.
+    * With a CMap, HEX show-strings are 2-byte character CODES mapped
+    * through it (the composite-font path real extractors — PyMuPDF
+    * included — must take: the codes are font-private and mean
+    * nothing without the CMap). Without one, hex pairs are Latin-1
+    * bytes (§7.3.4.3 simple-font behavior). */
+  private[graft] def extractText(content: String,
+      cmap: Option[Map[Int, String]] = None): String = {
     var i = 0
     val n = content.length
+    def parseHexString(): String = {
+      // content(i) == '<' on entry (single '<' — '<<' handled by caller)
+      val hex = new StringBuilder
+      i += 1
+      while (i < n && content.charAt(i) != '>') {
+        val c = content.charAt(i)
+        if (!c.isWhitespace) {
+          if (Character.digit(c, 16) < 0)
+            fail(s"bad hex digit '$c' in content hex string")
+          hex.append(c)
+        }
+        i += 1
+      }
+      if (i >= n) fail("unterminated hex string in content stream")
+      i += 1 // past '>'
+      cmap match {
+        case Some(m) =>
+          // 2-byte codes; odd trailing digit zero-padded (§7.3.4.3)
+          val h = if (hex.length % 4 == 0) hex.toString
+            else hex.toString.padTo((hex.length + 3) / 4 * 4, '0')
+          h.grouped(4).map { g =>
+            m.getOrElse(Integer.parseInt(g, 16),
+              fail(s"code <$g> not in ToUnicode CMap"))
+          }.mkString
+        case None =>
+          val h = if (hex.length % 2 == 0) hex.toString
+            else hex.toString + "0"
+          h.grouped(2).map(g => Integer.parseInt(g, 16).toChar).mkString
+      }
+    }
     def parseString(): String = {
       // content(i) == '(' on entry
       val out = new StringBuilder
@@ -838,6 +1006,10 @@ object PdfCodec {
       content.charAt(i) match {
         case '(' =>
           pending += parseString() // advances i past the closing paren
+        case '<' if i + 1 < n && content.charAt(i + 1) == '<' =>
+          i += 2 // dictionary open (inline-image dicts etc.) — skip
+        case '<' =>
+          pending += parseHexString() // advances i past '>'
         case '[' =>
           pending.clear(); i += 1 // TJ array: gather its strings fresh
         case 'T' if i + 1 < n && content.charAt(i + 1) == 'j' =>
@@ -853,6 +1025,49 @@ object PdfCodec {
       }
     }
     lines.mkString("\n")
+  }
+
+  /** Parse a /ToUnicode CMap stream (the public Adobe CMap format,
+    * ISO 32000-1 §9.10.3): `beginbfchar` single mappings and
+    * `beginbfrange` runs — `<lo> <hi> <dstStart>` incrementing form
+    * and `<lo> <hi> [<d0> <d1> …]` array form. Destination values
+    * are UTF-16BE (BMP subset here: each 4-hex-digit group is one
+    * char; multi-char destinations concatenate groups). */
+  private[graft] def parseCMap(text: String): Map[Int, String] = {
+    val out = mutable.Map[Int, String]()
+    def uni(hex: String): String =
+      hex.grouped(4).map(g => Integer.parseInt(g, 16).toChar).mkString
+    val hexTok = """<([0-9a-fA-F]+)>""".r
+    """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text).foreach { b =>
+      hexTok.findAllMatchIn(b.group(1)).map(_.group(1)).grouped(2)
+        .foreach {
+          case Seq(src, dst) => out(Integer.parseInt(src, 16)) = uni(dst)
+          case other => fail(s"odd bfchar entry: $other")
+        }
+    }
+    """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(text).foreach { b =>
+      // split entries on line structure-independently: tokens are
+      // <hex> or [ ... ] groups, consumed 3 fields at a time
+      val body = b.group(1)
+      val entry = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*(<[0-9a-fA-F]+>|\[[^\]]*\])""".r
+      entry.findAllMatchIn(body).foreach { m =>
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = Integer.parseInt(m.group(2), 16)
+        if (hi < lo) fail(s"bfrange hi < lo: ${m.matched}")
+        m.group(3) match {
+          case arr if arr.startsWith("[") =>
+            val dsts = hexTok.findAllMatchIn(arr).map(_.group(1)).toSeq
+            if (dsts.length != hi - lo + 1)
+              fail("bfrange array length mismatch")
+            for (k <- 0 to (hi - lo)) out(lo + k) = uni(dsts(k))
+          case single =>
+            val d0 = Integer.parseInt(single.stripPrefix("<").stripSuffix(">"), 16)
+            for (k <- 0 to (hi - lo)) out(lo + k) = (d0 + k).toChar.toString
+        }
+      }
+    }
+    if (out.isEmpty) fail("ToUnicode CMap defines no mappings")
+    out.toMap
   }
 
   /** `/Name <hex>` or `/Name (literal)` string entry as raw bytes
@@ -908,27 +1123,45 @@ object PdfCodec {
       fail("unsupported security handler (only /Standard)")
     val v = intIn(encScope, "/V").getOrElse(0)
     val r = intIn(encScope, "/R").getOrElse(fail("encrypt dict missing /R"))
-    if (v > 2 || r > 3)
-      fail(s"unsupported encryption /V $v /R $r (RC4 subset is V<=2, R<=3)")
-    val keyLen = intIn(encScope, "/Length").getOrElse(40) / 8
+    // V4 carries named crypt filters; the subset accepts the common
+    // /StdCF /AESV2 profile (and /V2, plain RC4-in-V4)
+    val aes = v == 4 && {
+      if (encScope.contains("/AESV2")) true
+      else if (encScope.contains("/CFM /V2") || encScope.contains("/CFM/V2"))
+        false
+      else fail("unsupported V4 crypt filter (only /AESV2 or /V2)")
+    }
+    if (v > 4 || r > 4 || v == 3)
+      fail(s"unsupported encryption /V $v /R $r (subset is V 1/2/4, R 2-4)")
+    // AESV2 is AES-128 by definition; for V<=2 the outer /Length is
+    // authoritative. (A V4 dict's /CF subdictionary carries its own
+    // /Length in BYTES, which a naive first-match scan would read as
+    // a 16-BIT key.)
+    val keyLen =
+      if (v == 4) 16 else intIn(encScope, "/Length").getOrElse(40) / 8
     val o = pdfStringIn(encScope, "/O")
     val u = pdfStringIn(encScope, "/U")
     if (o.length < 32 || u.length < 32) fail("short /O or /U entry")
     val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(encScope)
       .getOrElse(fail("encrypt dict missing /P")).group(1).toInt
-    val key = StdSecurity.fileKey(Array.empty, o, p, id, r, keyLen)
-    val expectU = StdSecurity.userEntry(key, id, r)
+    // R4 key derivation/entries reuse the R3 algorithms
+    val rAlg = math.min(r, 3)
+    val key = StdSecurity.fileKey(Array.empty, o, p, id, rAlg, keyLen)
+    val expectU = StdSecurity.userEntry(key, id, rAlg)
     val checkLen = if (r == 2) 32 else 16
     if (!java.util.Arrays.equals(expectU.take(checkLen), u.take(checkLen)))
       fail("cannot decrypt: non-empty user password or corrupt /U")
-    Decryptor(key)
+    Decryptor(key, aes)
   }
 
   /** Parse a full PDF byte array back to per-page text. Accepts both
     * classic xref-table files (PDF 1.4) and compressed xref-stream /
     * object-stream files (PDF 1.5+), including /Prev incremental
-    * chains, and RC4-encrypted files (standard security handler
-    * R2/R3, empty user password). */
+    * chains, encrypted files (standard security handler: RC4 R2/R3
+    * and AES-128 /AESV2 R4, empty user password), and composite
+    * fonts with /ToUnicode CMaps (hex show-strings mapped through
+    * the font's CMap, the way PyMuPDF recovers text from embedded
+    * fonts). */
   def decode(bytes: Array[Byte]): Decoded = {
     val s = new String(bytes, ISO_8859_1)
     if (!s.startsWith("%PDF-")) fail("not a PDF header")
@@ -940,6 +1173,19 @@ object PdfCodec {
     }
     val pagesObj = refIn(tab.scope(tab.root), "/Pages")
     val kids = intsIn(tab.scope(pagesObj), "/Kids")
+    // per-font ToUnicode CMaps, parsed once per font object
+    val cmapCache = mutable.Map[Int, Option[Map[Int, String]]]()
+    def fontCMap(pscope: String): Option[Map[Int, String]] =
+      """/Font\s*<<\s*/\w+\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(pscope)
+        .flatMap { m =>
+          val fontObj = m.group(1).toInt
+          cmapCache.getOrElseUpdate(fontObj, {
+            """/ToUnicode\s+(\d+)\s+0\s+R""".r
+              .findFirstMatchIn(tab.scope(fontObj))
+              .map(t => parseCMap(
+                new String(tab.stream(t.group(1).toInt), ISO_8859_1)))
+          })
+        }
     val pages = kids.map { pk =>
       // /Contents is a single stream ref OR an array of refs whose
       // streams concatenate (with intervening whitespace, §7.8.2)
@@ -953,7 +1199,7 @@ object PdfCodec {
       val content = contentObjs
         .map(o => new String(tab.stream(o), ISO_8859_1))
         .mkString("\n")
-      extractText(content)
+      extractText(content, fontCMap(pscope))
     }
     Decoded(pages)
   }

@@ -102,13 +102,14 @@ class PdfSpec extends SparkSpec {
     import graft.ops.PdfCodec
     val pages = Seq("line one\nline two\nline three", "page 2 (with) \\parens\\")
     val baseline = PdfCodec.decode(PdfCodec.encode(pages)).pages
-    for (rev <- Seq(2, 3)) {
+    for (rev <- Seq(2, 3, 4)) {
       val bytes = PdfCodec.encodeEncrypted(pages, rev = rev)
       val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       // really encrypted: encrypt dict + ID present, and the stream
-      // bytes must NOT inflate without the per-object RC4 pass
+      // bytes must NOT inflate without the per-object decrypt pass
       assert(txt.contains("/Filter /Standard") && txt.contains("/Encrypt 4 0 R"))
       assert(txt.contains(s"/R $rev"))
+      if (rev == 4) assert(txt.contains("/AESV2"), "V4 must declare /StdCF /AESV2")
       val plain = new String(PdfCodec.encode(pages),
         java.nio.charset.StandardCharsets.ISO_8859_1)
       assert(!txt.contains(plain.substring(plain.indexOf("stream\n") + 7,
@@ -116,6 +117,44 @@ class PdfSpec extends SparkSpec {
       assert(PdfCodec.decode(bytes).pages === baseline,
         s"rev=$rev encrypted decode differs from plaintext twin")
     }
+  }
+
+  test("ToUnicode CMap doc decodes to the same text as its plaintext twin") {
+    import graft.ops.PdfCodec
+    val pages = Seq("line one\nline two\nline three", "page 2 (with) \\parens\\")
+    val baseline = PdfCodec.decode(PdfCodec.encode(pages)).pages
+    val bytes = PdfCodec.encodeCMap(pages)
+    val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // really a composite font with an embedded CMap, text only in hex
+    assert(txt.contains("/Subtype /Type0") && txt.contains("/ToUnicode 4 0 R"))
+    assert(!txt.contains("(line one"), "text leaked as a literal string")
+    assert(PdfCodec.decode(bytes).pages === baseline,
+      "CMap decode differs from plaintext twin")
+    // the codes are font-private: stripping the CMap must NOT yield
+    // the text (guards against a decoder that ignores the mapping) —
+    // extractText without a cmap reads hex pairs as Latin-1
+    val raw = PdfCodec.extractText(
+      "BT <0168016901690165> Tj ET", None)
+    assert(raw != "hiie", "codes accidentally readable without the CMap")
+    // CMap parsing: bfchar + both bfrange forms
+    val m = PdfCodec.parseCMap(
+      """2 beginbfchar
+        |<0120> <0020>
+        |<0121> <0021>
+        |endbfchar
+        |1 beginbfrange
+        |<0140> <0142> <0040>
+        |endbfrange
+        |1 beginbfrange
+        |<0200> <0202> [<0058> <0059> <005a>]
+        |endbfrange""".stripMargin)
+    assert(m(0x120) == " " && m(0x121) == "!")
+    assert(m(0x140) == "@" && m(0x142) == "B")
+    assert(m(0x200) == "X" && m(0x202) == "Z")
+    // unmapped code -> loud failure, not mojibake
+    val ex = intercept[IllegalArgumentException](
+      PdfCodec.extractText("BT <9999> Tj ET", Some(m)))
+    assert(ex.getMessage.contains("not in ToUnicode CMap"))
   }
 
   test("encryption edge cases: wrong password class and R3 key schedule") {
