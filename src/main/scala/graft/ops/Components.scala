@@ -99,11 +99,15 @@ object Components {
     // a small label table (the usual case — only dup-pair ENDPOINTS
     // carry labels) runs the loop with broadcast joins and 1-partition
     // checkpoints, the same fixed-cost cut as the PageRank loop; a
-    // huge one keeps the shuffle path
+    // huge one keeps the shuffle path. As in [[pinPairs]], the row
+    // count rides the checkpoint job via an observe metric — no
+    // separate count() action.
+    val obs = org.apache.spark.sql.Observation()
     var labels = es.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
-    val small = labels.count() < 1000000L
+    val small = obs.get("n").asInstanceOf[Long] < 1000000L
     def pin(df: DataFrame): DataFrame =
       (if (small) df.coalesce(1) else df).localCheckpoint()
     def maybeBroadcast(df: DataFrame): DataFrame =
