@@ -31,6 +31,22 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.pinPairs(small).rdd.getNumPartitions == 1)
   }
 
+  test("CC pair source plans no global sort (the r8 double-execution fix)") {
+    // Materializing through q23's oracle ORDER BY pays the range
+    // partitioner's SAMPLING pass, which re-executes the verification
+    // join a second time (measured 10-14 s vs ~3-4 s at sf0.1). The
+    // CC path must keep consuming the sort-free variant.
+    val p = graft.ops.Dedup.jaccardPairsUnsorted(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      s"CC pair source re-grew a global sort:\n$p")
+    // and the q23 surface keeps its deterministic order for the oracle
+    val q23 = graft.ops.Dedup.jaccardPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q23.contains("rangepartitioning") || q23.contains("Sort"),
+      "q23 lost its oracle ordering")
+  }
+
   /** Symmetric chain 0-1-…-8: 9 nodes, diameter 8. */
   private def chainEdges = {
     val fwd = spark.range(0L, 8L)
