@@ -88,6 +88,23 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("contract holds at sf0.01 — the driver's correctness-gate scale") {
+    // the per-table tests above run at the spec-default sf0.001; the
+    // driver's Verify/oracle compare reads sf0.01, so a contract move
+    // that only touched the larger generations must also fail here
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    for ((table, cols) <- contract.toSeq.sortBy(_._1)) {
+      val df = Tables.load(spark, dir, table)
+      assert(df.schema.fieldNames.toSeq == cols.map(_._1),
+        s"sf0.01 table '$table': column set/order changed")
+      for ((name, expected) <- cols)
+        assert(typeOk(expected, df.schema(name).dataType),
+          s"sf0.01 table '$table', column '$name': expected $expected, " +
+            s"got ${df.schema(name).dataType.simpleString}")
+    }
+  }
+
   test("events.ts normalizes to TimestampType under both raw layouts") {
     // Post-adapter type must be the TZ-aware TimestampType so
     // date_trunc/window/unix_micros all behave identically across
