@@ -89,7 +89,10 @@ object Bucketing {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = bucketedJoined(spark)
-      joined.collect() // finalize the adaptive plan
+      // finalize the adaptive plan with a DISTRIBUTED no-op action —
+      // a collect() here would pull every embedding array to the
+      // driver just to read the plan
+      joined.foreach(_ => ())
       val plan = joined.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange"),
         s"bucketed join must plan zero Exchange operators, got:\n$plan")
