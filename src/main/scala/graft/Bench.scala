@@ -79,22 +79,34 @@ object Bench {
       if (fork) names.map(runForked(_, sfDir, reps))
       else runShared(names, sfDir, reps)
     def short(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _, _) => "\"" + short(k) + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + short(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + short(k) + "\"" }
+    // per-query rep arrays IN RUN ORDER (rep 1 = in-JVM cold): the
+    // record self-adjudicates cold-vs-steady per query instead of
+    // PERF.md hand-probing it (r8 VERDICT #5)
+    val repArrays = results.map { case (k, _, _, _, ts) =>
+      "\"" + short(k) + "\":" + ts.map(ms3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = ms3(results.map(_._2).sum)
     val envs = results.flatMap(_._4)
     val calib = tri(envs.map(_._1))
     val load = tri(envs.map(_._2))
+    // median over queries of rep1/min — the suite-wide cold-start
+    // surcharge, derived from the record itself
+    val coldRatios = results.map(_._5).filter(ts => ts.size >= 2 && ts.min > 0)
+      .map(ts => ts.head / ts.min).sorted
+    val coldMed =
+      if (coldRatios.isEmpty) 1.0 else ms3(coldRatios(coldRatios.size / 2))
     // Field ORDER is load-bearing: the driver's output capture keeps
     // only the LAST ~2 KB of stdout, and the r7 record line (152
     // queries) was cut at the FRONT, losing the suite total (ADVICE
-    // r7). The big per-query map goes first and every scalar summary
-    // field goes last, so any truncation eats query timings, never the
-    // headline metrics; the complete record is also persisted to
-    // BENCH_FULL_LATEST.json in the working dir for reconstruction.
-    val record = s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$failed,"calib":$calib,"load":$load,"metric":"total","unit":"sec","value":$total}"""
+    // r7). The big per-query maps go first (rep arrays, then mins) and
+    // every scalar summary field goes last, so any truncation eats
+    // query timings, never the headline metrics; the complete record
+    // is also persisted to BENCH_FULL_LATEST.json for reconstruction.
+    val record = s"""{"query_reps":$repArrays,"queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$failed,"calib":$calib,"load":$load,"cold_ratio_med":$coldMed,"metric":"total","unit":"sec","value":$total}"""
     println(record)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL_LATEST.json"), record + "\n")
@@ -122,7 +134,7 @@ object Bench {
   private val ChildTimeoutSec = 900L
 
   private def runForked(name: String, sfDir: String, reps: Int)
-      : (String, Double, Boolean, Option[(Double, Double)]) = {
+      : (String, Double, Boolean, Option[(Double, Double)], Seq[Double]) = {
     val t0 = System.nanoTime()
     val pb = new ProcessBuilder(childCmd(sfDir, reps, name): _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -143,13 +155,14 @@ object Bench {
     var line: String = null
     var got: Option[(Double, Boolean)] = None
     var env: Option[(Double, Double)] = None
+    var repTimes: Seq[Double] = Nil
     try {
       while ({ line = out.readLine(); line != null }) line match {
         case l if l.startsWith("BENCHONE ") =>
           val parts = l.split("\\s+")
           val ok = parts(1) == "1"
           val times = parts.drop(2).map(_.toDouble)
-          if (times.nonEmpty) got = Some((times.min, ok))
+          if (times.nonEmpty) { got = Some((times.min, ok)); repTimes = times.toSeq }
         case l if l.startsWith("BENCHENV ") =>
           // "BENCHENV <calib_sec> <load_avg>" — contention markers
           val parts = l.split("\\s+")
@@ -167,13 +180,13 @@ object Bench {
     val (best, ok) = got.getOrElse((wall, false))
     System.err.println(s"[bench] $name ${ms3(best)} ok=$ok wall=${ms3(wall)}" +
       env.map { case (c, l) => s" calib=${ms3(c)} load=$l" }.getOrElse(""))
-    (name, ms3(best), ok, env)
+    (name, ms3(best), ok, env, repTimes)
   }
 
   /** Legacy shared-JVM path (dev only): all queries in this process,
     * scrub between runs, measured window excludes the scrub. */
   private def runShared(names: Seq[String], sfDir: String, reps: Int)
-      : Seq[(String, Double, Boolean, Option[(Double, Double)])] = {
+      : Seq[(String, Double, Boolean, Option[(Double, Double)], Seq[Double])] = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -192,7 +205,8 @@ object Bench {
         System.err.println(s"[bench] $name ${ms3(dt)} ok=$ok")
         (dt, ok)
       }
-      (name, ms3(runs.map(_._1).min), runs.forall(_._2), env)
+      (name, ms3(runs.map(_._1).min), runs.forall(_._2), env,
+        runs.map(_._1))
     }
     spark.stop()
     results

@@ -32,10 +32,14 @@ object Bpe {
 
   val Rounds = 3
 
-  /** The shared merge loop: learns [[Rounds]] merges over the corpus
-    * word vocabulary and returns (per-round stats, final segmented
-    * vocabulary) — q96 reports the former, q143 applies the latter. */
-  private def mergeLoop(spark: SparkSession, sfDir: String)
+  /** SPEC-ONLY sequential reference: the strictly-canonical merge
+    * loop, re-counting pairs between every single merge — 3 driver
+    * actions per merge, so it does NOT scale past toy merge counts
+    * and no declared query runs it. It exists so BpeSpec can pin the
+    * batched production loop ([[mergeLoopBatched]], which q96/q143/
+    * q154 all consume) merge-for-merge against the textbook
+    * algorithm. */
+  private[graft] def mergeLoopSequential(spark: SparkSession, sfDir: String)
       : (Seq[(Int, String, Long, Long)], DataFrame) = {
     val vocab = Tables.documents(spark, sfDir)
       .select(explode(TextOps.tokens(col("text"))).as("word"))
@@ -95,12 +99,19 @@ object Bpe {
     * re-counts); it can diverge from strictly-sequential BPE only
     * when a merge creates a NEW pair that out-ranks an already
     * accepted one — rare on natural text and absent on this corpus:
-    * BpeSpec pins merge-for-merge equivalence with [[mergeLoop]] at
-    * [[Rounds]]=3, and q154's oracle is the sequential CTE chain, so
-    * the equivalence is cross-engine-hashed every round. */
+    * BpeSpec pins merge-for-merge equivalence with
+    * [[mergeLoopSequential]] at [[Rounds]]=3, and the q96/q154
+    * oracles are the sequential CTE chain, so the equivalence is
+    * cross-engine-hashed every round.
+    *
+    * Each returned merge carries the corpus token count AFTER it
+    * applies (q96's compression trajectory). Within a batch those
+    * counts come from ONE aggregate pass: cumulative-prefix seg
+    * expressions are summed side by side, so the trajectory costs one
+    * extra action per BATCH, not per merge. */
   private[graft] def mergeLoopBatched(spark: SparkSession, sfDir: String,
       rounds: Int = Rounds, batch: Int = 8)
-      : (Seq[(String, String, Long)], DataFrame) = {
+      : (Seq[(String, String, Long, Long)], DataFrame) = {
     val vocab = Tables.documents(spark, sfDir)
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -112,7 +123,8 @@ object Bpe {
       .localCheckpoint()
 
     var words = vocab
-    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
     var guard = 0
     while (merges.size < rounds && guard < rounds) {
       guard += 1
@@ -145,11 +157,20 @@ object Bpe {
         }
       if (accepted.isEmpty) guard = rounds // vocabulary fully fused
       else {
-        words = words.withColumn("seg",
-          accepted.foldLeft(col("seg")) { case (c, (a, b, _)) =>
-            replace(c, lit(s" $a $b "), lit(s" $a$b "))
-          }).localCheckpoint()
-        merges ++= accepted
+        // cumulative-prefix segs: segAfter(i) = seg with merges 1..i
+        // applied — the whole batch's token trajectory aggregates in
+        // ONE pass over the (checkpointed) vocabulary
+        val segAfter = accepted.scanLeft(col("seg")) {
+          case (c, (a, b, _)) => replace(c, lit(s" $a $b "), lit(s" $a$b "))
+        }.drop(1)
+        val statsRow = words.select(segAfter.zipWithIndex.map {
+          case (c, i) =>
+            sum(col("freq") * size(split(trim(c), " "))).as(s"t$i")
+        }.toSeq: _*).collect().head
+        words = words.withColumn("seg", segAfter.last).localCheckpoint()
+        merges ++= accepted.zipWithIndex.map { case ((a, b, n), i) =>
+          (a, b, n, statsRow.getLong(i))
+        }
       }
     }
     (merges.toSeq, words)
@@ -163,7 +184,7 @@ object Bpe {
     val (merges, _) = mergeLoopBatched(spark, sfDir)
     import spark.implicits._
     merges.zipWithIndex
-      .map { case ((a, b, n), i) => (i + 1, s"$a+$b", n) }
+      .map { case ((a, b, n, _), i) => (i + 1, s"$a+$b", n) }
       .toDF("round", "merge", "pair_count")
       .orderBy(col("round"))
   }
@@ -179,13 +200,26 @@ object Bpe {
 
   /** q96: the first [[Rounds]] BPE merges over the document corpus —
     * per round the fused pair, its count, and the corpus token count
-    * after the merge (compression trajectory). */
+    * after the merge (compression trajectory). Runs the BATCHED loop
+    * (the 100 TB formulation); the oracle stays the sequential CTE
+    * chain, so every round cross-engine-certifies batched ≡
+    * sequential on this corpus. */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
-    val (roundRows, _) = mergeLoop(spark, sfDir)
+    val (merges, _) = mergeLoopBatched(spark, sfDir)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b, n, t), i) => (i + 1, s"$a+$b", n, t) }
+      .toDF("round", "merge", "pair_count", "corpus_tokens")
+      .orderBy(col("round"))
+  }
+
+  /** SPEC-ONLY: q96's report off the sequential reference loop, for
+    * BpeSpec's batched ≡ sequential pin. */
+  private[graft] def bpeMergesSequential(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (roundRows, _) = mergeLoopSequential(spark, sfDir)
     import spark.implicits._
     roundRows.toDF("round", "merge", "pair_count", "corpus_tokens")
-      .select(col("round"), col("merge"), col("pair_count"),
-        col("corpus_tokens"))
       .orderBy(col("round"))
   }
 
@@ -202,9 +236,11 @@ object Bpe {
     * word) occurrence counts — the q69 lesson: a web-scale vocabulary
     * is corpus-sized, so no broadcast hint; AQE still picks broadcast
     * when the measured size permits. Occurrence counts partial-agg
-    * before the join, so token text crosses exactly one shuffle. */
+    * before the join, so token text crosses exactly one shuffle. The
+    * segmentation comes from the BATCHED merge loop (the 100 TB
+    * path); the sequential reference survives only in BpeSpec. */
   def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, words) = mergeLoop(spark, sfDir)
+    val (_, words) = mergeLoopBatched(spark, sfDir)
     val model = words.select(col("word"),
       size(split(trim(col("seg")), " ")).as("n_sym"))
     val perSource = Tables.documents(spark, sfDir)

@@ -50,21 +50,23 @@ class BpeSpec extends SparkSpec {
 
   test("batched compatible-merge variant is equivalent at Rounds=3") {
     // the scalable formulation (one counting pass per BATCH of
-    // symbol-disjoint merges) must learn the SAME merges, in the same
-    // order with the same counts, as the strictly-sequential loop —
-    // and leave the vocabulary in the same segmentation
-    val seq = Bpe.bpeMerges(spark, sfDir).orderBy($"round").collect()
+    // symbol-disjoint merges) — what declared q96/q143/q154 now run —
+    // must learn the SAME merges, in the same order with the same
+    // counts AND the same post-merge token trajectory, as the
+    // spec-only strictly-sequential reference loop
+    val seq = Bpe.bpeMergesSequential(spark, sfDir).orderBy($"round")
+      .collect()
       .map(r => (r.getAs[Int]("round"), r.getAs[String]("merge"),
-        r.getAs[Long]("pair_count")))
-    val bat = Bpe.bpeMergesBatched(spark, sfDir).orderBy($"round").collect()
+        r.getAs[Long]("pair_count"), r.getAs[Long]("corpus_tokens")))
+    val bat = Bpe.bpeMerges(spark, sfDir).orderBy($"round").collect()
       .map(r => (r.getAs[Int]("round"), r.getAs[String]("merge"),
-        r.getAs[Long]("pair_count")))
+        r.getAs[Long]("pair_count"), r.getAs[Long]("corpus_tokens")))
     assert(bat.toSeq === seq.toSeq,
       "batched merges diverge from the sequential reference")
     // a forced CONFLICT defers, not skips: with batch=1 the variant
     // degenerates to exactly the sequential algorithm
     val one = Bpe.mergeLoopBatched(spark, sfDir, rounds = 3, batch = 1)
-      ._1.zipWithIndex.map { case ((a, b, n), i) => (i + 1, s"$a+$b", n) }
+      ._1.zipWithIndex.map { case ((a, b, n, t), i) => (i + 1, s"$a+$b", n, t) }
     assert(one === seq.toSeq, "batch=1 must equal sequential")
   }
 

@@ -34,4 +34,16 @@ class BucketingSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("q153 executes the join once — the reported rollup scans the " +
+    "checkpointed blocks, not the tables") {
+    val df = Bucketing.bucketedRollup(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    // the join already ran (and was plan-asserted) inside
+    // bucketedRollup; the answer the caller executes must contain no
+    // join and no table scan — otherwise the join ran twice
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("FileScan"),
+      s"rollup must read the checkpointed join, not re-execute it:\n$plan")
+  }
 }
