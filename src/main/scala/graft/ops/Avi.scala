@@ -118,10 +118,13 @@ object Avi {
   /** Parse a single-video-stream AVI produced by any conformant
     * muxer (not just [[write]]): walks the chunk tree by declared
     * sizes with word alignment, pulls dims/frame-count/rate from
-    * `avih`, the codec fourcc from `strh`, and every `##dc`/`##db`
-    * frame chunk from the `movi` LIST (nested `rec ` groups
-    * included). Throws on structural corruption — truncated chunks,
-    * missing magic — rather than guessing. */
+    * `avih`, the codec fourcc from `strh`, and the VIDS STREAM's
+    * `NNdc`/`NNdb` frame chunks from the `movi` LIST (nested `rec `
+    * groups included) — NN is the stream's strl declaration index,
+    * so an interleaved audio stream's chunks never leak into the
+    * frame vector. Throws on structural corruption — truncated
+    * chunks, missing magic, a second vids stream — rather than
+    * guessing. */
   def read(bytes: Array[Byte]): AviVideo = {
     require(bytes.length >= 12 && tag(bytes, 0) == "RIFF",
       "not a RIFF file")
@@ -130,6 +133,12 @@ object Avi {
 
     var width = 0; var height = 0; var total = 0; var uspf = 0
     var handler = ""
+    // streams are numbered by strl declaration order; frame chunks
+    // carry their stream number in the id ('NNdc'), so only THE vids
+    // stream's chunks are video frames — an audio or second stream
+    // interleaved in movi must not leak into the frame vector
+    var strhSeen = 0
+    var vidsStream = -1
     val frames = Vector.newBuilder[Array[Byte]]
 
     // Iterate sibling chunks in [off, limit); recurse into LISTs.
@@ -151,17 +160,28 @@ object Avi {
             total = readU32(bytes, dataOff + 16).toInt
             width = readU32(bytes, dataOff + 32).toInt
             height = readU32(bytes, dataOff + 36).toInt
-          case "strh" if tag(bytes, dataOff) == "vids" =>
-            handler = tag(bytes, dataOff + 4)
+          case "strh" =>
+            if (tag(bytes, dataOff) == "vids") {
+              require(vidsStream < 0,
+                "multiple 'vids' streams are not supported (one video " +
+                  "stream per file in this subset — failing loudly " +
+                  "rather than interleaving their frames)")
+              vidsStream = strhSeen
+              handler = tag(bytes, dataOff + 4)
+            }
+            strhSeen += 1
           case f if inMovi && f.length == 4 && f(0).isDigit &&
               f(1).isDigit && (f.substring(2) == "dc" || f.substring(2) == "db") =>
-            frames += java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + sz)
+            val sn = (f(0) - '0') * 10 + (f(1) - '0')
+            if (sn == vidsStream)
+              frames += java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + sz)
           case _ => () // idx1, strf, junk padding — skip
         }
         off = dataOff + sz + (sz & 1) // word alignment
       }
     }
     walk(12, end, inMovi = false)
+    require(vidsStream >= 0, "AVI declares no 'vids' stream")
     val fs = frames.result()
     require(fs.nonEmpty, "AVI contains no video frame chunks")
     AviVideo(width, height, total, uspf, handler, fs)

@@ -96,11 +96,15 @@ object Pdf {
         // ASCIIHex filter chains, since r7 the PDF 1.5+ xref-
         // stream/ObjStm layout on every 5th doc, since r8 encrypted
         // files — RC4 R2/R3 and AES-128 R4, cycling — on every 7th,
-        // and composite-font /ToUnicode CMap files on every 11th) so
-        // the corpus exercises the layouts real writers produce;
-        // recovered text is framing-invariant
+        // composite-font /ToUnicode CMap files on every 11th, and
+        // since r9 AES-256 files — R5/R6 alternating, the modern-
+        // writer default — on every 13th) so the corpus exercises the
+        // layouts real writers produce; recovered text is
+        // framing-invariant
         val bytes =
-          if (r.id % 5 == 0) PdfCodec.encodeModern(r.pages,
+          if (r.id % 13 == 0) PdfCodec.encodeEncrypted(r.pages,
+            rev = 5 + (r.id % 2).toInt)
+          else if (r.id % 5 == 0) PdfCodec.encodeModern(r.pages,
             splitContents = r.id % 2 == 0, hexFilter = r.id % 3 == 0)
           else if (r.id % 7 == 0) PdfCodec.encodeEncrypted(r.pages,
             rev = 2 + (r.id % 3).toInt)

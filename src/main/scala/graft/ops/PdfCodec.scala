@@ -180,26 +180,46 @@ object PdfCodec {
     * PyMuPDF path ingests silently (`file_handler.py:21-31`) — with
     * `ownerPw` holding the permissions. `rev` 2 = 40-bit RC4 /V 1;
     * rev 3 = 128-bit RC4 /V 2; rev 4 = AES-128-CBC through the /V 4
-    * /StdCF /AESV2 crypt-filter profile (per-object IVs derived
-    * deterministically from the object number so fixtures are
-    * byte-reproducible — a fixture property, NOT a security one).
+    * /StdCF /AESV2 crypt-filter profile; rev 5/6 = AES-256-CBC
+    * through /V 5 /StdCF /AESV3 (PDF 2.0 §7.6.4 — R6 is what modern
+    * writers emit by default; R5 is the deprecated plain-SHA-256
+    * extension). Per-object IVs, salts, and the V5 file key are
+    * derived deterministically from the page text so fixtures are
+    * byte-reproducible — a fixture property, NOT a security one.
     * The deterministic /ID is derived from the page text so encode
     * is reproducible across engines/runs. */
   def encodeEncrypted(pages: Seq[String], ownerPw: String = "owner",
       rev: Int = 2): Array[Byte] = {
-    require(rev >= 2 && rev <= 4,
-      s"standard handler rev must be 2, 3, or 4, got $rev")
+    require(rev >= 2 && rev <= 6,
+      s"standard handler rev must be 2-6, got $rev")
     val ps = if (pages.isEmpty) Seq("") else pages
-    val keyLen = if (rev == 2) 5 else 16
+    val v5 = rev >= 5
+    val keyLen = if (rev == 2) 5 else if (v5) 32 else 16
     val rAlg = math.min(rev, 3) // R4 reuses the R3 key algorithms
-    val aes = rev == 4
+    val aes = rev >= 4
     val p = -44 // print+copy denied; the usual owner-locked profile
     val id = java.security.MessageDigest.getInstance("MD5")
       .digest(ps.mkString(" ").getBytes(ISO_8859_1))
-    val o = StdSecurity.ownerEntry(
-      ownerPw.getBytes(ISO_8859_1), Array.empty, rAlg, keyLen)
-    val key = StdSecurity.fileKey(Array.empty, o, p, id, rAlg, keyLen)
-    val u = StdSecurity.userEntry(key, id, rAlg)
+    // deterministic 8-byte salts / 32-byte file key off the page text
+    def d32(tag: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest((tag + ps.mkString(" ")).getBytes(ISO_8859_1))
+    val (o, u, key, v5Extras) =
+      if (!v5) {
+        val o0 = StdSecurity.ownerEntry(
+          ownerPw.getBytes(ISO_8859_1), Array.empty, rAlg, keyLen)
+        val k0 = StdSecurity.fileKey(Array.empty, o0, p, id, rAlg, keyLen)
+        (o0, StdSecurity.userEntry(k0, id, rAlg), k0,
+          None: Option[(Array[Byte], Array[Byte], Array[Byte])])
+      } else {
+        val fileKey = d32("key:")
+        val (uE, ue) = StdSecurity.v5Entry(Array.empty,
+          d32("uv:").take(8), d32("uk:").take(8), Array.empty, fileKey, rev)
+        val (oE, oe) = StdSecurity.v5Entry(ownerPw.getBytes(ISO_8859_1),
+          d32("ov:").take(8), d32("ok:").take(8), uE, fileKey, rev)
+        (oE, uE, fileKey,
+          Some((ue, oe, StdSecurity.permsEntry(fileKey, p))))
+      }
     def hexStr(b: Array[Byte]): String =
       b.map(x => f"${x & 0xff}%02x").mkString("<", "", ">")
 
@@ -218,10 +238,16 @@ object PdfCodec {
     // object 4: the encrypt dict — its own strings are never
     // encrypted (§7.6.2), which hex form sidesteps entirely. V4
     // declares the named crypt filter both streams and strings use.
-    val vDict =
-      if (aes) "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
-        "/StmF /StdCF /StrF /StdCF"
-      else s"/V ${rev - 1} /R $rev"
+    val vDict = v5Extras match {
+      case Some((ue, oe, perms)) =>
+        s"/V 5 /R $rev /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+          "/StmF /StdCF /StrF /StdCF " +
+          s"/UE ${hexStr(ue)} /OE ${hexStr(oe)} /Perms ${hexStr(perms)}"
+      case None if aes =>
+        "/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF"
+      case None => s"/V ${rev - 1} /R $rev"
+    }
     obj(w(s"<< /Filter /Standard $vDict " +
       s"/Length ${keyLen * 8} /O ${hexStr(o)} /U ${hexStr(u)} /P $p >>\n"))
     ps.foreach { text =>
@@ -233,7 +259,9 @@ object PdfCodec {
         s"BT /F1 12 Tf 72 ${720 - 14 * i} Td (${escape(ln)}) Tj ET"
       }.mkString("\n")
       val objNum = offsets.size + 1
-      val objKey = StdSecurity.objectKey(key, objNum, 0, aes)
+      // V5 uses the file key directly (no per-object salting)
+      val objKey =
+        if (v5) key else StdSecurity.objectKey(key, objNum, 0, aes)
       val plainData = deflate(ops.getBytes(ISO_8859_1))
       val data =
         if (aes) StdSecurity.aesEncrypt(objKey,
@@ -566,13 +594,100 @@ object PdfCodec {
         new javax.crypto.spec.IvParameterSpec(iv))
       iv ++ c.doFinal(data)
     }
+
+    // ---- V5 / AES-256 (PDF 2.0 §7.6.4, /AESV3, revisions 5 and 6) ----
+
+    /** Raw-block AES-CBC with NO padding — the form the V5 key
+      * wrapping (/UE, /OE) and the 2.B hash rounds use. */
+    def aesCbcNoPad(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+        else javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+
+    private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(alg)
+      parts.foreach(d.update)
+      d.digest()
+    }
+
+    /** The V5 password hash: plain SHA-256(pw ∥ salt ∥ udata) for the
+      * deprecated R5 extension, Algorithm 2.B for R6 — the iterated
+      * SHA-256/384/512 + AES-128-CBC construction PDF 2.0 specifies.
+      * `udata` is empty for user-password entries and the full 48-byte
+      * /U string for owner-password entries. */
+    def v5Hash(pw: Array[Byte], salt: Array[Byte], udata: Array[Byte],
+        rev: Int): Array[Byte] = {
+      var k = sha("SHA-256", pw, salt, udata)
+      if (rev == 5) return k
+      var i = 0
+      var done = false
+      while (!done) {
+        val block = pw ++ k ++ udata
+        val k1 = new Array[Byte](block.length * 64)
+        for (j <- 0 until 64)
+          System.arraycopy(block, 0, k1, j * block.length, block.length)
+        val e = aesCbcNoPad(encrypt = true, k.take(16), k.slice(16, 32), k1)
+        // E[0..16) as a big-endian integer mod 3 — byte-sum works
+        // because 256 ≡ 1 (mod 3)
+        val mod = e.take(16).map(_ & 0xff).sum % 3
+        k = sha(Seq("SHA-256", "SHA-384", "SHA-512")(mod), e)
+        i += 1
+        done = i >= 64 && (e.last & 0xff) <= i - 32
+      }
+      k.take(32)
+    }
+
+    /** Algorithm 8/9 writer side: the 48-byte /U-or-/O entry (hash ∥
+      * validation salt ∥ key salt) and its /UE-or-/OE companion (the
+      * file key AES-256-wrapped under the intermediate key). */
+    def v5Entry(pw: Array[Byte], vsalt: Array[Byte], ksalt: Array[Byte],
+        udata: Array[Byte], fileKey: Array[Byte], rev: Int)
+        : (Array[Byte], Array[Byte]) = {
+      val entry = v5Hash(pw, vsalt, udata, rev) ++ vsalt ++ ksalt
+      val wrapped = aesCbcNoPad(encrypt = true,
+        v5Hash(pw, ksalt, udata, rev), new Array[Byte](16), fileKey)
+      (entry, wrapped)
+    }
+
+    /** The /Perms entry: AES-256-ECB of P-LE ∥ 0xFFFFFFFF ∥ 'T' ∥
+      * "adb" ∥ 4 arbitrary bytes under the file key (§7.6.4.4.9). */
+    def permsEntry(fileKey: Array[Byte], p: Int): Array[Byte] = {
+      val plain = le32(p) ++ Array[Byte](-1, -1, -1, -1) ++
+        "Tadb".getBytes(ISO_8859_1) ++ "grft".getBytes(ISO_8859_1)
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+      c.doFinal(plain)
+    }
+
+    /** Reader-side /Perms validation: decrypt and check the "adb"
+      * signature and the /P value round-trip (§7.6.4.4.12). */
+    def checkPerms(fileKey: Array[Byte], perms: Array[Byte],
+        p: Int): Boolean = {
+      if (perms.length < 16) return false
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+      val plain = c.doFinal(perms.take(16))
+      new String(plain.slice(9, 12), ISO_8859_1) == "adb" &&
+        java.util.Arrays.equals(plain.take(4), le32(p))
+    }
   }
 
   /** Live decryption context for one encrypted file. `aes` selects
-    * the /AESV2 crypt filter (V4/R4) over plain RC4 (V1-2/R2-3). */
+    * the /AESV2 crypt filter (V4/R4) over plain RC4 (V1-2/R2-3);
+    * `v5` selects /AESV3 (V5/R5-6), where the 256-bit file key is
+    * used directly — V5 abolished Algorithm 1's per-object MD5
+    * salting. */
   private[ops] final case class Decryptor(key: Array[Byte],
-      aes: Boolean = false) {
+      aes: Boolean = false, v5: Boolean = false) {
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      if (v5) return StdSecurity.aesDecrypt(key, data)
       val ok = StdSecurity.objectKey(key, num, gen, aes)
       if (aes) StdSecurity.aesDecrypt(ok, data)
       else StdSecurity.rc4(ok, data)
@@ -924,16 +1039,26 @@ object PdfCodec {
     * string (or TJ array) per output line — the layout granularity
     * the encoder emits.
     *
-    * `cmap`: the page font's /ToUnicode mapping, when it carries one.
-    * With a CMap, HEX show-strings are 2-byte character CODES mapped
-    * through it (the composite-font path real extractors — PyMuPDF
-    * included — must take: the codes are font-private and mean
-    * nothing without the CMap). Without one, hex pairs are Latin-1
-    * bytes (§7.3.4.3 simple-font behavior). */
+    * `cmap`: the page's DEFAULT /ToUnicode mapping (its first font),
+    * active until a `Tf` operator selects another. With a CMap, HEX
+    * show-strings are 2-byte character CODES mapped through it (the
+    * composite-font path real extractors — PyMuPDF included — must
+    * take: the codes are font-private and mean nothing without the
+    * CMap). Without one, hex pairs are Latin-1 bytes (§7.3.4.3
+    * simple-font behavior).
+    *
+    * `fonts`: resource name → CMap for every font the page declares.
+    * Each `/Name size Tf` operator switches the active mapping, so a
+    * page mixing a simple font and a Type0 font decodes each show
+    * string through the font that actually shows it; a Tf naming an
+    * undeclared font fails loudly. */
   private[graft] def extractText(content: String,
-      cmap: Option[Map[Int, String]] = None): String = {
+      cmap: Option[Map[Int, String]] = None,
+      fonts: Map[String, Option[Map[Int, String]]] = Map.empty): String = {
     var i = 0
     val n = content.length
+    var activeCMap = cmap
+    var lastName = "" // most recent /Name token (Tf's operand)
     def parseHexString(): String = {
       // content(i) == '<' on entry (single '<' — '<<' handled by caller)
       val hex = new StringBuilder
@@ -949,7 +1074,7 @@ object PdfCodec {
       }
       if (i >= n) fail("unterminated hex string in content stream")
       i += 1 // past '>'
-      cmap match {
+      activeCMap match {
         case Some(m) =>
           // 2-byte codes; odd trailing digit zero-padded (§7.3.4.3)
           val h = if (hex.length % 4 == 0) hex.toString
@@ -982,6 +1107,9 @@ object PdfCodec {
               case ')' => out.append(')'); i += 2
               case '\\' => out.append('\\'); i += 2
               case '\n' => i += 2 // line continuation
+              case '\r' => // continuation, CR and CRLF forms
+                i += 2
+                if (i < n && content.charAt(i) == '\n') i += 1
               case c if c >= '0' && c <= '7' =>
                 var j = i + 1; var v = 0
                 while (j < n && j < i + 4 && content.charAt(j) >= '0' && content.charAt(j) <= '7') {
@@ -1012,6 +1140,22 @@ object PdfCodec {
           pending += parseHexString() // advances i past '>'
         case '[' =>
           pending.clear(); i += 1 // TJ array: gather its strings fresh
+        case '/' =>
+          // name token — remember it as the potential Tf operand
+          val start = i + 1
+          var j = start
+          while (j < n && !content.charAt(j).isWhitespace &&
+              !"()<>[]{}/%".contains(content.charAt(j))) j += 1
+          lastName = content.substring(start, j)
+          i = j
+        case 'T' if i + 1 < n && content.charAt(i + 1) == 'f' =>
+          // font selection: switch the active CMap (only when the
+          // caller supplied the page's font table — direct spec calls
+          // with a bare cmap keep it pinned)
+          if (fonts.nonEmpty)
+            activeCMap = fonts.getOrElse(lastName,
+              fail(s"Tf selects undeclared font /$lastName"))
+          i += 2
         case 'T' if i + 1 < n && content.charAt(i + 1) == 'j' =>
           if (pending.nonEmpty) lines += pending.last
           pending.clear(); i += 2
@@ -1072,9 +1216,11 @@ object PdfCodec {
 
   /** `/Name <hex>` or `/Name (literal)` string entry as raw bytes
     * (the forms /O and /U ship in). Literal strings here handle the
-    * byte-level escapes (§7.3.4.2); encrypt-dict entries are 32
-    * arbitrary bytes, so octal and symbol escapes both occur. */
-  private def pdfStringIn(scope: String, name: String): Array[Byte] = {
+    * byte-level escapes (§7.3.4.2), including backslash-EOL line
+    * continuations (which contribute NO byte — CR, LF, and CRLF
+    * forms); encrypt-dict entries are 32-48 arbitrary bytes, so octal
+    * and symbol escapes both occur. */
+  private[graft] def pdfStringIn(scope: String, name: String): Array[Byte] = {
     (name + """\s*<([0-9a-fA-F\s]*)>""").r.findFirstMatchIn(scope) match {
       case Some(m) =>
         return hexDecode((m.group(1) + ">").getBytes(ISO_8859_1))
@@ -1102,6 +1248,12 @@ object PdfCodec {
                 v = v * 8 + (scope.charAt(j) - '0'); j += 1
               }
               out.write(v & 0xff); i = j
+            case '\r' =>
+              // §7.3.4.2 line continuation: backslash-EOL contributes
+              // NO character (CR, LF, or CRLF forms)
+              i += 2
+              if (i < scope.length && scope.charAt(i) == '\n') i += 1
+            case '\n' => i += 2
             case c => out.write(c); i += 2
           }
         case '(' => depth += 1; out.write('('); i += 1
@@ -1123,6 +1275,7 @@ object PdfCodec {
       fail("unsupported security handler (only /Standard)")
     val v = intIn(encScope, "/V").getOrElse(0)
     val r = intIn(encScope, "/R").getOrElse(fail("encrypt dict missing /R"))
+    if (v == 5) return buildDecryptorV5(encScope, r)
     // V4 carries named crypt filters; the subset accepts the common
     // /StdCF /AESV2 profile (and /V2, plain RC4-in-V4)
     val aes = v == 4 && {
@@ -1154,11 +1307,47 @@ object PdfCodec {
     Decryptor(key, aes)
   }
 
+  /** V5 (AES-256) key retrieval, PDF 2.0 §7.6.4 — the default output
+    * of modern writers, which the reference's PyMuPDF path accepts
+    * silently. Empty user password: validate against /U (Algorithm
+    * 11), unwrap the file key from /UE (Algorithm 8.a), and — when a
+    * /Perms entry is present — require its "adb" signature and /P
+    * round-trip so a wrong key can never silently emit garbage. R5 is
+    * the deprecated plain-SHA-256 extension; R6 is the Algorithm 2.B
+    * iterated hash. */
+  private def buildDecryptorV5(encScope: String, r: Int): Decryptor = {
+    if (r != 5 && r != 6)
+      fail(s"unsupported V5 revision /R $r (subset is R 5-6)")
+    if (!encScope.contains("/AESV3"))
+      fail("V5 requires the /StdCF /AESV3 crypt filter")
+    val u = pdfStringIn(encScope, "/U")
+    val ue = pdfStringIn(encScope, "/UE")
+    if (u.length < 48) fail(s"short V5 /U entry (${u.length} bytes)")
+    if (ue.length != 32) fail(s"V5 /UE must be 32 bytes, got ${ue.length}")
+    val vsalt = u.slice(32, 40)
+    val ksalt = u.slice(40, 48)
+    val none = Array.empty[Byte]
+    val hash = StdSecurity.v5Hash(none, vsalt, none, r)
+    if (!java.util.Arrays.equals(hash, u.take(32)))
+      fail("cannot decrypt: non-empty user password or corrupt /U")
+    val ikey = StdSecurity.v5Hash(none, ksalt, none, r)
+    val key = StdSecurity.aesCbcNoPad(encrypt = false, ikey,
+      new Array[Byte](16), ue)
+    """/Perms\s*<""".r.findFirstIn(encScope).foreach { _ =>
+      val p = """/P\s+(-?\d+)""".r.findFirstMatchIn(encScope)
+        .getOrElse(fail("V5 dict with /Perms but no /P")).group(1).toInt
+      if (!StdSecurity.checkPerms(key, pdfStringIn(encScope, "/Perms"), p))
+        fail("V5 /Perms validation failed: wrong key or tampered dict")
+    }
+    Decryptor(key, aes = true, v5 = true)
+  }
+
   /** Parse a full PDF byte array back to per-page text. Accepts both
     * classic xref-table files (PDF 1.4) and compressed xref-stream /
     * object-stream files (PDF 1.5+), including /Prev incremental
-    * chains, encrypted files (standard security handler: RC4 R2/R3
-    * and AES-128 /AESV2 R4, empty user password), and composite
+    * chains, encrypted files (standard security handler: RC4 R2/R3,
+    * AES-128 /AESV2 R4, and AES-256 /AESV3 R5/R6 — PDF 2.0 §7.6.4 —
+    * all with empty user password), and composite
     * fonts with /ToUnicode CMaps (hex show-strings mapped through
     * the font's CMap, the way PyMuPDF recovers text from embedded
     * fonts). */
@@ -1175,16 +1364,23 @@ object PdfCodec {
     val kids = intsIn(tab.scope(pagesObj), "/Kids")
     // per-font ToUnicode CMaps, parsed once per font object
     val cmapCache = mutable.Map[Int, Option[Map[Int, String]]]()
-    def fontCMap(pscope: String): Option[Map[Int, String]] =
-      """/Font\s*<<\s*/\w+\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(pscope)
+    def cmapOf(fontObj: Int): Option[Map[Int, String]] =
+      cmapCache.getOrElseUpdate(fontObj, {
+        """/ToUnicode\s+(\d+)\s+0\s+R""".r
+          .findFirstMatchIn(tab.scope(fontObj))
+          .map(t => parseCMap(
+            new String(tab.stream(t.group(1).toInt), ISO_8859_1)))
+      })
+    /** EVERY font in the page's /Font resource dict, in declaration
+      * order — Tf operators select among them, so a page mixing a
+      * simple and a Type0 font maps each show string through its own
+      * font's CMap (a single-first-font read would push every hex
+      * string through one font's, possibly absent, mapping). */
+    def pageFonts(pscope: String): Seq[(String, Option[Map[Int, String]])] =
+      """(?s)/Font\s*<<(.*?)>>""".r.findFirstMatchIn(pscope).toSeq
         .flatMap { m =>
-          val fontObj = m.group(1).toInt
-          cmapCache.getOrElseUpdate(fontObj, {
-            """/ToUnicode\s+(\d+)\s+0\s+R""".r
-              .findFirstMatchIn(tab.scope(fontObj))
-              .map(t => parseCMap(
-                new String(tab.stream(t.group(1).toInt), ISO_8859_1)))
-          })
+          """/(\w+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(m.group(1))
+            .map(fm => fm.group(1) -> cmapOf(fm.group(2).toInt)).toSeq
         }
     val pages = kids.map { pk =>
       // /Contents is a single stream ref OR an array of refs whose
@@ -1199,7 +1395,9 @@ object PdfCodec {
       val content = contentObjs
         .map(o => new String(tab.stream(o), ISO_8859_1))
         .mkString("\n")
-      extractText(content, fontCMap(pscope))
+      val fonts = pageFonts(pscope)
+      // default = first declared font (covers streams with no Tf op)
+      extractText(content, fonts.headOption.flatMap(_._2), fonts.toMap)
     }
     Decoded(pages)
   }

@@ -102,7 +102,7 @@ class PdfSpec extends SparkSpec {
     import graft.ops.PdfCodec
     val pages = Seq("line one\nline two\nline three", "page 2 (with) \\parens\\")
     val baseline = PdfCodec.decode(PdfCodec.encode(pages)).pages
-    for (rev <- Seq(2, 3, 4)) {
+    for (rev <- Seq(2, 3, 4, 5, 6)) {
       val bytes = PdfCodec.encodeEncrypted(pages, rev = rev)
       val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       // really encrypted: encrypt dict + ID present, and the stream
@@ -110,6 +110,13 @@ class PdfSpec extends SparkSpec {
       assert(txt.contains("/Filter /Standard") && txt.contains("/Encrypt 4 0 R"))
       assert(txt.contains(s"/R $rev"))
       if (rev == 4) assert(txt.contains("/AESV2"), "V4 must declare /StdCF /AESV2")
+      if (rev >= 5) {
+        assert(txt.contains("/V 5") && txt.contains("/AESV3"),
+          "V5 must declare /StdCF /AESV3")
+        assert(txt.contains("/UE <") && txt.contains("/OE <") &&
+          txt.contains("/Perms <"), "V5 dict must carry /UE /OE /Perms")
+        assert(txt.contains("/Length 256"), "V5 key is 256-bit")
+      }
       val plain = new String(PdfCodec.encode(pages),
         java.nio.charset.StandardCharsets.ISO_8859_1)
       assert(!txt.contains(plain.substring(plain.indexOf("stream\n") + 7,
@@ -178,6 +185,69 @@ class PdfSpec extends SparkSpec {
     val many = (1 to 12).map(i => s"page $i")
     assert(PdfCodec.decode(PdfCodec.encodeEncrypted(many, rev = 3)).pages ===
       PdfCodec.decode(PdfCodec.encode(many)).pages)
+  }
+
+  test("AES-256 V5 edge cases: /U tamper, /Perms tamper, R5 vs R6 keys") {
+    import graft.ops.PdfCodec
+    // tampered /U hash byte -> loud "cannot decrypt", not garbage
+    val bytes = PdfCodec.encodeEncrypted(Seq("v5 secret"), rev = 6)
+    val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = txt.indexOf("/U <") + 4
+    val flippedU = txt.substring(0, uAt) +
+      (if (txt.charAt(uAt) == '0') '1' else '0') + txt.substring(uAt + 1)
+    val exU = intercept[IllegalArgumentException](PdfCodec.decode(
+      flippedU.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    assert(exU.getMessage.contains("cannot decrypt"))
+    // tampered /Perms -> loud validation failure (wrong-key guard)
+    val pAt = txt.indexOf("/Perms <") + 8
+    val flippedP = txt.substring(0, pAt) +
+      (if (txt.charAt(pAt) == '0') '1' else '0') + txt.substring(pAt + 1)
+    val exP = intercept[IllegalArgumentException](PdfCodec.decode(
+      flippedP.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    assert(exP.getMessage.contains("/Perms validation failed"))
+    // R5's plain-SHA-256 and R6's 2.B hash derive DIFFERENT entries
+    // from the same inputs (guards against R6 quietly running R5)
+    val r5 = new String(PdfCodec.encodeEncrypted(Seq("x"), rev = 5),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val r6 = new String(PdfCodec.encodeEncrypted(Seq("x"), rev = 6),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    def uOf(s: String) = s.substring(s.indexOf("/U <") + 4, s.indexOf("/U <") + 100)
+    assert(uOf(r5) != uOf(r6), "R5 and R6 /U entries must differ")
+    // owner secret changes /O and /OE but not the recovered text
+    val a = PdfCodec.encodeEncrypted(Seq("x"), ownerPw = "alpha", rev = 6)
+    val b = PdfCodec.encodeEncrypted(Seq("x"), ownerPw = "beta", rev = 6)
+    assert(!java.util.Arrays.equals(a, b))
+    assert(PdfCodec.decode(a).pages === PdfCodec.decode(b).pages)
+  }
+
+  test("literal-string backslash-EOL is a line continuation, not a byte") {
+    import graft.ops.PdfCodec
+    // §7.3.4.2: \<EOL> contributes nothing, all three EOL forms
+    assert(PdfCodec.pdfStringIn("/O (ab\\\ncd)", "/O").toSeq ===
+      "abcd".getBytes.toSeq)
+    assert(PdfCodec.pdfStringIn("/O (ab\\\rcd)", "/O").toSeq ===
+      "abcd".getBytes.toSeq)
+    assert(PdfCodec.pdfStringIn("/O (ab\\\r\ncd)", "/O").toSeq ===
+      "abcd".getBytes.toSeq)
+    // the same rule inside content-stream literal strings
+    assert(PdfCodec.extractText("BT (ab\\\r\ncd) Tj ET") === "abcd")
+    assert(PdfCodec.extractText("BT (ab\\\rcd) Tj ET") === "abcd")
+  }
+
+  test("Tf switches the active font's CMap mid-stream") {
+    import graft.ops.PdfCodec
+    val m = Map(0x0120 -> "A", 0x0121 -> "B")
+    val fonts = Map[String, Option[Map[Int, String]]](
+      "F1" -> None, "F2" -> Some(m))
+    // simple font: hex pairs are Latin-1; Type0 font: codes via CMap;
+    // switching BACK re-activates the simple reading
+    val content = "BT /F1 12 Tf (plain) Tj /F2 12 Tf <01200121> Tj " +
+      "/F1 12 Tf <4142> Tj ET"
+    assert(PdfCodec.extractText(content, None, fonts) === "plain\nAB\nAB")
+    // a Tf naming an undeclared font fails loudly
+    val ex = intercept[IllegalArgumentException](PdfCodec.extractText(
+      "BT /F9 1 Tf (x) Tj ET", None, fonts))
+    assert(ex.getMessage.contains("undeclared font"))
   }
 
   test("hex decoder enforces EOD and rejects bad digits") {

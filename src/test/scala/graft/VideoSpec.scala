@@ -79,6 +79,48 @@ class VideoSpec extends SparkSpec {
       Avi.read(java.util.Arrays.copyOfRange(good, 0, good.length - 7)))
   }
 
+  test("frame chunks from non-vids streams never leak into the frame vector") {
+    // hand-muxed two-stream AVI: an 'auds' stream declared FIRST (so
+    // the video stream is 01), with audio '00wb' chunks interleaved
+    // in movi — a conformant layout real muxers emit
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, data: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if ((data.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(t: String, p: Array[Byte]) =
+      "LIST".getBytes("US-ASCII") ++ le32(p.length + 4) ++
+        t.getBytes("US-ASCII") ++ p
+    val avih = chunk("avih", le32(100000) ++ le32(0) ++ le32(0) ++
+      le32(0x10) ++ le32(2) ++ le32(0) ++ le32(2) ++ le32(0) ++
+      le32(4) ++ le32(4) ++ Array.fill[Byte](16)(0))
+    def strh(typ: String, hdl: String) = chunk("strh",
+      typ.getBytes("US-ASCII") ++ hdl.getBytes("US-ASCII") ++
+        Array.fill[Byte](48)(0))
+    val strf = chunk("strf", Array.fill[Byte](40)(0))
+    val hdrl = list("hdrl", avih ++
+      list("strl", strh("auds", "NONE") ++ strf) ++
+      list("strl", strh("vids", "MPNG") ++ strf))
+    val f0 = Array[Byte](10, 11, 12)
+    val f1 = Array[Byte](20, 21, 22, 23)
+    val movi = list("movi",
+      chunk("00wb", Array[Byte](1, 2, 3, 4)) ++ chunk("01dc", f0) ++
+        chunk("00wb", Array[Byte](5, 6)) ++ chunk("01dc", f1))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val av = Avi.read("RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body)
+    assert(av.handler === "MPNG")
+    assert(av.frames.length === 2, "audio chunks leaked into frames")
+    assert(av.frames(0).sameElements(f0) && av.frames(1).sameElements(f1))
+    // a second vids stream is a loud failure, not silent interleaving
+    val hdrl2 = list("hdrl", avih ++
+      list("strl", strh("vids", "MPNG") ++ strf) ++
+      list("strl", strh("vids", "MPNG") ++ strf))
+    val body2 = "AVI ".getBytes("US-ASCII") ++ hdrl2 ++ movi
+    val ex = intercept[IllegalArgumentException](Avi.read(
+      "RIFF".getBytes("US-ASCII") ++ le32(body2.length) ++ body2))
+    assert(ex.getMessage.contains("multiple 'vids'"))
+  }
+
   test("demux slices only sampled frames — decode is on-demand") {
     // parse cost model: read() returns raw codestreams; nothing is
     // image-decoded until the caller touches a frame. Sample indexes
