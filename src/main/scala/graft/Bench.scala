@@ -237,13 +237,29 @@ object BenchOne {
     val calib = Bench.calibrate(spark)
     println("BENCHENV " + Bench.ms3(calib) + " " + Bench.loadAvg())
     val fn = SparkEntry.queries(name)
-    val runs = (1 to reps).map { _ =>
+    // per-rep JIT-compile and GC deltas: the r9 CC-variance finding —
+    // a rep dominated by C2 compilation of the query's codegen'd
+    // stages shows a jit delta comparable to its wall time, which the
+    // calib probe CANNOT catch (tiny code, compiles instantly even
+    // when the compile queue is backlogged). These lines are what
+    // adjudicate a slow rep as cold-compile vs real regression.
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val runs = (1 to reps).zipWithIndex.map { case (_, i) =>
+      val jit0 = jitBean.getTotalCompilationTime
+      val gc0 = gcMs
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9 // clock stops before scrub
+      System.err.println(s"[bench] $name rep ${i + 1}: ${Bench.ms3(dt)}s " +
+        s"jit=${jitBean.getTotalCompilationTime - jit0}ms gc=${gcMs - gc0}ms")
       GraftSession.scrub(spark)
       (dt, ok)
     }
