@@ -57,7 +57,7 @@ object Dedup {
 
   /** documents ∪ near-dup copies of id%10==0 (three tokens appended →
     * Jaccard ≈ 0.9 against the original). */
-  private def corpusNear(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def corpusNear(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
@@ -65,7 +65,7 @@ object Dedup {
           concat(col("text"), lit(" near dup tail")).as("text")))
   }
 
-  private val corpusNearCte =
+  private[graft] val corpusNearCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -261,7 +261,12 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val minhashLshSql: String = {
+  /** The `sh → sig → banded → inv` CTE chain (expects a `corpus`
+    * CTE in scope): per-doc shingle hashes, 16-perm MinHash, 4×4
+    * banding, and the exploded (doc_id, bkey) inverted index — the
+    * q24 band-key formulation, single-sourced so the streaming LSH
+    * oracle (q157) can never drift from the batch one. */
+  private[graft] val bandInvCtes: String = {
     val sigExprs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(sh, x -> ($a * (x % $P31) + $b) % $P31)) AS m$i"
     }.mkString(",\n    ")
@@ -269,8 +274,7 @@ object Dedup {
       val cols = (0 until 4).map(ri => s"m${bi * 4 + ri}")
       s"$bi || ':' || ${cols.mkString(" || '-' || ")} AS band$bi"
     }.mkString(",\n    ")
-    s"""WITH $corpusNearCte,
-      |sh AS (SELECT doc_id, $shingleSql AS sh FROM corpus),
+    s"""sh AS (SELECT doc_id, $shingleSql AS sh FROM corpus),
       |sig AS (
       |  SELECT doc_id, sh, len(sh) AS n_sh,
       |    $sigExprs
@@ -281,7 +285,12 @@ object Dedup {
       |  FROM sig),
       |inv AS (
       |  SELECT doc_id, unnest([band0, band1, band2, band3]) AS bkey
-      |  FROM banded),
+      |  FROM banded)""".stripMargin
+  }
+
+  val minhashLshSql: String = {
+    s"""WITH $corpusNearCte,
+      |$bandInvCtes,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM inv a JOIN inv b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),

@@ -1,8 +1,9 @@
 package graft.streaming
 
+import graft.Tables
 import graft.ops.Blocklist
 import graft.expressions.MultiContains
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming twin of the q146 blocklist audit — content-policy
@@ -54,5 +55,65 @@ object BlocklistScreen {
       .groupBy(col("pattern")).agg(
         sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_docs"),
         sum(col("n")).as("n_hits"))
+  }
+
+  /** q158: the streaming audit as a DECLARED query — the REAL
+    * streaming-aggregation path ([[runningAudit]] in complete output
+    * mode: state is exactly K pattern rows, updated every
+    * micro-batch), over the documents corpus staged as a bounded
+    * file-source stream. `foreachBatch` overwrites the published
+    * parquet snapshot each trigger — the dashboard-refresh production
+    * shape — so the LAST snapshot is the full-corpus audit, which is
+    * what the rollup reads and DuckDB recertifies with q146's naive
+    * per-pattern `replace()` formulation. A running total is
+    * arrival-order-insensitive, so no order pinning is needed; the
+    * ≥ 2 micro-batch hard-assert keeps the row honest about having
+    * exercised the incremental-state path. */
+  def streamedAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_stream_audit").getAbsolutePath
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val stage = s"$base/stage"
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .repartition(4).write.parquet(stage)
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage).as[Doc]
+    val snap = s"$base/snapshot"
+    val q = runningAudit(src).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(snap)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"streaming audit must run multiple micro-batches, saw $batches")
+    spark.read.parquet(snap).orderBy(col("pattern"))
+  }
+
+  /** q146's naive K-scan oracle, minus the per-10k rate (the stream
+    * publishes raw totals; rates are a consumer concern). */
+  val streamedAuditSql: String = {
+    val vals = Blocklist.Patterns
+      .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+    s"""WITH pats(pattern) AS (VALUES $vals),
+      |per_doc AS (
+      |  SELECT pattern,
+      |    CAST((length(text) - length(replace(text, pattern, '')))
+      |      / length(pattern) AS BIGINT) AS n
+      |  FROM documents CROSS JOIN pats)
+      |SELECT pattern,
+      |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_hits
+      |FROM per_doc
+      |GROUP BY pattern
+      |ORDER BY pattern""".stripMargin
   }
 }

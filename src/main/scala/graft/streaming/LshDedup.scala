@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.ops.Dedup
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming near-duplicate detection — the MinHash-LSH banding of
@@ -93,4 +94,107 @@ object LshDedup {
           ids.iterator.map(id => Assignment(id, bkey, canonical))
       }
   }
+
+  /** Micro-batches the declared q157 stream replays (doc routed by
+    * `doc_id % StreamBatches`, one staged file per batch). */
+  val StreamBatches = 4
+
+  /** q157: the streaming LSH dedup as a DECLARED query — the REAL
+    * `flatMapGroupsWithState` path (file-source stream, one staged
+    * file per micro-batch, parquet-sink append of every canonical
+    * assignment), replayed over the q24 near-dup corpus and rolled
+    * up so DuckDB can certify the corpus the STREAM deduplicated.
+    *
+    * Determinism: the batch SPLIT is closed-form (`doc_id %
+    * StreamBatches`) and the batch ORDER is pinned by staging each
+    * batch as one file with strictly increasing modification times
+    * (the file source drains oldest-first under `maxFilesPerTrigger
+    * 1` — hard-asserted ≥ 2 data micro-batches). Within a batch the
+    * bucket canonical is a min — shuffle-order-insensitive — so the
+    * assignment depends only on (split, order), both pinned. That
+    * makes the inherently ORDER-DEPENDENT streaming answer (an early
+    * arrival is kept even when a smaller-id near-dup arrives later —
+    * the streaming-vs-retrospective gap q24 closes nightly)
+    * oracle-checkable: DuckDB recomputes canonical-at-arrival as
+    * `min(doc_id) over same-bucket rows with batch ≤ mine`.
+    *
+    * Scale shape: state is one long per occupied band bucket; each
+    * micro-batch shuffles (band_key, doc_id) pairs only — 4 rows of
+    * ~24 bytes per document, never text or shingle sets — and the
+    * sink appends assignment rows. The rollup reads the sink's
+    * parquet, not driver memory. */
+  def streamedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_stream_lsh").getAbsolutePath
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val stage = new java.io.File(base, "stage")
+    stage.mkdirs()
+    val docs = Dedup.corpusNear(spark, sfDir)
+    (0 until StreamBatches).foreach { b =>
+      val tmp = s"$base/tmp$b"
+      docs.filter(pmod(col("doc_id"), lit(StreamBatches.toLong)) === b)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      val dst = new java.io.File(stage, f"b$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // strictly increasing mtimes pin the drain order (fixed epoch
+      // base keeps reruns byte-identical)
+      require(dst.setLastModified(1400000000000L + b * 60000L),
+        s"cannot pin mtime on $dst")
+    }
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath).as[Doc]
+    val q = assignCanonical(src).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$base/assign")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"streaming dedup must run multiple micro-batches, saw $batches")
+    spark.read.parquet(s"$base/assign")
+      .groupBy(col("doc_id")).agg(min(col("canonical_id")).as("mc"))
+      .withColumn("batch", pmod(col("doc_id"), lit(StreamBatches.toLong)))
+      .groupBy(col("batch")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_suppressed"),
+        sum(when(col("mc") < col("doc_id"), col("doc_id"))
+          .otherwise(lit(0L))).as("suppressed_id_sum"))
+      .orderBy(col("batch"))
+  }
+
+  /** DuckDB recomputes the stream's answer from the pinned batch
+    * split/order: canonical at arrival = min same-bucket doc_id with
+    * batch ≤ mine (band keys via the shared q24 CTE chain — DuckDB
+    * never sees a stream or any state). */
+  val streamedDedupSql: String =
+    s"""WITH ${Dedup.corpusNearCte},
+      |${Dedup.bandInvCtes},
+      |binv AS (
+      |  SELECT doc_id, doc_id % $StreamBatches AS batch, bkey FROM inv),
+      |assign AS (
+      |  SELECT a.doc_id, a.bkey, MIN(b.doc_id) AS canonical
+      |  FROM binv a JOIN binv b
+      |    ON a.bkey = b.bkey AND b.batch <= a.batch
+      |  GROUP BY 1, 2),
+      |perdoc AS (
+      |  SELECT doc_id, doc_id % $StreamBatches AS batch,
+      |    MIN(canonical) AS mc
+      |  FROM assign GROUP BY 1, 2)
+      |SELECT batch, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN mc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_suppressed,
+      |  CAST(SUM(CASE WHEN mc < doc_id THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS suppressed_id_sum
+      |FROM perdoc GROUP BY batch ORDER BY batch""".stripMargin
 }

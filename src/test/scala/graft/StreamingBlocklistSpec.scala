@@ -89,6 +89,17 @@ class StreamingBlocklistSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("declared q158 e2e equals the batch q146 audit totals") {
+    val res = BlocklistScreen.streamedAudit(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    val expect = Blocklist.blocklistAudit(spark, sfDir)
+      .select(col("pattern"), col("n_docs"), col("n_hits"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(res == expect,
+      "streamed snapshot diverges from the batch audit")
+    assert(res.map(_._3).sum > 0, "no hits — vacuous corpus")
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }

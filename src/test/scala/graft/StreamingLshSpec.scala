@@ -61,4 +61,32 @@ class StreamingLshSpec extends SparkSpec {
       assert(rows.filter(_.doc_id == 20L).forall(_.canonical_id == 20L))
     } finally q.stop()
   }
+
+  test("declared q157 e2e equals a from-scratch pinned-order replay") {
+    val res = LshDedup.streamedDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // replay OUTSIDE Spark: Scala band keys, batch = id % StreamBatches,
+    // canonical at arrival = min same-bucket id with batch <= mine
+    val docs = Dedup.corpusNear(spark, sfDir)
+      .as[(Long, String)].collect().toSeq
+    val B = LshDedup.StreamBatches
+    val inv = docs.flatMap { case (id, t) =>
+      LshDedup.bandKeys(t).map(k => (k, id, id % B)) }
+    val byKey = inv.groupBy(_._1)
+    val perDoc = docs.map { case (id, t) =>
+      val batch = id % B
+      val mc = LshDedup.bandKeys(t)
+        .map(k => byKey(k).filter(_._3 <= batch).map(_._2).min).min
+      (batch, id, mc)
+    }
+    val expect = perDoc.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.size.toLong,
+        xs.count(x => x._3 < x._2).toLong,
+        xs.filter(x => x._3 < x._2).map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    assert(res == expect)
+    // the stream must have found real suppressions (planted near-dups
+    // land in later batches than their originals often enough)
+    assert(res.map(_._3).sum > 0, "replay corpus produced no suppressions")
+  }
 }
