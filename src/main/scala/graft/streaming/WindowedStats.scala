@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-time windowed aggregation with a watermark — the Structured
@@ -20,4 +21,85 @@ object WindowedStats {
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** q159: event-time windows + watermark as a DECLARED query — the
+    * REAL append-mode watermarked streaming aggregation over the
+    * events table replayed as a bounded file-source stream, so the
+    * one stateful surface the correctness gate didn't yet cover
+    * (watermark-driven state eviction) produces an oracle-checked
+    * row.
+    *
+    * Determinism: the stage is `repartitionByRange` on `ts` — 4
+    * contiguous time slices, drained oldest-slice-first under pinned
+    * mtimes — so no row ever arrives behind the watermark (a later
+    * slice's minimum is ≥ every earlier slice's maximum) and nothing
+    * is late-dropped. Append mode then emits EXACTLY the windows
+    * whose end ≤ the final watermark; the trailing windows stay in
+    * state forever, and the oracle reproduces that boundary from the
+    * published semantics (public Spark: event-time stats in
+    * MILLISECONDS — `floor(max_ts_µs/1000)` — minus the delay, state
+    * evicted on `window.end <= watermark`).
+    *
+    * Scale shape: state is one row per (open window, event_type) —
+    * bounded by the watermark horizon, GC'd as it advances; each
+    * micro-batch shuffles partial counts only. The sink is parquet
+    * append; nothing driver-side. */
+  def streamedWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_stream_win").getAbsolutePath
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val stage = new java.io.File(base, "stage")
+    stage.mkdirs()
+    val tmp = s"$base/tmp"
+    Tables.events(spark, sfDir).select(col("ts"), col("event_type"))
+      .repartitionByRange(4, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.parquet(tmp)
+    // part-NNNNN order IS ts-range order under repartitionByRange;
+    // pin the drain order with strictly increasing mtimes
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.length >= 2, s"expected >=2 staged slices, got ${parts.length}")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dst = new java.io.File(stage, f"b$i%02d.parquet")
+      java.nio.file.Files.move(p.toPath, dst.toPath)
+      require(dst.setLastModified(1400000000000L + i * 60000L),
+        s"cannot pin mtime on $dst")
+    }
+    val src = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath)
+    val q = windowedCounts(src).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"windowed stream must run multiple micro-batches, saw $batches")
+    spark.read.parquet(s"$base/out")
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** DuckDB replays the append-mode emission rule in closed form:
+    * 5-minute epoch-aligned buckets, watermark = floor-to-ms of the
+    * global max ts minus 10 minutes, a window published iff its end
+    * ≤ that watermark. */
+  val streamedWindowCountsSql: String =
+    """WITH wm AS (
+      |  SELECT ((epoch_us(MAX(ts)) // 1000) - 600000) * 1000 AS wm_us
+      |  FROM events),
+      |agg AS (
+      |  SELECT (epoch_us(ts) // 300000000) AS widx, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT make_timestamp(widx * 300000000) AS w_start, event_type, n
+      |FROM agg, wm
+      |WHERE (widx + 1) * 300000000 <= wm_us
+      |ORDER BY w_start, event_type""".stripMargin
 }
