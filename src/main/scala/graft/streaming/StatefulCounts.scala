@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom per-key streaming state via mapGroupsWithState — the shape
@@ -36,4 +38,64 @@ object StatefulCounts {
           UserSnapshot(userId, next.events, next.errors)
       }
   }
+
+  /** q160: per-key custom state as a DECLARED query — the REAL
+    * `mapGroupsWithState` changelog path over the events table
+    * replayed as a bounded file-source stream. Each micro-batch
+    * emits an updated (user, events, errors) snapshot for every user
+    * it touched; `foreachBatch` appends the changelog stamped with
+    * its batch id, and the final answer keeps each user's
+    * LAST-stamped row — exactly how a changelog consumer
+    * materializes current state. The final snapshot is the totals
+    * over ALL events, which is arrival-order-insensitive, so no
+    * order pinning is needed; the ≥ 2 micro-batch hard-assert keeps
+    * the state-carry path honestly exercised.
+    *
+    * Scale shape: state is two longs per user; each batch shuffles
+    * its own events once on user_id; the changelog is parquet
+    * append and the newest-wins cut is a per-user window over the
+    * (tiny) user dimension, the same shape as the corpus upsert. */
+  def streamedUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_stream_counts").getAbsolutePath
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val stage = s"$base/stage"
+    Tables.events(spark, sfDir).select(col("user_id"), col("event_type"))
+      .repartition(4).write.parquet(stage)
+    val src = spark.readStream
+      .schema("user_id BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage).as[UserEvent]
+    val log = s"$base/changelog"
+    val q = runningCounts(src).toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(log)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"stateful counts must run multiple micro-batches, saw $batches")
+    import org.apache.spark.sql.expressions.Window
+    val newest = Window.partitionBy(col("user_id"))
+      .orderBy(col("batch_id").desc)
+    spark.read.parquet(log)
+      .withColumn("rn", row_number().over(newest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("events"), col("errors"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The materialized changelog is just the per-user totals. */
+  val streamedUserCountsSql: String =
+    """SELECT user_id, COUNT(*) AS events,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS errors
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -30,4 +30,21 @@ class StatefulCountsSpec extends SparkSpec {
         .toSeq === Seq((1L, 3L, 1L), (2L, 2L, 1L)))
     } finally q.stop()
   }
+
+  test("declared q160 e2e equals the batch per-user totals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val res = StatefulCounts.streamedUserCounts(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val expect = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errors"))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(res == expect,
+      "materialized changelog diverges from batch totals")
+    assert(res.exists(_._3 > 0), "no errors counted — vacuous replay")
+  }
 }
