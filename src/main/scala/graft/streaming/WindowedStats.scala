@@ -86,6 +86,66 @@ object WindowedStats {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** q161: streaming session windows as a DECLARED query — the
+    * `session_window` state path (merge-on-arrival per-key session
+    * state) over the q64 slice replayed as a bounded stream in
+    * COMPLETE mode: every trigger re-emits the full merged session
+    * set, `foreachBatch` overwrites the published snapshot, and the
+    * final snapshot — sessions after ALL events — is what DuckDB
+    * recertifies with q64's lag-based island formulation. Complete
+    * mode keeps all session state and never drops late input, so the
+    * final merge result is arrival-order-insensitive and no order
+    * pinning is needed; ≥ 2 micro-batches are hard-asserted so the
+    * cross-batch session-merge path (a batch-mode run never
+    * exercises it) really ran.
+    *
+    * Scale shape: state is one row per OPEN session per key (in
+    * production append mode + watermark GCs closed sessions; the
+    * bounded replay uses complete mode because the gate needs the
+    * full final answer); per batch the shuffle is session-key
+    * partial rows. */
+  def streamedSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_stream_sess").getAbsolutePath
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val stage = s"$base/stage"
+    Tables.events(spark, sfDir).filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts"), col("value"))
+      .repartition(4).write.parquet(stage)
+    val src = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val sessions = src
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(28,10)")).cast("double"), 2)
+          .as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("s_start"),
+        unix_timestamp(col("w.end")).as("s_end"),
+        col("n_events"), col("total_value"))
+    val snap = s"$base/snapshot"
+    val q = sessions.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(snap)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"session stream must run multiple micro-batches, saw $batches")
+    spark.read.parquet(snap).orderBy(col("user_id"), col("s_start"))
+  }
+
+  /** q64's lag-based island oracle certifies the streamed sessions. */
+  val streamedSessionsSql: String = graft.ops.Events.sessionWindowsSql
+
   /** DuckDB replays the append-mode emission rule in closed form:
     * 5-minute epoch-aligned buckets, watermark = floor-to-ms of the
     * global max ts minus 10 minutes, a window published iff its end

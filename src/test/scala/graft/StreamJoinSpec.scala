@@ -32,4 +32,27 @@ class StreamJoinSpec extends SparkSpec {
       assert(rows === Seq(1L))
     } finally q.stop()
   }
+
+  test("declared q162 e2e equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val res = StreamJoin.streamedAttribution(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val ev = Tables.events(spark, sfDir)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("ad_id"), $"ts".as("imp_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_ad_id"), $"ts".as("click_ts"))
+    val expect = v.join(c,
+        $"ad_id" === $"c_ad_id" && $"click_ts" >= $"imp_ts" &&
+          $"click_ts" <= $"imp_ts" + expr("interval 60 minutes"))
+      .groupBy($"ad_id").agg(
+        count(lit(1)).as("n_attrib"),
+        sum(unix_micros($"click_ts") - unix_micros($"imp_ts"))
+          .as("gap_us_sum"))
+      .orderBy($"ad_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(res == expect,
+      "streamed attribution diverges from the batch interval join")
+    assert(res.map(_._2).sum > 0, "no attributions — vacuous replay")
+  }
 }

@@ -61,4 +61,17 @@ class StreamingSessionSpec extends SparkSpec {
       .select($"user_id", $"s_start", $"s_end", $"n_events").collect().toSet
     assert(native === lagBased)
   }
+
+  test("declared q161 e2e equals the batch session windows") {
+    val res = graft.streaming.WindowedStats.streamedSessions(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val expect = ops.Events.sessionWindows(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(res == expect,
+      "streamed session snapshot diverges from the batch session_window")
+    // cross-batch merges happened: with 4 arbitrary slices some
+    // session must span micro-batches, so a naive per-batch
+    // sessionization could not produce this
+    assert(res.exists(_._4 > 1), "no multi-event sessions — vacuous replay")
+  }
 }
