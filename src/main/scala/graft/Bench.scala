@@ -261,6 +261,22 @@ object BenchOne {
       System.err.println(s"[bench] $name rep ${i + 1}: ${Bench.ms3(dt)}s " +
         s"jit=${jitBean.getTotalCompilationTime - jit0}ms gc=${gcMs - gc0}ms")
       GraftSession.scrub(spark)
+      // Drain the C2 compile queue before the next rep (outside the
+      // measured window): the r9 CC-variance finding showed a rep can
+      // run 2-3× slow purely because rep 1's codegen classes are
+      // still compiling on the background threads. Steady-state is
+      // what min-of-reps claims to report, so wait (bounded) until
+      // accumulated compile time stops moving.
+      if (i + 1 < reps) {
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        var last = jitBean.getTotalCompilationTime
+        var stable = 0
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val now = jitBean.getTotalCompilationTime
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      }
       (dt, ok)
     }
     // Double.toString, NOT f"%.3f": the f interpolator is

@@ -259,6 +259,21 @@ class PlanSpec extends SparkSpec {
       s"vocab build not map-side combined:\n$p")
   }
 
+  test("q163 frequent terms: candidate prune broadcasts; counts partial-agg") {
+    // the verify pass must semi-join the token stream against the
+    // BROADCAST candidate set BEFORE aggregating — the full
+    // vocabulary must never reach an exchange
+    val df = ops.Frequent.frequentTerms(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate prune not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate prune degraded to a vocabulary shuffle:\n$p")
+    assert("partial_|Partial".r.findFirstIn(p).isDefined,
+      s"candidate counts not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
