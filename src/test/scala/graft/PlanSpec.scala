@@ -274,6 +274,36 @@ class PlanSpec extends SparkSpec {
       s"candidate counts not map-side combined:\n$p")
   }
 
+  test("q166 NB filter: weight join broadcasts; per-doc score partial-aggs") {
+    // the 2x256-row model must broadcast to the scorers, and a doc's
+    // token rows must collapse map-side before the exchange — the
+    // token stream itself never shuffles
+    val df = ops.Bayes.nbQualityFilter(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"bin-weight join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"model join degraded to a shuffle:\n$p")
+    assert("partial_|Partial".r.findFirstIn(p).isDefined,
+      s"per-doc scoring not map-side combined:\n$p")
+  }
+
+  test("q167 phash census: banded join carries hash groups, never payloads") {
+    val df = ops.Phash.imageNearDup(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the band self-join must run over the collapsed (ph, sz) groups:
+    // every exchange in the plan ships hash/size/band columns only —
+    // the image payload column must not appear past its scan
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty, s"no exchanges found:\n$p")
+    assert(!exchanges.exists(_.contains("content")),
+      s"image payload crosses a shuffle:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(_.contains("png")),
+      s"encoded bytes cross a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
