@@ -84,13 +84,15 @@ object BlocklistScreen {
       .option("maxFilesPerTrigger", 1)
       .parquet(stage).as[Doc]
     val snap = s"$base/snapshot"
-    val q = runningAudit(src).writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("overwrite").parquet(snap)
-      }
-      .start()
+    val q = StreamTune.withStatePartitions(spark) {
+      runningAudit(src).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(snap)
+        }
+        .start()
+    }
     try q.processAllAvailable() finally q.stop()
     val batches = q.recentProgress.count(_.numInputRows > 0)
     require(batches >= 2,

@@ -152,11 +152,13 @@ object LshDedup {
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(stage.getAbsolutePath).as[Doc]
-    val q = assignCanonical(src).writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$base/assign")
-      .option("checkpointLocation", s"$base/ckpt")
-      .start()
+    val q = StreamTune.withStatePartitions(spark) {
+      assignCanonical(src).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", s"$base/assign")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+    }
     try q.processAllAvailable() finally q.stop()
     val batches = q.recentProgress.count(_.numInputRows > 0)
     require(batches >= 2,

@@ -70,14 +70,16 @@ object StatefulCounts {
       .option("maxFilesPerTrigger", 1)
       .parquet(stage).as[UserEvent]
     val log = s"$base/changelog"
-    val q = runningCounts(src).toDF().writeStream
-      .outputMode("update")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        df.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(log)
-      }
-      .start()
+    val q = StreamTune.withStatePartitions(spark) {
+      runningCounts(src).toDF().writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(log)
+        }
+        .start()
+    }
     try q.processAllAvailable() finally q.stop()
     val batches = q.recentProgress.count(_.numInputRows > 0)
     require(batches >= 2,

@@ -81,11 +81,13 @@ object StreamJoin {
       .option("maxFilesPerTrigger", 1).parquet(s"$base/imps")
     val clicks = spark.readStream.schema("c_ad_id BIGINT, click_ts TIMESTAMP")
       .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")
-    val q = attribution(imps, clicks, windowMinutes = 60).writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .start()
+    val q = StreamTune.withStatePartitions(spark) {
+      attribution(imps, clicks, windowMinutes = 60).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+    }
     try q.processAllAvailable() finally q.stop()
     val batches = q.recentProgress.count(_.numInputRows > 0)
     require(batches >= 2,

@@ -70,6 +70,9 @@ object WarcIngest {
       .schema("file_id BIGINT, content BINARY")
       .option("maxFilesPerTrigger", 1)
       .parquet(stage).as[Warc.WarcFile]
+    // NOT StreamTune-scoped: this pipeline is stateless (file source +
+    // foreachBatch embed/upsert) — fewer shuffle partitions would cut
+    // the embedding stage's parallelism with no state commits to save
     val q = run(spark, src, s"$base/corpus", s"$base/ckpt")
     try q.processAllAvailable() finally q.stop()
     val batches = q.recentProgress.count(_.numInputRows > 0)

@@ -73,11 +73,13 @@ object WindowedStats {
       .schema("ts TIMESTAMP, event_type STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(stage.getAbsolutePath)
-    val q = windowedCounts(src).writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .start()
+    val q = StreamTune.withStatePartitions(spark) {
+      windowedCounts(src).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+    }
     try q.processAllAvailable() finally q.stop()
     val batches = q.recentProgress.count(_.numInputRows > 0)
     require(batches >= 2,
@@ -129,13 +131,15 @@ object WindowedStats {
         unix_timestamp(col("w.end")).as("s_end"),
         col("n_events"), col("total_value"))
     val snap = s"$base/snapshot"
-    val q = sessions.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("overwrite").parquet(snap)
-      }
-      .start()
+    val q = StreamTune.withStatePartitions(spark) {
+      sessions.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(snap)
+        }
+        .start()
+    }
     try q.processAllAvailable() finally q.stop()
     val batches = q.recentProgress.count(_.numInputRows > 0)
     require(batches >= 2,
