@@ -132,6 +132,53 @@ object Partitioning {
     rollup(joined)
   }
 
+  /** q168: metadata-only aggregation — per-day COUNT/MIN/MAX answered
+    * from parquet FOOTER STATISTICS via DSv2 aggregate pushdown, the
+    * third scan lever (q164 prunes directories, q165 prunes them at
+    * runtime; this one never reads the DATA pages at all). At 100 TB
+    * the difference is a full-table scan versus one footer per file:
+    * row-group stats already hold exact COUNT/MIN/MAX, and Spark's
+    * vectorized reader re-aggregates one stats-row per row group.
+    *
+    * The pushdown has strict preconditions (DSv2 parquet scan,
+    * group-by columns ⊆ partition columns, no data filters, MIN/MAX
+    * on stats-typed columns) — exactly why the layout groups by the
+    * partition column `day`. The query HARD-ASSERTS
+    * `PushedAggregation` in the executed scan; the eager
+    * localCheckpoint materializes under the scoped DSv2 confs (the
+    * q153 pattern), so the asserted plan IS the one that produced
+    * the answer and the session confs are restored afterwards. */
+  def footerRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = writePartitioned(spark, sfDir)
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevPush = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    try {
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val agg = spark.read.parquet(path)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"))
+        .orderBy(col("day"))
+      val out = agg.localCheckpoint(true) // executes under the scoped confs
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT(*)")
+        && plan.contains("MIN(value)") && plan.contains("MAX(value)"),
+        s"aggregates not answered from footer statistics:\n$plan")
+      out
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevPush)
+    }
+  }
+
+  /** Footer stats are exact, so the oracle is the plain aggregation. */
+  val footerRollupSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+      |  MIN(value) AS v_min, MAX(value) AS v_max
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val dppRollupSql: String =
     s"""WITH per_day AS (
       |  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS purchases

@@ -60,4 +60,22 @@ class PartitioningSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty, "hot-day set must be non-empty at test SF")
   }
+
+  test("q168 footer-stats answer equals the plain-table aggregation") {
+    // the query itself hard-asserts PushedAggregation; here: the
+    // stats-derived numbers are EXACT, and the scoped DSv2 confs are
+    // restored after the run
+    val v1Before = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val got = Partitioning.footerRollup(spark, sfDir)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList") === v1Before,
+      "DSv2 conf leaked past the query scope")
+    val want = plainDays.groupBy($"day")
+      .agg(count(lit(1)).as("n"), min($"value").as("lo"),
+        max($"value").as("hi"))
+      .orderBy($"day")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.size >= 28, "expected a ~30-day span")
+  }
 }
