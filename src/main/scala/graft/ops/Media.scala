@@ -132,8 +132,14 @@ object Media {
     * is a REAL PNG — `ImageIO.read` (the decode side everywhere in
     * this module) round-trips it pixel-exactly, which MediaSpec and
     * the q78/q97 oracles keep pinned. */
-  private[graft] def pngBytes(bytes: Array[Byte]): Array[Byte] = {
-    val w = 4; val h = 4
+  private[graft] def pngBytes(bytes: Array[Byte]): Array[Byte] =
+    pngBytesWH(bytes, 4, 4)
+
+  /** General-dims form of the direct PNG writer (row-major grayscale
+    * payload, w·h bytes). */
+  private[graft] def pngBytesWH(bytes: Array[Byte], w: Int, h: Int)
+      : Array[Byte] = {
+    require(bytes.length == w * h, s"payload ${bytes.length} != $w x $h")
     // raw scanlines, filter byte 0 per row
     val raw = new Array[Byte](h * (w + 1))
     var y = 0
@@ -308,4 +314,95 @@ object Media {
       |  ROUND(CAST(SUM(CAST(mean_byte AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_mean_byte,
       |  CAST(SUM(h0) AS BIGINT) AS h0, CAST(SUM(h1) AS BIGINT) AS h1, CAST(SUM(h2) AS BIGINT) AS h2, CAST(SUM(h3) AS BIGINT) AS h3
       |FROM feats GROUP BY kind ORDER BY kind""".stripMargin
+
+  // ---- q169: image resize through the real codec ----------------
+
+  case class ResizedImage(id: Long, width: Int, height: Int,
+      p00: Int, p01: Int, p10: Int, p11: Int, mean_pixel: Double)
+
+  /** Area (box-filter) 2× downscale on the DECODED raster: each
+    * output pixel is the floor-average of its 2×2 source block — the
+    * normalization step every vision pipeline runs before embedding
+    * (PIL `Image.resize(..., BOX)` semantics on integer grids). The
+    * result is re-encoded as a real 2×2 PNG, so the downstream decode
+    * exercises the codec at the new dimensions. */
+  private[graft] def resizeHalf(rows: Iterator[ImageBytes])
+      : Iterator[ImageBytes] =
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.png))
+      val raster = img.getRaster
+      val out = new Array[Byte](4)
+      var ry = 0
+      while (ry < 2) {
+        var rx = 0
+        while (rx < 2) {
+          val s = raster.getSample(2 * rx, 2 * ry, 0) +
+            raster.getSample(2 * rx + 1, 2 * ry, 0) +
+            raster.getSample(2 * rx, 2 * ry + 1, 0) +
+            raster.getSample(2 * rx + 1, 2 * ry + 1, 0)
+          out(ry * 2 + rx) = (s / 4).toByte
+          rx += 1
+        }
+        ry += 1
+      }
+      ImageBytes(r.id, pngBytesWH(out, 2, 2))
+    }
+
+  private[graft] def decodeResized(rows: Iterator[ImageBytes])
+      : Iterator[ResizedImage] =
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.png))
+      val raster = img.getRaster
+      val p = Array(raster.getSample(0, 0, 0), raster.getSample(1, 0, 0),
+        raster.getSample(0, 1, 0), raster.getSample(1, 1, 0))
+      ResizedImage(r.id, img.getWidth, img.getHeight,
+        p(0), p(1), p(2), p(3),
+        math.round(p.sum.toDouble / 4 * 10000.0) / 10000.0)
+    }
+
+  /** q169: encode → decode → area-resize → RE-encode at 2×2 → decode,
+    * all through the real PNG codec inside the scan partition (the
+    * missing member of the decode / feature-extract / resize /
+    * frame-sample quartet). Exposes the resized pixels themselves so
+    * the oracle certifies the resample arithmetic, not just a
+    * digest. */
+  def imageResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds = mediaTable(spark, sfDir)
+      .filter(col("kind") === "image" && col("id") < 50)
+      .as[MediaRow]
+    ds.mapPartitions(rows => decodeResized(resizeHalf(encodePng(rows))))
+      .toDF()
+      .select(col("id"), col("width"), col("height"),
+        col("p00"), col("p01"), col("p10"), col("p11"), col("mean_pixel"))
+      .orderBy(col("id"))
+  }
+
+  /** Oracle: PNG is lossless at both sizes, so the resized pixels
+    * equal the 2×2 block floor-averages of the md5 byte math. */
+  val imageResizeSql: String =
+    """WITH media AS (
+      |  SELECT p_partkey AS id, md5(p_name) AS hx
+      |  FROM part
+      |  WHERE p_partkey % 3 <> 0 AND p_partkey < 50),
+      |bytes AS (
+      |  SELECT id,
+      |    list_transform(generate_series(0, 15),
+      |      i -> ('0x' || substr(hx, 2 * i + 1, 2))::INT) AS bs
+      |  FROM media),
+      |rs AS (
+      |  SELECT id,
+      |    (bs[1] + bs[2] + bs[5] + bs[6]) // 4 AS p00,
+      |    (bs[3] + bs[4] + bs[7] + bs[8]) // 4 AS p01,
+      |    (bs[9] + bs[10] + bs[13] + bs[14]) // 4 AS p10,
+      |    (bs[11] + bs[12] + bs[15] + bs[16]) // 4 AS p11
+      |  FROM bytes)
+      |SELECT id, CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+      |  CAST(p00 AS INT) AS p00, CAST(p01 AS INT) AS p01,
+      |  CAST(p10 AS INT) AS p10, CAST(p11 AS INT) AS p11,
+      |  ROUND(CAST(p00 + p01 + p10 + p11 AS DOUBLE) / 4, 4) AS mean_pixel
+      |FROM rs
+      |ORDER BY id""".stripMargin
 }

@@ -139,4 +139,23 @@ class MediaSpec extends SparkSpec {
       }
     assert(buckets === expected)
   }
+
+  test("area resize halves dims and block-averages the decoded raster") {
+    val rows = Media.mediaTable(spark, sfDir)
+      .filter(col("kind") === "image" && col("id") < 20)
+      .as[Media.MediaRow].collect()
+    val resized = Media.decodeResized(
+      Media.resizeHalf(Media.encodePng(rows.iterator))).toSeq
+    assert(resized.size === rows.length)
+    (rows.sortBy(_.id) zip resized.sortBy(_.id)).foreach { case (r, z) =>
+      assert(z.width === 2 && z.height === 2)
+      val px = r.content.map(_ & 0xff)
+      def block(rx: Int, ry: Int) =
+        (px(2 * ry * 4 + 2 * rx) + px(2 * ry * 4 + 2 * rx + 1) +
+          px((2 * ry + 1) * 4 + 2 * rx) + px((2 * ry + 1) * 4 + 2 * rx + 1)) / 4
+      assert(Seq(z.p00, z.p01, z.p10, z.p11) ===
+        Seq(block(0, 0), block(1, 0), block(0, 1), block(1, 1)),
+        s"resize arithmetic drift for id=${r.id}")
+    }
+  }
 }
