@@ -61,6 +61,70 @@ object Privacy {
       .orderBy(col("k"))
   }
 
+  /** Candidate diversity thresholds for the l-diversity sweep. */
+  val Ls: Seq[Int] = Seq(2, 3, 4, 5)
+
+  /** q174: the l-diversity audit (Machanavajjhala et al., "l-Diversity:
+    * Privacy Beyond k-Anonymity", 2007) — k-anonymity's blind spot:
+    * a QI group of 25 identical-segment customers is 25-anonymous yet
+    * leaks every member's segment. A release is l-diverse when every
+    * QI group carries ≥ l DISTINCT sensitive values; here the QI is
+    * nation × balance band and the sensitive attribute is the market
+    * segment. Same one-pass shape as q170: the heavy exchange carries
+    * one row per QI group (count + distinct-sensitive), and the
+    * l-sweep is conditional aggregation over that small relation. */
+  def lDiversityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val groups = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        col("c_mktsegment").as("segment"))
+      .groupBy(col("nation"), col("bal_band"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("segment")).as("div"))
+    val sweepCols = Ls.flatMap(l => Seq(
+      sum(when(col("div") < l, 1L).otherwise(0L)).as(s"gb_$l"),
+      sum(when(col("div") < l, col("sz")).otherwise(lit(0L))).as(s"rb_$l")))
+    val wide = groups.agg(
+      count(lit(1)).as("n_groups"),
+      (sum(col("sz")).as("n_rows") +: sweepCols): _*)
+    val stackExpr = s"stack(${Ls.size}, " + Ls.map(l =>
+      s"CAST($l AS BIGINT), gb_$l, rb_$l").mkString(", ") +
+      ") AS (l, groups_below, rows_below)"
+    wide.select(col("n_groups"), col("n_rows"), expr(stackExpr))
+      .select(col("l"), col("n_groups"), col("groups_below"),
+        col("rows_below"),
+        round(col("rows_below").cast("double") / col("n_rows"), 6)
+          .as("leaking_share"))
+      .orderBy(col("l"))
+  }
+
+  /** DuckDB oracle: identical QI/sensitive derivation and sweep. */
+  val lDiversityAuditSql: String = {
+    val lRows = Ls.map(l => s"($l)").mkString(", ")
+    s"""WITH qi AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    c_mktsegment AS segment
+      |  FROM customer),
+      |groups AS (
+      |  SELECT nation, bal_band, COUNT(*) AS sz,
+      |    COUNT(DISTINCT segment) AS div
+      |  FROM qi GROUP BY nation, bal_band),
+      |total AS (
+      |  SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+      |    COUNT(*) AS n_groups FROM groups),
+      |ls(l) AS (VALUES $lRows)
+      |SELECT CAST(ls.l AS BIGINT) AS l, t.n_groups,
+      |  CAST(SUM(CASE WHEN g.div < ls.l THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_below,
+      |  CAST(SUM(CASE WHEN g.div < ls.l THEN g.sz ELSE 0 END) AS BIGINT)
+      |    AS rows_below,
+      |  ROUND(CAST(SUM(CASE WHEN g.div < ls.l THEN g.sz ELSE 0 END) AS DOUBLE)
+      |    / t.n_rows, 6) AS leaking_share
+      |FROM groups g CROSS JOIN ls CROSS JOIN total t
+      |GROUP BY ls.l, t.n_groups, t.n_rows
+      |ORDER BY l""".stripMargin
+  }
+
   /** DuckDB oracle: identical QI derivation and sweep. */
   val kAnonymityAuditSql: String = {
     val kRows = Ks.map(k => s"($k)").mkString(", ")

@@ -33,6 +33,37 @@ class PrivacySpec extends SparkSpec {
     assert(got.map(_._4) === got.map(_._4).sorted)
   }
 
+  test("q174 equals a from-scratch diversity replay") {
+    val rows = Tables.customer(spark, sfDir)
+      .select($"c_nationkey".cast("long"), $"c_mktsegment", $"c_acctbal")
+      .as[(Long, String, Double)].collect().toSeq
+    val groups = rows.groupBy { case (n, _, b) =>
+      (n, math.floor(b / 1000.0).toLong)
+    }.toSeq.map { case (_, rs) =>
+      (rs.size.toLong, rs.map(_._2).distinct.size.toLong)
+    }
+    val nRows = groups.map(_._1).sum
+    val expected = Privacy.Ls.map { l =>
+      val leak = groups.filter(_._2 < l)
+      (l.toLong, groups.size.toLong, leak.size.toLong, leak.map(_._1).sum,
+        BigDecimal(leak.map(_._1).sum.toDouble / nRows)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Privacy.lDiversityAudit(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(got.map(_._4) === got.map(_._4).sorted)
+  }
+
+  test("the l-sweep is one scan, not one job per l") {
+    val df = Privacy.lDiversityAudit(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected exactly one customer scan, got $scans:\n$p")
+  }
+
   test("the k-sweep is one scan, not one job per k") {
     val df = Privacy.kAnonymityAudit(spark, sfDir)
     df.collect() // finalize the adaptive plan
