@@ -252,4 +252,114 @@ object Audio {
       |  CAST(SUM(voiced_energy) AS BIGINT) AS voiced_energy
       |FROM per_clip
       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------------
+  // q177: sample-rate unification (resample through the real codec)
+  // --------------------------------------------------------------
+
+  /** Common target rate: the corpus mixes 8 kHz and 16 kHz clips, a
+    * speech model wants ONE rate — 12 kHz forces a genuinely
+    * fractional ratio both ways (3/2 up, 3/4 down), so the
+    * interpolation path is real, not a stride pick. */
+  val TargetRate = 12000
+
+  case class ResampleRow(clip_id: Long, src_rate: Int, n_out: Long,
+    sum_out: Long, wsum_out: Long)
+
+  /** Linear interpolation at rational positions with TRUNCATING
+    * integer division (Scala `/` ≡ DuckDB `//` — both truncate
+    * toward zero, checked): for output index k, source position is
+    * k·src/dst; out = (in(i)·(dst−r) + in(i+1)·r) / dst with
+    * r = k·src mod dst, and the r = 0 tail reads in(i) alone, so the
+    * last output never indexes past the end. Integer-exact ⇒ the
+    * oracle recomputes every resampled sample bit-for-bit. */
+  private[graft] def resampleLinear(in: Array[Short], src: Int,
+      dst: Int): Array[Long] = {
+    val n = in.length
+    val nOut = ((n - 1).toLong * dst / src + 1).toInt
+    val out = new Array[Long](nOut)
+    var k = 0
+    while (k < nOut) {
+      val num = k.toLong * src
+      val i = (num / dst).toInt
+      val r = num % dst
+      out(k) =
+        if (r == 0) in(i).toLong
+        else (in(i).toLong * (dst - r) + in(i + 1).toLong * r) / dst
+      k += 1
+    }
+    out
+  }
+
+  private def resampleFeatures(rows: Iterator[Clip]): Iterator[ResampleRow] =
+    rows.map { c =>
+      val (sr, samples) = decodeWav(c.content)
+      val out = resampleLinear(samples, sr, TargetRate)
+      var sum = 0L; var wsum = 0L; var k = 0
+      while (k < out.length) {
+        sum += out(k)
+        wsum += out(k) * (k % 17 + 1) // order-sensitive checksum
+        k += 1
+      }
+      ResampleRow(c.clip_id, sr, out.length.toLong, sum, wsum)
+    }
+
+  /** q177: decode every clip through the real WAV codec, resample to
+    * [[TargetRate]], roll up per source rate with an order-sensitive
+    * checksum — one wrong or swapped interpolated sample anywhere
+    * breaks the hash. Scale shape: identical to q141 (scan-local
+    * decode+resample, one row per clip to the ≤2-group rollup). */
+  def resampleCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    clipTable(spark, sfDir).mapPartitions(resampleFeatures).toDF()
+      .groupBy(col("src_rate")).agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("n_out")).as("n_out"),
+        sum(col("sum_out")).as("sum_out"),
+        sum(col("wsum_out")).as("wsum_out"))
+      .orderBy(col("src_rate"))
+  }
+
+  /** Oracle: closed-form waveform → identical rational-position
+    * truncating interpolation, never touching bytes. */
+  val resampleCensusSql: String =
+    s"""WITH clips AS (
+      |  SELECT s_suppkey AS clip_id,
+      |    CAST(800 + (s_suppkey % 11) * 160 AS BIGINT) AS n,
+      |    CASE WHEN s_suppkey % 2 = 0 THEN 8000 ELSE 16000 END AS sr,
+      |    16 + (s_suppkey % 7) * 8 AS p,
+      |    200 + (s_suppkey % 5) * 50 AS k
+      |  FROM supplier),
+      |outidx AS (
+      |  SELECT clip_id, n, sr, p, k,
+      |    unnest(generate_series(0, (n - 1) * $TargetRate // sr)) AS o
+      |  FROM clips),
+      |interp AS (
+      |  SELECT clip_id, sr, o,
+      |    (o * sr) // $TargetRate AS i,
+      |    (o * sr) % $TargetRate AS r,
+      |    p, k, n
+      |  FROM outidx),
+      |amps AS (
+      |  SELECT clip_id, sr, o, r,
+      |    CASE WHEN ((i // $Window) + clip_id) % 4 = 0 THEN 0
+      |         ELSE ((i % p) - p // 2) * k END AS a0,
+      |    CASE WHEN r = 0 THEN 0
+      |         WHEN (((i + 1) // $Window) + clip_id) % 4 = 0 THEN 0
+      |         ELSE (((i + 1) % p) - p // 2) * k END AS a1
+      |  FROM interp),
+      |res AS (
+      |  SELECT clip_id, sr, o,
+      |    CASE WHEN r = 0 THEN CAST(a0 AS BIGINT)
+      |         ELSE (CAST(a0 AS BIGINT) * ($TargetRate - r)
+      |               + CAST(a1 AS BIGINT) * r) // $TargetRate END AS v
+      |  FROM amps)
+      |SELECT CAST(sr AS INT) AS src_rate,
+      |  CAST(COUNT(DISTINCT clip_id) AS BIGINT) AS n_clips,
+      |  CAST(COUNT(*) AS BIGINT) AS n_out,
+      |  CAST(SUM(v) AS BIGINT) AS sum_out,
+      |  CAST(SUM(v * (o % 17 + 1)) AS BIGINT) AS wsum_out
+      |FROM res
+      |GROUP BY sr
+      |ORDER BY src_rate""".stripMargin
 }

@@ -85,4 +85,32 @@ class AudioSpec extends SparkSpec {
     assert(got.keySet === Set("short", "medium", "long"))
     assert(got.values.map(_._3).sum > 0)
   }
+
+  test("resampleLinear: identity, decimation, and hand-checked interpolation") {
+    import graft.ops.Audio
+    val in = Array[Short](0, 100, -200, 300, 50)
+    // src == dst: identity
+    assert(Audio.resampleLinear(in, 8000, 8000).toSeq ===
+      in.map(_.toLong).toSeq)
+    // 2:1 decimation hits exact source positions only
+    assert(Audio.resampleLinear(in, 16000, 8000).toSeq ===
+      Seq(0L, -200L, 50L))
+    // 3:2 fractional: positions 0, 1.5, 3 -> in(1)+(in(2)-in(1))*1/2
+    // with truncating division: (100*1 + (-200)*1)/2 = -50
+    assert(Audio.resampleLinear(in, 12000, 8000).toSeq ===
+      Seq(0L, -50L, 300L))
+    // endpoints always survive when the last position aligns
+    val up = Audio.resampleLinear(in, 8000, 12000)
+    assert(up.head == in.head.toLong && up.last == in.last.toLong)
+    assert(up.length == 7) // (5-1)*12000/8000 + 1
+  }
+
+  test("q177 rollup covers both source rates with nonzero output") {
+    val rows = graft.ops.Audio.resampleCensus(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq.sorted === Seq(8000, 16000))
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0)
+      assert(r.getLong(4) != 0, "order-sensitive checksum must be nonzero")
+    }
+  }
 }
