@@ -190,6 +190,92 @@ object Ranking {
       |ORDER BY avg_logprob, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Interpolated Kneser-Ney bigram LM (q180) — the published
+    * smoothing standard (Kneser & Ney 1995; Chen & Goodman 1998's
+    * empirical winner), closing the LM ladder q69 (add-1 unigram) →
+    * q82 (add-1 bigram) → q111 (stupid backoff) with the model real
+    * perplexity filters actually use. The lower-order distribution is
+    * the CONTINUATION probability (how many distinct contexts a word
+    * follows, not how often it occurs) — the property that stops
+    * "francisco" stealing mass from novel contexts:
+    *
+    *   P(w2|w1) = max(c(w1w2)−D, 0)/c(w1)
+    *            + (D·N1+(w1·)/c(w1)) · N1+(·w2)/N1+(··)
+    *
+    * with D = 0.75 and c(w1) = Σ_w2 c(w1w2), so each context's mass
+    * sums to one. Every statistic is an integer count off the bigram
+    * table; the scoring expression is built with IDENTICAL
+    * parenthesization in both engines, ln rounds to 9 (q69 libm
+    * discipline), per-doc sums accumulate in DECIMAL.
+    *
+    * Scale shape: q82's — the occurrence stream shuffles on (w1,w2)
+    * then w1/w2 for the three count tables (vocabulary-sized, no
+    * broadcast hints; AQE may broadcast measured-small sides), the
+    * type total rides a 1-row broadcast. */
+  def knesserNey(spark: SparkSession, sfDir: String): DataFrame = {
+    val D = 0.75
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .localCheckpoint()
+    val occ = d.filter(col("n") >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), col("n") - 1),
+          slice(col("toks"), lit(2), col("n") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val bi = occ.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_fwd"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bwd"))
+    val types = bi.agg(count(lit(1)).cast("double").as("nbb"))
+    val scored = occ
+      .join(bi, Seq("w1", "w2")).join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("lp", round(log(
+        (greatest(col("c2").cast("double") - lit(D), lit(0.0))
+          + lit(D) * col("n1p_fwd").cast("double")
+            * (col("n1p_bwd").cast("double") / col("nbb")))
+          / col("c1").cast("double")), 9))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy(col("avg_logprob"), col("doc_id"))
+      .limit(15)
+  }
+
+  val knesserNeySql: String = {
+    val tokSql = TextOps.tokSql()
+    s"""WITH d AS (
+      |  SELECT doc_id, $tokSql AS toks, len($tokSql) AS n FROM documents),
+      |occ AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM d CROSS JOIN LATERAL unnest(generate_series(1, n - 1)) AS t(i)
+      |  WHERE n >= 2),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY w1, w2),
+      |ctx AS (
+      |  SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fwd FROM bi GROUP BY w1),
+      |cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM bi GROUP BY w2),
+      |types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbb FROM bi),
+      |scored AS (
+      |  SELECT o.doc_id,
+      |    ROUND(ln((GREATEST(CAST(b.c2 AS DOUBLE) - 0.75, 0.0)
+      |      + 0.75 * CAST(x.n1p_fwd AS DOUBLE)
+      |        * (CAST(c.n1p_bwd AS DOUBLE) / t.nbb))
+      |      / CAST(x.c1 AS DOUBLE)), 9) AS lp
+      |  FROM occ o JOIN bi b USING (w1, w2) JOIN ctx x USING (w1)
+      |    JOIN cont c USING (w2) CROSS JOIN types t)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_logprob
+      |FROM scored GROUP BY doc_id
+      |ORDER BY avg_logprob, doc_id LIMIT 15""".stripMargin
+  }
+
   /** TF-IDF cosine retrieval (q83): ltc weighting — w(d,t) =
     * (1 + ln tf) · ln(N/df), document norms over the FULL term
     * vector, query terms at tf=1 — the classical vector-space

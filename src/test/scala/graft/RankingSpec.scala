@@ -76,4 +76,44 @@ class RankingSpec extends SparkSpec {
     // in-link mass; the floor is the no-inbound teleport share)
     rows.foreach(r => assert(r.getAs[Double]("rank") > 1.0 / 2000))
   }
+
+  test("kneser-ney: every context's probability mass sums to one") {
+    import graft.functions.TextOps
+    import org.apache.spark.sql.functions._
+    val D = 0.75
+    val occ = Tables.documents(spark, sfDir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .withColumn("n", size($"toks")).filter($"n" >= 2)
+      .select(explode(zip_with(
+        slice($"toks", lit(1), $"n" - 1), slice($"toks", lit(2), $"n" - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"bg.w1", $"bg.w2")
+    val bi = occ.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .as[(String, String, Long)].collect()
+    val vocabW2 = bi.map(_._2).distinct
+    val c1 = bi.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n1pFwd = bi.groupBy(_._1).view.mapValues(_.size).toMap
+    val n1pBwd = bi.groupBy(_._2).view.mapValues(_.size).toMap
+    val nbb = bi.length.toDouble
+    val seen = bi.map(r => (r._1, r._2) -> r._3).toMap
+    // all contexts at sf0.001's ~30-word vocab: full sweep is cheap
+    c1.keys.foreach { w1 =>
+      val mass = vocabW2.map { w2 =>
+        val c2 = seen.getOrElse((w1, w2), 0L).toDouble
+        (math.max(c2 - D, 0.0)
+          + D * n1pFwd(w1) * (n1pBwd(w2) / nbb)) / c1(w1)
+      }.sum
+      // continuation mass beyond vocabW2 is zero: N1+ covers exactly
+      // the observed continuations
+      assert(math.abs(mass - 1.0) < 1e-9, s"context '$w1' mass $mass")
+    }
+  }
+
+  test("kneser-ney: q180 output is ascending with doc_id tie-break") {
+    val rows = graft.ops.Ranking.knesserNey(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 15)
+    assert(rows.sortBy(r => (r._3, r._1)) === rows)
+    assert(rows.forall(_._3 < 0.0), "log-probabilities must be negative")
+  }
 }
