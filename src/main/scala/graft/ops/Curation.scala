@@ -146,28 +146,34 @@ object Curation {
           / count(lit(1)), 6).as("avg_score"))
       .orderBy(col("source"))
 
-  /** The d/f/s quality-scoring CTE chain (the [[scoreDocs]] oracle
-    * rendering, with doc_id carried through) — shared with the q147
-    * canonical-keep oracle in [[Components]]. */
-  private[ops] val scoreCtesSql: String = {
+  /** The quality-scoring CTE chain over an arbitrary
+    * (doc_id, source, text) relation rendering `rel` — CTE names are
+    * prefixed so two scored relations can coexist in one oracle
+    * (q190 scores OLD and NEW snapshots side by side). */
+  private[ops] def scoreCtesFor(rel: String, p: String): String = {
     val swSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""d AS (
+    s"""${p}d AS (
       |  SELECT doc_id, source, $tokSql AS toks, len($tokSql) AS n
-      |  FROM documents WHERE len($tokSql) > 0),
-      |f AS (
+      |  FROM $rel WHERE len($tokSql) > 0),
+      |${p}f AS (
       |  SELECT doc_id, source,
       |    ROUND(ln(1.0 + n), 9) AS f_len,
       |    ROUND(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / n, 6) AS f_wlen,
       |    ROUND(CAST(len(list_filter(toks, t -> list_contains($swSql, t))) AS DOUBLE) / n, 6) AS f_stop,
       |    ROUND(CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) / n, 6) AS f_digit,
       |    ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n, 6) AS f_rep
-      |  FROM d),
-      |s AS (
+      |  FROM ${p}d),
+      |${p}s AS (
       |  SELECT doc_id, source,
       |    ROUND(1.0 / (1.0 + exp(-ROUND(-1.2 + 0.35 * f_len + 0.18 * f_wlen
       |      + 2.0 * f_stop - 3.0 * f_digit - 2.5 * f_rep, 9))), 6) AS score
-      |  FROM f)""".stripMargin
+      |  FROM ${p}f)""".stripMargin
   }
+
+  /** The d/f/s quality-scoring CTE chain (the [[scoreDocs]] oracle
+    * rendering, with doc_id carried through) — shared with the q147
+    * canonical-keep oracle in [[Components]]. */
+  private[ops] val scoreCtesSql: String = scoreCtesFor("documents", "")
 
   val qualityClassifierSql: String = {
     val swSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
