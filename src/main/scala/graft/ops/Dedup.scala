@@ -40,7 +40,7 @@ object Dedup {
 
   /** documents ∪ upper-cased copies of id%7==0 (fingerprint-identical
     * dups) — exercises case/whitespace-insensitive exact dedup. */
-  private def corpusExact(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def corpusExact(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -48,7 +48,7 @@ object Dedup {
           upper(col("text")).as("text")))
   }
 
-  private val corpusExactCte =
+  private[graft] val corpusExactCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

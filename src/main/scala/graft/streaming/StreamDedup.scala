@@ -1,0 +1,145 @@
+package graft.streaming
+
+import graft.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming EXACT dedup via Structured Streaming's built-in
+  * `dropDuplicates` state — the seventh streaming state shape in the
+  * declared-query gate (q157 flatMapGroupsWithState, q158 complete
+  * agg, q159 append windows, q160 mapGroupsWithState, q161 session
+  * windows, q162 stream-stream join): the engine-managed dedup store
+  * remembers every key it has admitted and suppresses re-arrivals
+  * — the ingest-side twin of the batch q22, and the state shape any
+  * at-least-once pipeline leans on for idempotence.
+  *
+  * Determinism without pinning WHICH duplicate survives: within a
+  * micro-batch, `dropDuplicates` keeps an arbitrary first row per
+  * key, so the SURVIVING doc_id is shuffle-order-dependent — but the
+  * survivor's BATCH is not (a key's surviving row always belongs to
+  * the key's first batch in the pinned drain order), and the rollup
+  * publishes batch-level counts only. The planted copy families
+  * shift doc ids by ≡1, ≡2, and ≡0 (mod [[StreamBatches]]), so the
+  * replay provably exercises BOTH within-batch suppression and the
+  * cross-batch state memory.
+  *
+  * Scale shape: the stream shuffles (fp, doc_id) pairs; state is one
+  * entry per distinct fingerprint. Production bounds that state with
+  * `dropDuplicatesWithinWatermark` (dup windows are temporal); the
+  * bounded replay keeps NoTimeout-equivalent semantics for
+  * determinism, same trade as q157.
+  */
+object StreamDedup {
+
+  val StreamBatches = 4
+
+  /** documents ∪ three fingerprint-identical copy families with
+    * batch shifts 1, 2, 0: upper-case (id%7), re-spaced (id%9),
+    * trailing-tab (id%11) — all normalize to the same fingerprint
+    * ([[TextOps.fingerprint]] tokenizes first). */
+  private[graft] def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 200001).as("doc_id"),
+          upper(col("text")).as("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 400002).as("doc_id"),
+          regexp_replace(col("text"), lit(" "), lit("  ")).as("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit("\t")).as("text")))
+  }
+
+  private[graft] val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200001, upper(text) FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 400002, replace(text, ' ', '  ')
+      |  FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 600000, text || chr(9)
+      |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+
+  /** q191: the corpus replayed through a REAL `dropDuplicates`
+    * streaming query (file source, one staged file per micro-batch,
+    * oldest-first drain hard-asserted ≥ 2 batches, parquet-sink
+    * append of survivors), rolled up per batch: arrivals, admitted,
+    * suppressed. */
+  def streamedExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_stream_dedup").getAbsolutePath
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val stage = new java.io.File(base, "stage")
+    stage.mkdirs()
+    val docs = corpus(spark, sfDir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    (0 until StreamBatches).foreach { b =>
+      val tmp = s"$base/tmp$b"
+      docs.filter(pmod(col("doc_id"), lit(StreamBatches.toLong)) === b)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      val dst = new java.io.File(stage, f"b$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(1400000000000L + b * 60000L),
+        s"cannot pin mtime on $dst")
+    }
+    val src = spark.readStream
+      .schema("doc_id BIGINT, fp BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath)
+    val q = StreamTune.withStatePartitions(spark) {
+      src.dropDuplicates("fp").writeStream
+        .outputMode("append").format("parquet")
+        .option("path", s"$base/admitted")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches >= 2,
+      s"streaming dedup must run multiple micro-batches, saw $batches")
+    val admitted = spark.read.parquet(s"$base/admitted")
+      .groupBy(pmod(col("doc_id"), lit(StreamBatches.toLong)).as("batch"))
+      .agg(count(lit(1)).as("n_admitted"))
+    val arrivals = docs
+      .groupBy(pmod(col("doc_id"), lit(StreamBatches.toLong)).as("batch"))
+      .agg(count(lit(1)).as("n_arrivals"))
+    arrivals.join(admitted, Seq("batch"), "left")
+      .na.fill(0L, Seq("n_admitted"))
+      .withColumn("n_suppressed", col("n_arrivals") - col("n_admitted"))
+      .orderBy(col("batch"))
+  }
+
+  /** DuckDB recomputes the stream's answer from the pinned split:
+    * a fingerprint's surviving row lands in its FIRST batch; every
+    * other arrival is suppressed. */
+  val streamedExactDedupSql: String = {
+    val tokSql = TextOps.tokSql()
+    s"""WITH $corpusCte,
+      |fps AS (
+      |  SELECT doc_id, doc_id % $StreamBatches AS batch,
+      |    ('0x' || substr(md5(array_to_string($tokSql, ' ')), 1, 15))::BIGINT
+      |      AS fp
+      |  FROM corpus),
+      |first_seen AS (
+      |  SELECT fp, MIN(batch) AS fb FROM fps GROUP BY fp)
+      |SELECT b.batch, b.n_arrivals,
+      |  COALESCE(a.n_admitted, 0) AS n_admitted,
+      |  b.n_arrivals - COALESCE(a.n_admitted, 0) AS n_suppressed
+      |FROM (SELECT batch, COUNT(*) AS n_arrivals FROM fps GROUP BY batch) b
+      |LEFT JOIN (SELECT fb AS batch, COUNT(*) AS n_admitted
+      |           FROM first_seen GROUP BY fb) a
+      |  ON b.batch = a.batch
+      |ORDER BY b.batch""".stripMargin
+  }
+}
