@@ -75,7 +75,7 @@ object Dedup {
   private val tokSql = TextOps.tokSql()
 
   /** shingle-hash list SQL (3-gram, distinct, md5-based 60-bit). */
-  private val shingleSql =
+  private[graft] val shingleSql =
     s"""list_distinct(list_transform(
        |  CASE WHEN len($tokSql) < 3 THEN [array_to_string($tokSql, ' ')]
        |       ELSE list_transform(generate_series(1, len($tokSql) - 2),
