@@ -304,6 +304,35 @@ class PlanSpec extends SparkSpec {
       s"encoded bytes cross a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("q184 repetition: gram counts partial-agg; argmax is an agg, not a window") {
+    val df = ops.Repetition.repetitionCensus(spark, sfDir)
+    val p = plan(df)
+    assert("partial_|Partial".r.findFirstIn(p).isDefined,
+      s"gram counting not map-side combined:\n$p")
+    assert(!p.contains("Window"),
+      s"per-doc argmax must be a struct-min aggregate, not a window:\n$p")
+  }
+
+  test("q194 containment: candidate join is equi-keyed, never a cartesian") {
+    val df = ops.Containment.containmentCensus(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment candidate join degraded to all-pairs:\n$p")
+    assert("partial_|Partial".r.findFirstIn(p).isDefined,
+      s"shingle df counting not map-side combined:\n$p")
+  }
+
+  test("q185 AUC: the per-doc relation partial-aggs; the bounded window rides the distinct-score relation") {
+    val df = ops.Eval.aucReport(spark, sfDir)
+    val p = plan(df)
+    // one Window is the design (bounded by 1e6 distinct scores per
+    // stratum); the per-doc groupBy before it must map-side combine
+    assert("partial_|Partial".r.findFirstIn(p).isDefined,
+      s"per-score counting not map-side combined:\n$p")
+    assert("Window".r.findAllIn(p).size <= 2,
+      s"more windows than the one bounded running-count:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
