@@ -66,13 +66,21 @@ object Containment {
     * at containment ≥ 0.9, rolled up by the contained doc's origin
     * (planted slice vs organic). */
   def containmentCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    // bind the token array BEFORE shingling — shinglesFromTokens
+    // references its input 3x, and inlining the tokenizer there
+    // triplicates the subtree (the TextOps-documented trap)
     val sh = corpus(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextOps.shingleHashes(col("text"))).as("sh"))
+        explode(TextOps.shingleHashesFromTokens(col("toks"))).as("sh"))
       .distinct()
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // the capped index is consumed THREE times (sizes + both sides of
+    // the candidate self-join); materialize it once — the in-process
+    // analogue of the stored inverted index a production run keeps
     val kept = sh.join(df.filter(col("df") <= DfCap), Seq("sh"))
       .select(col("doc_id"), col("sh"))
+      .localCheckpoint()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shared = kept.as("a").join(kept.as("b"), Seq("sh"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))

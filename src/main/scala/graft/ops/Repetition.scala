@@ -47,9 +47,13 @@ object Repetition {
   /** Per-doc top-n-gram char fraction over any (doc_id, source, text)
     * relation — exposed so the spec can probe crafted loops. */
   private[graft] def topGramFrac(docs: DataFrame, n: Int): DataFrame = {
+    // bind the token array first — grams() references it ~(n+2)×,
+    // and inlining the tokenizer would multiply that subtree
     val g = docs
       .select(col("doc_id"), col("source"), length(col("text")).as("chars"),
-        explode(grams(TextOps.tokens(col("text")), n)).as("gram"))
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("chars"),
+        explode(grams(col("toks"), n)).as("gram"))
       .groupBy(col("doc_id"), col("source"), col("chars"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     // argmax by (cnt desc, gram asc): min of (-cnt, gram) struct
