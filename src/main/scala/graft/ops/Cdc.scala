@@ -38,20 +38,33 @@ object Cdc {
   val TwinOffset = 100000L
   val TwinPrefix = "zz "
 
-  /** The 8-term window polynomial Σ ascii(c)·31^k as a SQL expr over
-    * lambda position `i` (window = chars i-7..i, 1-based). Max value
-    * ~3e13 — exact in BIGINT/Long on both engines. */
-  private def hashTerms(textCol: String): String =
+  /** The 8-term window polynomial Σ code·31^k as a SQL expr over
+    * lambda position `i` (window = chars i-7..i, 1-based), reading
+    * from a pre-materialized per-row `codes` array. Max value ~3e13 —
+    * exact in BIGINT/Long on both engines.
+    *
+    * Why an array and not `substring(text, i-k, 1)` inside the
+    * lambda: UTF8String substring walks from the string start, so the
+    * lambda form costs O(position) PER TERM and the whole scan goes
+    * quadratic in document length (measured 13.9 s at sf0.1; the
+    * array form is 8 O(1) reads per position). The VALUES are
+    * identical — the oracle keeps the substr rendering, and the
+    * cross-engine hash equality is the proof. */
+  private def hashTerms: String =
     (0 to 7).map { k =>
       val pow = math.pow(31.0, 7 - k).toLong
-      s"cast(ascii(substring($textCol, i - ${7 - k}, 1)) as bigint) * $pow"
+      s"element_at(codes, i - ${7 - k}) * $pow"
     }.mkString(" + ")
 
+  /** Per-row code-point array: one O(len) pass. */
+  private val codesExpr: String =
+    "transform(split(text, ''), c -> cast(ascii(c) as bigint))"
+
   /** Cut bounds of `text` (0, content-defined cuts, len) as a Spark
-    * SQL expression. */
+    * SQL expression over the bound `codes` column. */
   private def boundsExpr: String =
     s"""concat(array(0),
-       |  filter(sequence(8, length(text)), i -> (${hashTerms("text")}) % $Divisor = 0),
+       |  filter(sequence(8, length(text)), i -> ($hashTerms) % $Divisor = 0),
        |  array(length(text)))""".stripMargin
 
   /** Chunks from the bounds column, zero-length tails filtered. */
@@ -77,6 +90,7 @@ object Cdc {
     * fixed-size blocking scores ~0 on). */
   def cdcCensus(spark: SparkSession, sfDir: String): DataFrame = {
     val chunks = corpus(spark, sfDir)
+      .withColumn("codes", expr(codesExpr))
       .withColumn("bnd", expr(boundsExpr))
       .select(col("doc_id"), explode(expr(chunksFromBounds)).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("h"),
