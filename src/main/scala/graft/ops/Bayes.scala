@@ -98,6 +98,51 @@ object Bayes {
       .orderBy(col("source"))
   }
 
+  /** The train+score CTE chain over an arbitrary (doc_id, source,
+    * text) relation rendering `rel`, ending in
+    * `perdoc(doc_id, source, n_toks, llr)` — single-sourced for the
+    * q200 build-manifest oracle, which trains on the DEDUPED corpus. */
+  private[ops] def nbCtesFor(rel: String): String = {
+    val tokSql = TextOps.tokSql()
+    val curatedIn = CuratedSources.map(s => s"'$s'").mkString(", ")
+    s"""raw_toks AS (
+      |  SELECT doc_id, source, source IN ($curatedIn) AS curated,
+      |    unnest($tokSql) AS tok
+      |  FROM $rel),
+      |toks AS (
+      |  SELECT doc_id, source, curated,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $Bins AS bin
+      |  FROM raw_toks),
+      |counts AS (
+      |  SELECT curated, bin, COUNT(*) AS cnt FROM toks GROUP BY curated, bin),
+      |grid AS (
+      |  SELECT g.curated, r.range AS bin
+      |  FROM range($Bins) r CROSS JOIN (VALUES (TRUE), (FALSE)) g(curated)),
+      |full_counts AS (
+      |  SELECT g.curated, g.bin, COALESCE(c.cnt, 0) AS cnt
+      |  FROM grid g LEFT JOIN counts c
+      |    ON g.curated = c.curated AND g.bin = c.bin),
+      |totals AS (
+      |  SELECT curated, CAST(SUM(cnt) AS DOUBLE) AS total
+      |  FROM full_counts GROUP BY curated),
+      |model AS (
+      |  SELECT f.curated, f.bin,
+      |    ROUND(ln((CAST(f.cnt AS DOUBLE) + 1.0)
+      |      / (t.total + ${Bins}.0)), 9) AS lp
+      |  FROM full_counts f JOIN totals t ON f.curated = t.curated),
+      |weights AS (
+      |  SELECT bin,
+      |    SUM(CASE WHEN curated THEN lp ELSE 0.0 END)
+      |      - SUM(CASE WHEN NOT curated THEN lp ELSE 0.0 END) AS w
+      |  FROM model GROUP BY bin),
+      |perdoc AS (
+      |  SELECT t.source, t.doc_id, COUNT(*) AS n_toks,
+      |    ROUND(CAST(SUM(CAST(w.w AS DECIMAL(28,12))) AS DOUBLE)
+      |      / COUNT(*), 6) AS llr
+      |  FROM toks t JOIN weights w ON t.bin = w.bin
+      |  GROUP BY t.source, t.doc_id)""".stripMargin
+  }
+
   /** DuckDB oracle: the same training + scoring restated in SQL —
     * single-sourced tokenizer/hash renderings, same rounding points,
     * same exact-decimal sums. */
