@@ -35,15 +35,20 @@ object AqeDemote {
   /** q192: revenue rollup of lineitems on low-priority orders; the
     * executed plan is HARD-ASSERTED to have started as SMJ and
     * finished as a runtime broadcast. Oracle = the plain join. */
+  /** The EXACT conf set the query scopes-and-restores — exposed so
+    * the no-leak spec iterates this list instead of a hand-copied
+    * subset (ADVICE r9). */
+  private[graft] val ScopedConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    // static planner: no stats, filtered side sized at full scan,
+    // and a floored static threshold → SMJ on paper
+    "spark.sql.autoBroadcastJoinThreshold" -> "1KB",
+    // runtime decision: the measured post-filter bytes fit easily
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "8MB",
+    "spark.sql.adaptive.localShuffleReader.enabled" -> "true")
+
   def demotedJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val confs = Seq(
-      "spark.sql.adaptive.enabled" -> "true",
-      // static planner: no stats, filtered side sized at full scan,
-      // and a floored static threshold → SMJ on paper
-      "spark.sql.autoBroadcastJoinThreshold" -> "1KB",
-      // runtime decision: the measured post-filter bytes fit easily
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "8MB",
-      "spark.sql.adaptive.localShuffleReader.enabled" -> "true")
+    val confs = ScopedConfs
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }

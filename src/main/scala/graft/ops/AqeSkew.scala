@@ -55,16 +55,22 @@ object AqeSkew {
     * folded onto user 0) joined to the customer dim WITHOUT salting;
     * AQE's skew split is HARD-ASSERTED in the executed plan. Oracle =
     * the plain join — skew handling is a pure physical rewrite. */
+  /** The EXACT conf set the query scopes-and-restores — exposed so
+    * the no-leak spec iterates this list instead of a hand-copied
+    * subset (ADVICE r9: a restore regression in an unchecked key
+    * would leak into every later query in the session). */
+  private[graft] val ScopedConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // sf-scaled: the hot partition is ~1/3 of the fact side (tens
+    // of KB compressed); "skewed" = >2x median and >4KB
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
   def skewJoinRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val confs = Seq(
-      "spark.sql.adaptive.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      // sf-scaled: the hot partition is ~1/3 of the fact side (tens
-      // of KB compressed); "skewed" = >2x median and >4KB
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val confs = ScopedConfs
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -30,9 +30,8 @@ object Bucketing {
     * reusing one path is idempotent — a fresh temp dir per invocation
     * would leak a full bucketed copy of both tables every run (bench
     * min-of-2 = two copies per JVM, more across rounds). */
-  private def layoutBase: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_bucketed_layout")
-      .getAbsolutePath
+  private def layoutBase(sfDir: String): String =
+    graft.Scratch.dir("bucketed_layout", sfDir)
 
   /** Write documents + embeddings as doc_id-bucketed, doc_id-sorted
     * EXTERNAL catalog tables under `base` (idempotent: drops stale
@@ -101,7 +100,7 @@ object Bucketing {
     * action. Config is restored after (plan construction must not
     * mutate session state). */
   def bucketedRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    writeBucketed(spark, sfDir, layoutBase)
+    writeBucketed(spark, sfDir, layoutBase(sfDir))
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

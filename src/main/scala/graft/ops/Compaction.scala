@@ -36,9 +36,8 @@ object Compaction {
     * files after a day of micro-batches" shape, scaled down). */
   val Fragments = 48
 
-  private def layoutBase: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_compaction_layout")
-      .getAbsolutePath
+  private def layoutBase(sfDir: String): String =
+    graft.Scratch.dir("compaction_layout", sfDir)
 
   /** Parquet data files directly under `path` with their sizes —
     * metadata-only (one directory listing, no footers, no data). */
@@ -69,8 +68,8 @@ object Compaction {
     * layout. The oracle recomputes the rollup from the plain table:
     * compaction changes the layout, never the answer. */
   def compactedRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val frag = s"$layoutBase/lineitem_fragmented"
-    val out = s"$layoutBase/lineitem_compacted"
+    val frag = s"${layoutBase(sfDir)}/lineitem_fragmented"
+    val out = s"${layoutBase(sfDir)}/lineitem_compacted"
     Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
         col("l_extendedprice"))

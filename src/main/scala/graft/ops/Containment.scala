@@ -43,6 +43,7 @@ object Containment {
 
   /** documents ∪ first-half slices of id%8==0 (+500000). */
   private[graft] def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    Planted.assertHeadroom(spark, sfDir, 500000L, "q194 containment corpus")
     val d = Tables.documents(spark, sfDir)
     val toks = TextOps.tokens(col("text"))
     d.select(col("doc_id"), col("text"))

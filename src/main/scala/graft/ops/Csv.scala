@@ -38,9 +38,8 @@ object Csv {
     * the pinned schema must quarantine rather than coerce. */
   val CorruptEvery = 13
 
-  private def layoutBase: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_csv_layout")
-      .getAbsolutePath
+  private def layoutBase(sfDir: String): String =
+    graft.Scratch.dir("csv_layout", sfDir)
 
   /** Pinned read contract (doc_id, source, text) + quarantine. */
   val ReadSchema: StructType = StructType(Seq(
@@ -55,7 +54,7 @@ object Csv {
     * lines are the bare `id,source,text` concatenation — which makes
     * the raw-line length closed-form for the oracle. */
   def stage(spark: SparkSession, sfDir: String): String = {
-    val path = s"$layoutBase/documents_csv"
+    val path = s"${layoutBase(sfDir)}/documents_csv"
     val docs = Tables.documents(spark, sfDir)
     val dirty = docs.filter(col("text").rlike("[,\"\n\r]")
       || col("source").rlike("[,\"\n\r]")).limit(1).count()

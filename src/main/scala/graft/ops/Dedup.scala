@@ -41,6 +41,7 @@ object Dedup {
   /** documents ∪ upper-cased copies of id%7==0 (fingerprint-identical
     * dups) — exercises case/whitespace-insensitive exact dedup. */
   private[graft] def corpusExact(spark: SparkSession, sfDir: String): DataFrame = {
+    Planted.assertHeadroom(spark, sfDir, 200000L, "q22 exact-dup corpus")
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -58,6 +59,8 @@ object Dedup {
   /** documents ∪ near-dup copies of id%10==0 (three tokens appended →
     * Jaccard ≈ 0.9 against the original). */
   private[graft] def corpusNear(spark: SparkSession, sfDir: String): DataFrame = {
+    Planted.assertHeadroom(spark, sfDir, Planted.MinOffset,
+      "q23 near-dup corpus")
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)

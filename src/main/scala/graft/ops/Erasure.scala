@@ -61,11 +61,19 @@ object Erasure {
       .select(lit("lineitem").as("table"), col("n_before"),
         (col("n_before") - col("n_after")).as("n_deleted"))
 
-    // the invariant: post-erasure, no lineitem may reference a
-    // deleted order (a cascade bug is a wrong answer here)
+    // the invariant: post-erasure, no published lineitem may reference
+    // an ERASED order (a cascade bug is a wrong answer here). The
+    // erased-key set is derived INDEPENDENTLY of the kept-side filter
+    // (positive predicate vs its negation), so the check is not
+    // tautological against the semi-join that built liAfterRel — a
+    // predicate drift between the two sides (null custkey handling, a
+    // mod rewrite touching one branch) lands here as a non-zero
+    // orphan count instead of vanishing by construction (ADVICE r9).
+    val erasedOrders = orders.filter(isSubjectOrd)
+      .select(col("o_orderkey"))
     val orphans = liAfterRel.select(col("l_orderkey"))
-      .join(keptOrders, col("l_orderkey") === col("o_orderkey"),
-        "left_anti")
+      .join(erasedOrders, col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
       .agg(count(lit(1)).as("o"))
 
     custAudit.unionByName(ordAudit).unionByName(evAudit)

@@ -32,9 +32,8 @@ import org.apache.spark.sql.functions._
   */
 object Evolution {
 
-  private def layoutBase: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_evolution_layout")
-      .getAbsolutePath
+  private def layoutBase(sfDir: String): String =
+    graft.Scratch.dir("evolution_layout", sfDir)
 
   /** Deterministic stand-in for the gen-2 quality score. */
   private def qualityCol =
@@ -43,7 +42,7 @@ object Evolution {
   /** Stage the two vintages: gen1 = even doc_ids, old schema; gen2 =
     * odd doc_ids, schema + quality. */
   def stage(spark: SparkSession, sfDir: String): String = {
-    val base = layoutBase
+    val base = layoutBase(sfDir)
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
     d.filter(pmod(col("doc_id"), lit(2)) === 0)

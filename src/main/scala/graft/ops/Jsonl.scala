@@ -35,9 +35,8 @@ object Jsonl {
     * torn tail) — the planted corruption the quarantine must catch. */
   val CorruptEvery = 13
 
-  private def layoutBase: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_jsonl_layout")
-      .getAbsolutePath
+  private def layoutBase(sfDir: String): String =
+    graft.Scratch.dir("jsonl_layout", sfDir)
 
   /** Pinned read contract (doc_id, source, text) + quarantine. */
   val ReadSchema: StructType = StructType(Seq(
@@ -48,7 +47,7 @@ object Jsonl {
 
   /** Stage the documents table as JSONL with planted torn lines. */
   def stage(spark: SparkSession, sfDir: String): String = {
-    val path = s"$layoutBase/documents_jsonl"
+    val path = s"${layoutBase(sfDir)}/documents_jsonl"
     val line = to_json(struct(col("doc_id"), col("source"), col("text")))
     Tables.documents(spark, sfDir)
       .select(when(pmod(col("doc_id"), lit(CorruptEvery)) === 0,

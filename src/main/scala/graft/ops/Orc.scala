@@ -20,14 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Orc {
 
-  private def layoutBase: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_orc_layout")
-      .getAbsolutePath
+  private def layoutBase(sfDir: String): String =
+    graft.Scratch.dir("orc_layout", sfDir)
 
   /** q182-visible (spec) staging: events as ORC, fixed idempotent
     * path. */
   def stage(spark: SparkSession, sfDir: String): String = {
-    val path = s"$layoutBase/events_orc"
+    val path = s"${layoutBase(sfDir)}/events_orc"
     Tables.events(spark, sfDir)
       .write.mode(SaveMode.Overwrite).orc(path)
     path

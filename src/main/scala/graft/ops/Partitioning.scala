@@ -35,9 +35,8 @@ object Partitioning {
   /** Fixed idempotent layout path (same rationale as
     * [[Bucketing.writeBucketed]]: fresh temp dirs would leak a copy
     * of the table per invocation). */
-  private def layoutBase: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_partitioned_layout")
-      .getAbsolutePath
+  private def layoutBase(sfDir: String): String =
+    graft.Scratch.dir("partitioned_layout", sfDir)
 
   /** Day-partitioned events layout: one directory per day, one file
     * per day (the pre-write `repartition(day)` hash-routes each day
@@ -45,8 +44,9 @@ object Partitioning {
     * happens to hold and the layout degrades to days × tasks small
     * files, the classic partitioned-write mistake at scale). */
   def writePartitioned(spark: SparkSession, sfDir: String,
-      base: String = layoutBase): String = {
-    val path = s"$base/events_by_day"
+      base: String = ""): String = {
+    val root = if (base.isEmpty) layoutBase(sfDir) else base
+    val path = s"$root/events_by_day"
     Tables.events(spark, sfDir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .repartition(col("day"))

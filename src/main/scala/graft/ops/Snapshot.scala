@@ -27,6 +27,7 @@ object Snapshot {
 
   /** q106: snapshot diff rollup — status × count × id range. */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    Planted.assertHeadroom(spark, sfDir, 300000L, "q106 snapshot carving")
     val d = Tables.documents(spark, sfDir)
     val old = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("old_fp"))
@@ -63,6 +64,7 @@ object Snapshot {
     * engine-parity recipe: shares rounded to 9 before the ln, the ln
     * rounded to 9 before the multiply. */
   def snapshotDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    Planted.assertHeadroom(spark, sfDir, 300000L, "q136 snapshot carving")
     val d = Tables.documents(spark, sfDir)
     val old = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .select(col("doc_id"), col("source"))

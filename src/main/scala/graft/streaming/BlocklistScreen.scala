@@ -71,8 +71,7 @@ object BlocklistScreen {
     * exercised the incremental-state path. */
   def streamedAudit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_audit").getAbsolutePath
+    val base = graft.Scratch.dir("stream_audit", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)

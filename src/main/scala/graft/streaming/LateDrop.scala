@@ -15,14 +15,20 @@ import org.apache.spark.sql.functions._
   * they been kept, those windows would re-emit and the row counts
   * would betray it).
   *
-  * OBSERVED-SEMANTICS NOTE (probed on this Spark version, pinned by
-  * the oracle): the late-record filter applies the watermark with a
-  * ONE-BATCH LAG — batch k filters against the watermark computed
-  * from batches ≤ k−2 (floor-to-MILLISECOND of max event time minus
-  * the delay; batch 1 filters against −∞), while the FINAL emission
-  * uses the fully-updated watermark (the trailing no-data trigger
-  * catches up). The staging is designed so only batch 2 is
-  * lag-sensitive — exactly the case probed.
+  * OBSERVED-SEMANTICS NOTE (probed on Spark 4.1.2 — the oracle PINS
+  * the probed behavior, see below): the late-record filter applies
+  * the watermark with a ONE-BATCH LAG — batch k filters against the
+  * watermark computed from batches ≤ k−2 (floor-to-MILLISECOND of
+  * max event time minus the delay; batch 1 filters against −∞),
+  * while the FINAL emission uses the fully-updated watermark (the
+  * trailing no-data trigger catches up). The staging is designed so
+  * only batch 2 is lag-sensitive — exactly the case probed — and
+  * batch 1 repeats the max row precisely so batch 2's lagged
+  * watermark (from batch 0) EQUALS its unlagged one (from batch 1):
+  * the staging-time requires below assert the arithmetic that makes
+  * batches 0/1/3 lag-invariant, so if a Spark upgrade ever flips
+  * this query red, the failure is diagnosable as the LAG PIN moving
+  * (re-probe and update the oracle), not as a drop-path bug.
   *
   * The replay (4 pinned micro-batches over events, 5-min windows,
   * 10-min watermark):
@@ -46,8 +52,7 @@ object LateDrop {
 
   /** q197: append-mode windowed counts under planted late arrivals. */
   def streamedLateDrops(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_late").getAbsolutePath
+    val base = graft.Scratch.dir("stream_late", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -65,6 +70,22 @@ object LateDrop {
     val lo = lateSlice.agg(min(col("ts"))).collect()(0).getTimestamp(0)
     require(lo.getTime < thrMs - 300000L,
       "late slice must contain droppable rows (evicted windows)")
+    // lag-invariance pins (see scaladoc): batches 0/1/3 must give the
+    // same keep/drop answer whether the filter uses the lagged or the
+    // current watermark, so ONLY batch 2 depends on the probed
+    // one-batch-lag semantics. 5-min windows on ms epochs:
+    def winEndMs(t: Long): Long = (t / 300000L + 1L) * 300000L
+    // batch 1 (the max row): its window clears the batch-0 watermark,
+    // so lagged (−∞) and unlagged (thrMs) filters both keep it — and
+    // being the max row, it cannot ADVANCE the watermark, which is
+    // what equalizes batch 2's lagged vs unlagged threshold
+    require(winEndMs(mx.getTime) > thrMs,
+      "lag pin: batch-1 max row must be keepable under both watermarks")
+    // batch 3 (advance row at max+30min): keepable under any watermark
+    // this replay can reach, and its own window must stay OPEN past
+    // the final watermark (floor-to-ms(max)+20min) so it never emits
+    require(winEndMs(mx.getTime + 1800000L) > mx.getTime + 1200000L,
+      "lag pin: advance row's window must outlive the final watermark")
     import spark.implicits._
     val advance = Seq((new java.sql.Timestamp(mx.getTime + 30 * 60 * 1000),
       "advance")).toDF("ts", "event_type")

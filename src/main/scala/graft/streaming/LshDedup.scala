@@ -125,8 +125,7 @@ object LshDedup {
     * parquet, not driver memory. */
   def streamedDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_lsh").getAbsolutePath
+    val base = graft.Scratch.dir("stream_lsh", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)

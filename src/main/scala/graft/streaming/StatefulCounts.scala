@@ -57,8 +57,7 @@ object StatefulCounts {
     * (tiny) user dimension, the same shape as the corpus upsert. */
   def streamedUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_counts").getAbsolutePath
+    val base = graft.Scratch.dir("stream_counts", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)

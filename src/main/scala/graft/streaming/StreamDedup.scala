@@ -39,6 +39,8 @@ object StreamDedup {
     * trailing-tab (id%11) — all normalize to the same fingerprint
     * ([[TextOps.fingerprint]] tokenizes first). */
   private[graft] def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.ops.Planted.assertHeadroom(spark, sfDir, 200001L,
+      "q191 stream-dedup corpus")
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -71,8 +73,7 @@ object StreamDedup {
     * suppressed. */
   def streamedExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_dedup").getAbsolutePath
+    val base = graft.Scratch.dir("stream_dedup", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)

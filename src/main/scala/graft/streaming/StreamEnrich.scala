@@ -27,8 +27,7 @@ object StreamEnrich {
   /** q198: events streamed in 4 micro-batches, enriched against the
     * static customer dim, per-segment rollup of the sink. */
   def streamedEnrichment(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_enrich").getAbsolutePath
+    val base = graft.Scratch.dir("stream_enrich", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)

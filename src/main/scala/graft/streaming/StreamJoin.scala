@@ -65,8 +65,7 @@ object StreamJoin {
     * both sides (the property that lets this run forever); each
     * trigger shuffles only that batch's rows on ad_id. */
   def streamedAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_join").getAbsolutePath
+    val base = graft.Scratch.dir("stream_join", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)

@@ -57,8 +57,7 @@ object WarcIngest {
     * post-stream corpus parquet, so the upsert ran too. */
   def streamedCorpusHealth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_e2e").getAbsolutePath
+    val base = graft.Scratch.dir("stream_e2e", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)

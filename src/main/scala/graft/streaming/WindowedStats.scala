@@ -45,8 +45,7 @@ object WindowedStats {
     * micro-batch shuffles partial counts only. The sink is parquet
     * append; nothing driver-side. */
   def streamedWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_win").getAbsolutePath
+    val base = graft.Scratch.dir("stream_win", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -107,8 +106,7 @@ object WindowedStats {
     * full final answer); per batch the shuffle is session-key
     * partial rows. */
   def streamedSessions(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_sess").getAbsolutePath
+    val base = graft.Scratch.dir("stream_sess", sfDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)

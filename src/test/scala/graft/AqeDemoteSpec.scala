@@ -28,9 +28,8 @@ class AqeDemoteSpec extends SparkSpec {
   }
 
   test("scoped thresholds are restored after the query") {
-    val keys = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // the operator's OWN scoped-conf list (not a hand-copied subset)
+    val keys = AqeDemote.ScopedConfs.map(_._1)
     val before = keys.map(k => k -> spark.conf.getOption(k))
     AqeDemote.demotedJoinRollup(spark, sfDir).collect()
     val after = keys.map(k => k -> spark.conf.getOption(k))

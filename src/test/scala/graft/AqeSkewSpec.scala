@@ -33,10 +33,9 @@ class AqeSkewSpec extends SparkSpec {
   }
 
   test("scoped confs are restored after the query") {
-    val keys = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.autoBroadcastJoinThreshold")
+    // the operator's OWN scoped-conf list (not a hand-copied subset):
+    // a restore regression in any key it touches must land here
+    val keys = AqeSkew.ScopedConfs.map(_._1)
     val before = keys.map(k => k -> spark.conf.getOption(k))
     AqeSkew.skewJoinRollup(spark, dir).collect()
     val after = keys.map(k => k -> spark.conf.getOption(k))

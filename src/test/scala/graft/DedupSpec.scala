@@ -147,7 +147,7 @@ class DedupSpec extends SparkSpec {
     import graft.ops.Components
     // two independent algorithms over the same pair graph must emit
     // the exact same group-size/canonical-sum summary
-    val label = Components.dedupGroups(spark, sfDir).collect()
+    val label = Components.dedupGroupsMinLabel(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("sz"), r.getAs[Long]("n_groups"),
         r.getAs[Long]("canonical_sum"))).toSet
     val star = Components.dedupGroupsStar(spark, sfDir).collect()

@@ -32,8 +32,7 @@ class StreamDedupSpec extends SparkSpec {
 
   test("admitted set = one survivor per fingerprint, in its first batch") {
     StreamDedup.streamedExactDedup(spark, sfDir).collect() // runs the stream
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_dedup").getAbsolutePath
+    val base = graft.Scratch.dir("stream_dedup", sfDir)
     val admitted = spark.read.parquet(s"$base/admitted")
       .select($"doc_id", $"fp").as[(Long, Long)].collect()
     val all = StreamDedup.corpus(spark, sfDir)

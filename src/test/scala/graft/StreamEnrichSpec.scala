@@ -27,8 +27,7 @@ class StreamEnrichSpec extends SparkSpec {
 
   test("sink row count equals the matched-event count (no dupes, no loss)") {
     StreamEnrich.streamedEnrichment(spark, sfDir).collect()
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_stream_enrich").getAbsolutePath
+    val base = graft.Scratch.dir("stream_enrich", sfDir)
     val sink = spark.read.parquet(s"$base/out")
     val matched = Tables.events(spark, sfDir)
       .join(Tables.customer(spark, sfDir), $"user_id" === $"c_custkey")
