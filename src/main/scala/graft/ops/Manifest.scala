@@ -58,6 +58,13 @@ object Manifest {
     val weights = m.groupBy(col("bin")).agg(
       (sum(when(col("curated"), col("lp")).otherwise(lit(0.0)))
         - sum(when(!col("curated"), col("lp")).otherwise(lit(0.0)))).as("w"))
+    // perDoc is SLIM (one 4-column row per surviving doc) but its
+    // lineage is the full scan→explode→score pipeline, and it feeds
+    // TWO consumers (mixture supply and the shard manifest) — without
+    // a checkpoint each consumer re-runs the corpus-scale subtree
+    // (r10: was the plan's extra documents scan). Materializing the
+    // per-doc relation once is exactly what a production build does
+    // between its gate and its packing stage.
     val perDoc = toks
       .select(col("doc_id"), col("source"),
         pmod(TextOps.hash60(col("tok")), lit(Bayes.Bins)).as("bin"))
@@ -66,6 +73,7 @@ object Manifest {
       .agg(count(lit(1)).as("n_toks"),
         round(sum(col("w").cast("decimal(28,12)")).cast("double")
           / count(lit(1)), 6).as("llr"))
+      .localCheckpoint()
     val kept = perDoc.filter(col("llr") > 0.0)
 
     // stage 3: α=0.5 mixture weights over KEPT token supply

@@ -13,7 +13,7 @@ object ExplainQuery {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       println(s"===== $name =====")
-      println(df.queryExecution.executedPlan.toString.take(8000))
+      println(df.queryExecution.executedPlan.toString.take(400000))
     }
     spark.stop()
   }

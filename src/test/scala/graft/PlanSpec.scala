@@ -333,6 +333,89 @@ class PlanSpec extends SparkSpec {
       s"more windows than the one bounded running-count:\n$p")
   }
 
+  test("q175 scene cuts: decode is scan-local; only scalar pair rows reach the exchanges") {
+    val df = ops.Scenes.sceneCuts(spark, sfDir)
+    val p = plan(df)
+    // mux→demux→decode→SAD all live in the object pipeline before
+    // serialization; the AVI payload must never appear in a shuffle
+    assert(p.contains("MapPartitions"), s"decode not partition-local:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("content#")),
+      s"AVI payload crosses a shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"q175 must be scan+map+agg only:\n$p")
+    assert(p.contains("partial_"),
+      s"pair rollup not map-side combined:\n$p")
+  }
+
+  test("q156 exact-substring dedup: one prefix-bucket shuffle, partition-local sort, no joins") {
+    val df = ops.SuffixDedup.exactSubstr(spark, sfDir)
+    val p = plan(df)
+    // the Lee-et-al shape: windows shuffle ONCE (2-char-prefix
+    // bucketing), sort WITHIN partitions, and the adjacent-equality
+    // scan emits slim (doc_id, source, pos) rows — full windows never
+    // shuffle again and nothing ever joins
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"suffix dedup must not join:\n$p")
+    assert(p.contains("Exchange hashpartitioning(substr(w#"),
+      s"prefix-bucket repartition missing:\n$p")
+    val windowExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("w#")).size
+    assert(windowExchanges == 1,
+      s"windows must cross exactly one exchange, saw $windowExchanges:\n$p")
+    // the suffix sort is the partition-local one (global=false); the
+    // only global sort is the 5-row final ORDER BY source
+    assert("Sort \\[w#\\d+ ASC NULLS FIRST\\], false".r.findFirstIn(p).isDefined,
+      s"suffix sort not partition-local:\n$p")
+    assert(p.contains("partial_"),
+      s"per-source rollup not map-side combined:\n$p")
+  }
+
+  test("q182 CDC census: chunks materialize once; report joins are 1-row broadcasts") {
+    val df = ops.Cdc.cdcCensus(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    // count operators on the FINAL adaptive section only (toString
+    // repeats the initial plan below it)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the chunk relation (doc_id, h, clen) is checkpointed once and
+    // every census leg scans the cached blocks — chunk TEXT exists
+    // only inside the checkpoint job, so no exchange here can carry it
+    assert(p.contains("Scan ExistingRDD"),
+      s"chunk relation not materialized once:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q182 report assembly degraded to a cartesian:\n$p")
+    // the only nested-loop joins are the two 1-row report crossjoins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"more nested-loop joins than the two 1-row report stitches:\n$p")
+    assert(p.contains("partial_"),
+      s"census legs not map-side combined:\n$p")
+  }
+
+  test("q200 build manifest: gate output materializes once; downstream is slim-row algebra") {
+    val df = ops.Manifest.buildManifest(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // final adaptive section only
+    // the per-doc gate relation is checkpointed (the corpus-scale
+    // dedup→train→score pipeline runs exactly once; supply and the
+    // shard manifest both reuse the slim blocks instead of
+    // re-deriving the corpus — r10, VERDICT r9 #2)
+    assert(p.contains("Scan ExistingRDD"),
+      s"per-doc gate relation not materialized once:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"downstream stages rescan the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"mixture stitch degraded to a cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"more nested-loop joins than the 1-row mixture total:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"document text crosses a downstream shuffle:\n$p")
+    assert(p.contains("partial_"),
+      s"manifest rollup not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
