@@ -1366,10 +1366,30 @@ object PdfCodec {
     val cmapCache = mutable.Map[Int, Option[Map[Int, String]]]()
     def cmapOf(fontObj: Int): Option[Map[Int, String]] =
       cmapCache.getOrElseUpdate(fontObj, {
-        """/ToUnicode\s+(\d+)\s+0\s+R""".r
-          .findFirstMatchIn(tab.scope(fontObj))
+        val scope = tab.scope(fontObj)
+        val toUni = """/ToUnicode\s+(\d+)\s+0\s+R""".r
+          .findFirstMatchIn(scope)
           .map(t => parseCMap(
             new String(tab.stream(t.group(1).toInt), ISO_8859_1)))
+        // A Type0 font WITHOUT an embedded /ToUnicode names a
+        // PREDEFINED registry CMap (/Encoding /UniJIS-UCS2-H,
+        // /Identity-H, ...) whose code→Unicode data lives in Adobe's
+        // CMap resource files, not in the PDF. Shipping that registry
+        // is formally OUT OF SCOPE (SURVEY §2 S3; VERDICT r9 #4) —
+        // the only honest behaviors are extract-through-ToUnicode or
+        // FAIL LOUDLY. Falling through to the simple-font hex→Latin-1
+        // reading (what a None here used to mean) would silently emit
+        // garbage for exactly these fonts — the failure mode PdfSpec
+        // pins instead.
+        if (toUni.isEmpty && """/Subtype\s*/Type0""".r
+            .findFirstIn(scope).isDefined) {
+          val enc = """/Encoding\s*/([\w-]+)""".r.findFirstMatchIn(scope)
+            .map(_.group(1)).getOrElse("<none>")
+          fail(s"Type0 font uses predefined CMap /$enc with no embedded " +
+            "/ToUnicode: registry CMap data is out of scope — cannot " +
+            "recover Unicode text")
+        }
+        toUni
       })
     /** EVERY font in the page's /Font resource dict, in declaration
       * order — Tf operators select among them, so a page mixing a

@@ -29,10 +29,43 @@ object StreamTune {
   /** Shuffle/state partitions for bounded replays. */
   val ReplayPartitions = 8
 
+  /** The EXACT conf set scoped around every stateful `start()` —
+    * exposed for the no-leak spec (the AqeSkew discipline).
+    *
+    * Backend (r10, VERDICT r9 #6): RocksDB with CHANGELOG
+    * checkpointing replaces the default HDFS-backed provider. A
+    * commit then appends only the batch's changelog instead of
+    * snapshotting the full store (snapshots move to background
+    * maintenance), which is where the bounded replays' fixed cost
+    * lives — probed idle at sf0.1, min-of-3 per backend
+    * (tools/ProbeStateBackend): q157 6.52→5.03 s (−23%),
+    * q162 5.42→5.34 s, q191 2.99→2.87 s; never slower on any
+    * family member. At production scale the same choice is forced
+    * by memory: HDFS-backed state lives entirely on the JVM heap,
+    * RocksDB spills to executor-local disk. Answers are
+    * backend-independent (RocksDbStateSpec pins parity; every
+    * streaming query stays oracle-gated). */
+  val ScopedConfs: Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> ReplayPartitions.toString,
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   def withStatePartitions[T](spark: SparkSession,
       n: Int = ReplayPartitions)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val confs = ScopedConfs.map {
+      case ("spark.sql.shuffle.partitions", _) =>
+        "spark.sql.shuffle.partitions" -> n.toString
+      case kv => kv
+    }
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      f
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }

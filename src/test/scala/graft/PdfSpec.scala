@@ -164,6 +164,32 @@ class PdfSpec extends SparkSpec {
     assert(ex.getMessage.contains("not in ToUnicode CMap"))
   }
 
+  test("predefined registry CMap without ToUnicode fails loudly, never Latin-1 garbage") {
+    import graft.ops.PdfCodec
+    // SURVEY §2 S3 / VERDICT r9 #4 closure: registry CMap data
+    // (UniJIS/UniGB/...) lives in Adobe's resource files, not in the
+    // PDF — out of scope by declaration. The pinned contract: a Type0
+    // font whose /Encoding names a predefined CMap and that carries
+    // no embedded /ToUnicode must FAIL with a named error, because
+    // the silent alternative (hex pairs read as Latin-1 — the
+    // simple-font rule) emits garbage for exactly these fonts.
+    val bytes = PdfCodec.encodeCMap(Seq("some page text"))
+    val txt = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val patch = "/UniJIS-UCS2-H" + " " * 14 // same length: xref offsets hold
+    val orig = "/Identity-H /ToUnicode 4 0 R"
+    assert(orig.length == patch.length)
+    val fixture = txt.replace(orig, patch)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val e = intercept[IllegalArgumentException](PdfCodec.decode(fixture))
+    assert(e.getMessage.contains("UniJIS-UCS2-H")
+        && e.getMessage.contains("registry CMap"),
+      s"failure must name the unsupported CMap: ${e.getMessage}")
+    // positive control: the unpatched twin (embedded ToUnicode
+    // present) still extracts — the loud failure keys on the MISSING
+    // mapping, not on Type0 fonts per se
+    assert(PdfCodec.decode(bytes).pages.head.contains("some page text"))
+  }
+
   test("encryption edge cases: wrong password class and R3 key schedule") {
     import graft.ops.PdfCodec
     // tamper with /U -> loud failure, not garbage text
