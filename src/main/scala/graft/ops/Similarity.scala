@@ -124,6 +124,12 @@ object Similarity {
     * carrying its norm. Materialized — exposed for the recall spec. */
   private[graft] def nearDupCorpus(spark: SparkSession,
       sfDir: String): DataFrame = {
+    // vec_id here IS doc_id (Corpus.docEmbeddings), so the +10000
+    // perturbed family needs the same headroom guard as the text
+    // carvings (ADVICE r9): an organic id ≥ 10000 would silently
+    // land in the planted range
+    Planted.assertHeadroom(spark, sfDir, 10000L,
+      "q27 embedding near-dup corpus")
     // materialize the featurized vectors FIRST: the perturbation below
     // normalizes, and a normalize-of-featurize as one nested tree
     // re-evaluates the norm's dot (and the featurizer under it) per
