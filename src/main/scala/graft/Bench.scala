@@ -219,6 +219,48 @@ object Bench {
   * {{{ sbt "runMain graft.BenchOne /root/testdata/sf0.1 2 q53_dedup_groups" }}}
   */
 object BenchOne {
+
+  /** Declared queries that run a stateful Structured Streaming
+    * replay. Their children additionally warm the STREAMING ENGINE
+    * machinery (micro-batch commit path, state-store provider —
+    * RocksDB JNI + changelog since r10) before the measured reps:
+    * that surface is engine fixed cost, same class as the
+    * scan/shuffle/codegen warm-up, and on a fresh JVM it otherwise
+    * dominates rep 1 AND leaks compile residue into rep 2 (r10
+    * record: q157 rep 2 carried jit=8.7 s ≈ wall; idle rep 3 landed
+    * at 5.96 s — min-of-2 never reached steady state). Per-query
+    * PLAN compilation still lands inside the measurement; only the
+    * query-independent machinery is warmed. */
+  private val StatefulStreaming = Set(
+    "q155_streaming_ingest", "q157_streaming_lsh", "q158_streaming_audit",
+    "q159_streaming_windows", "q160_streaming_state",
+    "q161_streaming_sessions", "q162_streaming_join",
+    "q191_streaming_dedup", "q197_late_drops")
+
+  /** One-row file-source stream through a stateful dropDuplicates on
+    * the replay backend (StreamTune scope), noop sink — compiles and
+    * runs the whole micro-batch + state-commit path once. */
+  private def warmStreamingMachinery(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warm_stream")
+    val stage = new java.io.File(dir.toFile, "stage")
+    stage.mkdirs()
+    Seq((1L, "warm")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val q = graft.streaming.StreamTune.withStatePartitions(spark) {
+      spark.readStream.schema("k BIGINT, v STRING")
+        .parquet(stage.getAbsolutePath)
+        .dropDuplicates("k")
+        .writeStream.format("noop")
+        .option("checkpointLocation", new java.io.File(dir.toFile, "ckpt").getAbsolutePath)
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = args(1).toInt
@@ -231,6 +273,7 @@ object BenchOne {
     // expression compilation stays in the measurement (it's part of
     // the engine's real cost)
     Tables.nation(spark, sfDir).groupBy("n_regionkey").count().count()
+    if (StatefulStreaming(name)) warmStreamingMachinery(spark)
     // contention markers: fixed CPU-bound calib + host load average,
     // reported on their own protocol line so a contended record is
     // self-identifying (round-6 lesson: driver host was 2-5× loaded)
