@@ -416,6 +416,48 @@ class PlanSpec extends SparkSpec {
       s"manifest rollup not map-side combined:\n$p")
   }
 
+  test("q201 binary ANN: codes shuffle slim, vectors never cross an exchange, rerank joins broadcast") {
+    val df = ops.BinaryAnn.hammingRerank(spark, sfDir)
+    val p = plan(df)
+    // query codes/vectors broadcast (BNLJ for the code scan, BHJ for
+    // the keyed rerank fetches); the corpus side never sort-merges
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"Hamming scan should broadcast the query codes:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rerank fetch should be a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a corpus-side shuffle join crept in:\n$p")
+    // the top-R rank shuffles (vec_id, ham) only — the 1024-d double
+    // vector must never ride an exchange (it is re-fetched BY KEY
+    // after the gate; shipping it through the rank would be the 8
+    // KB/row scale lie the operator exists to avoid)
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("v#")),
+      s"full vectors cross a shuffle:\n$p")
+  }
+
+  test("q202 MaxSim: query tokens broadcast; both aggs map-side combine") {
+    val df = ops.MaxSim.maxSimRerank(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query-token side should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"token pairing degraded to a shuffle join:\n$p")
+    assert("partial_max".r.findFirstIn(p).isDefined,
+      s"per-(doc, q-token) max not map-side combined:\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"per-doc score sum not map-side combined:\n$p")
+  }
+
+  test("q203 Luhn audit: scan-local validation, no joins, rollup partial-aggs") {
+    val df = ops.Luhn.luhnAudit(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"q203 needs no join anywhere:\n$p")
+    assert(!p.contains("Window"), s"q203 needs no window:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      s"status rollup not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
