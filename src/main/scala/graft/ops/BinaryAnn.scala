@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Corpus
+import graft.{Corpus, Tables}
 import graft.functions.{Embeddings, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -46,8 +46,17 @@ object BinaryAnn {
   /** Sign-pack a 1024-d vector into [[Words]] longs, MSB-first within
     * each word: bit for dimension `64w + i` (0-based) lands at
     * position `63 - i` of word `w`. Zero counts as positive —
-    * mirrored exactly in the oracle's `>= 0`. */
-  def signPack(v: Column): Column =
+    * mirrored exactly in the oracle's `>= 0`. Native expression
+    * ([[graft.expressions.SignPack]]): the HOF form re-evaluates an
+    * inlined producer once per word (16× featurize per row — the
+    * TextOps-documented lambda-capture trap, measured 0.41→4.6 s on
+    * the sf0.1 scan); the native packer reads its child exactly once. */
+  def signPack(v: Column): Column = graft.expressions.SignPack.pack(v)
+
+  /** HOF formulation of [[signPack]] — kept as the portable reference
+    * implementation (equivalence property-tested in BinaryAnnSpec).
+    * Do NOT use over an expensive inlined producer; see above. */
+  def signPackHof(v: Column): Column =
     transform(sequence(lit(0), lit(Words - 1)), w =>
       aggregate(slice(v, w * lit(64) + lit(1), lit(64)), lit(0L),
         (acc, x) => shiftleft(acc, 1) + when(x >= 0, lit(1L)).otherwise(lit(0L))))
@@ -76,9 +85,23 @@ object BinaryAnn {
         Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))))
       .filter(col("crank") <= CandR)
       .select(col("q_id"), col("vec_id"), col("ham"))
-    val qVecs = e.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    e.join(broadcast(cand), Seq("vec_id"))
+    // candidate-vector fetch: gate the RAW table by the broadcast
+    // candidate keys FIRST, then derive vectors for the R·|Q|
+    // survivors only — the full-corpus featurize happens exactly once
+    // (the code scan above). At 100 TB this is the point-lookup
+    // against the stored vector column; here the join-then-derive
+    // order keeps the derivation off the corpus-scale path too.
+    val stored = VectorOps.truncateKnown(
+      Embeddings.featurize(col("text"), Embeddings.ModelDims),
+      Embeddings.RefDims)
+    val candVecs = Tables.documents(spark, sfDir)
+      .join(broadcast(cand), col("doc_id") === col("vec_id"))
+      .withColumn("v", stored)
+      .select(col("q_id"), col("vec_id"), col("ham"), col("v"))
+    val qVecs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < NQ)
+      .select(col("doc_id").as("q_id"), stored.as("qv"))
+    candVecs
       .join(broadcast(qVecs), Seq("q_id"))
       .withColumn("sim", VectorOps.cosine(col("v"), col("qv")))
       .withColumn("rank", row_number().over(

@@ -25,6 +25,22 @@ class BinaryAnnSpec extends SparkSpec {
     assert(got.slice(2, 15).forall(_ === 0L))
   }
 
+  test("native signPack equals the HOF reference on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val vs = Seq.fill(20)(Tuple1(Array.fill(1024)(rnd.nextDouble() - 0.5)))
+    val both = vs.toDF("v").select(
+      BinaryAnn.signPack(col("v")).as("a"),
+      BinaryAnn.signPackHof(col("v")).as("b"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.forall { case (a, b) => a == b })
+  }
+
+  test("native signPack is NULL on a length not divisible by 64") {
+    val got = Seq(Tuple1(Array.fill(100)(1.0))).toDF("v")
+      .select(BinaryAnn.signPack(col("v"))).collect()
+    assert(got.head.isNullAt(0))
+  }
+
   test("packed Hamming equals the direct sign-disagreement count") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(12) {
