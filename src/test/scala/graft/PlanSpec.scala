@@ -458,6 +458,16 @@ class PlanSpec extends SparkSpec {
       s"status rollup not map-side combined:\n$p")
   }
 
+  test("q204 t-digest audit: one agg pass, digest partial-merges map-side, no join") {
+    // the declared query checkpoints this agg (one execution serving
+    // answer + contract); pin the agg's own plan
+    val df = ops.QuantileSketch.auditAgg(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"q204 needs no join:\n$p")
+    assert("partial".r.findFirstIn(p.toLowerCase).isDefined,
+      s"digest/percentile agg not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
