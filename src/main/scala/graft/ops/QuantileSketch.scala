@@ -34,8 +34,10 @@ object QuantileSketch {
   private[graft] def auditAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val td = udaf(TDigest.Agg, Encoders.scalaDouble)
     // one exact-percentile buffer serves all nine probes (the three
-    // published quantiles + both envelope edges per quantile)
-    val probes = Seq(0.48, 0.5, 0.52, 0.88, 0.9, 0.92, 0.97, 0.99, 1.0)
+    // published quantiles + both envelope edges per quantile, derived
+    // from RankEps so the contract and the probes can't drift)
+    val probes = Seq(0.5, 0.9, 0.99).flatMap(phi =>
+      Seq(phi - RankEps, phi, math.min(1.0, phi + RankEps)))
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
