@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryMinus}
-import graft.expressions.{DotProduct, HashFeaturize}
+import graft.expressions.{DotProduct, HashFeaturize, SignPack}
 
 /** Session extension point — registers the engine's native SQL
   * functions so `spark.sql("SELECT vec_dot(a, b) ...")` works:
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_negdot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_negdot"),
       (args: Seq[Expression]) => UnaryMinus(DotProduct(args(0), args(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_signpack"),
+      new ExpressionInfo(classOf[SignPack].getName, "vec_signpack"),
+      (args: Seq[Expression]) => SignPack(args(0))))
     ext.injectFunction((
       new FunctionIdentifier("vec_featurize"),
       new ExpressionInfo(classOf[HashFeaturize].getName, "vec_featurize"),

@@ -36,6 +36,22 @@ class SqlApiSpec extends SparkSpec {
     assert(viaSql === viaDf)
   }
 
+  test("vec_signpack in pure SQL matches the Column API") {
+    installFunctions()
+    Tables.documents(spark, sfDir).createOrReplaceTempView("docs_sp")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  vec_signpack(slice(vec_featurize(text, 1280), 1, 1024)) AS code
+        |FROM docs_sp WHERE doc_id < 5 ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val viaDf = Corpus.docEmbeddings(spark, sfDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), ops.BinaryAnn.signPack(col("v")).as("code"))
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(viaSql.toSeq === viaDf.toSeq)
+  }
+
   test("featurize + score pipeline in pure SQL") {
     installFunctions()
     Tables.documents(spark, sfDir).createOrReplaceTempView("docs")
