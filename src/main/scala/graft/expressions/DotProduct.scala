@@ -113,21 +113,8 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  // Column<->Expression bridging lives in private[sql] helpers in
-  // Spark 4; their static forms are public bytecode, so bind them
-  // once here rather than shading into org.apache.spark namespace.
-  private val exprUtils =
-    Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
-  private val toColumn =
-    exprUtils.getMethod("column", classOf[Expression])
-  private val toExpression =
-    exprUtils.getMethod("expression", classOf[Column])
-
-  private def expression(c: Column): Expression =
-    toExpression.invoke(null, c).asInstanceOf[Expression]
-
   /** Column API: native inner product. */
   def dot(a: Column, b: Column): Column =
-    toColumn.invoke(null, DotProduct(expression(a), expression(b)))
-      .asInstanceOf[Column]
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

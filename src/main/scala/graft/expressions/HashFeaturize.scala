@@ -106,17 +106,7 @@ object HashFeaturize {
     new GenericArrayData(raw)
   }
 
-  // Column<->Expression bridge (see DotProduct for why reflection)
-  private val exprUtils =
-    Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
-  private val toColumn =
-    exprUtils.getMethod("column", classOf[Expression])
-  private val toExpression =
-    exprUtils.getMethod("expression", classOf[Column])
-
   /** Column API: featurize a string column into a `dims`-d unit vector. */
   def featurize(text: Column, dims: Int): Column =
-    toColumn.invoke(null, HashFeaturize(
-      toExpression.invoke(null, text).asInstanceOf[Expression], dims))
-      .asInstanceOf[Column]
+    ColumnBridge.column(HashFeaturize(ColumnBridge.expression(text), dims))
 }

@@ -144,18 +144,9 @@ object HyperplaneBands {
     new GenericArrayData(keys)
   }
 
-  // Column<->Expression bridge (see DotProduct for why reflection)
-  private val exprUtils =
-    Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
-  private val toColumn =
-    exprUtils.getMethod("column", classOf[Expression])
-  private val toExpression =
-    exprUtils.getMethod("expression", classOf[Column])
-
   /** Column API: banded sign-bit keys of the fixed hyperplane
     * projections, `array<int>` of length nPlanes/bandBits. */
   def bands(v: Column, nPlanes: Int, bandBits: Int): Column =
-    toColumn.invoke(null, HyperplaneBands(
-      toExpression.invoke(null, v).asInstanceOf[Expression],
-      nPlanes, bandBits)).asInstanceOf[Column]
+    ColumnBridge.column(HyperplaneBands(
+      ColumnBridge.expression(v), nPlanes, bandBits))
 }

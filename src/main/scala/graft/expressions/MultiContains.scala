@@ -143,14 +143,6 @@ case class MultiContains(child: Expression, patterns: Seq[String])
 }
 
 object MultiContains {
-  def hits(c: Column, patterns: Seq[String]): Column = {
-    val exprUtils =
-      Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
-    val toColumn = exprUtils.getMethod("column", classOf[Expression])
-    val toExpression = exprUtils.getMethod("expression", classOf[Column])
-    toColumn.invoke(null,
-      MultiContains(
-        toExpression.invoke(null, c).asInstanceOf[Expression], patterns))
-      .asInstanceOf[Column]
-  }
+  def hits(c: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(MultiContains(ColumnBridge.expression(c), patterns))
 }

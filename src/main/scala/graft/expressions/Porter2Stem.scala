@@ -43,13 +43,6 @@ case class Porter2Stem(child: Expression) extends UnaryExpression {
 
 object Porter2Stem {
   /** Column API: Snowball English stem of a lowercase token column. */
-  def stem(c: Column): Column = {
-    val exprUtils =
-      Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
-    val toColumn = exprUtils.getMethod("column", classOf[Expression])
-    val toExpression = exprUtils.getMethod("expression", classOf[Column])
-    toColumn.invoke(null,
-      Porter2Stem(toExpression.invoke(null, c).asInstanceOf[Expression]))
-      .asInstanceOf[Column]
-  }
+  def stem(c: Column): Column =
+    ColumnBridge.column(Porter2Stem(ColumnBridge.expression(c)))
 }

@@ -57,7 +57,11 @@ case class SignPack(child: Expression) extends UnaryExpression {
     while (i < n) {
       if (checkNulls && x.isNullAt(i)) return null
       val v = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
-      if (v >= 0) words(i / 64) |= 1L << (63 - (i % 64))
+      // SQL comparison semantics: NaN orders greater than everything
+      // (Spark nanSafeCompare, DuckDB NaN-last), so NaN sets the bit —
+      // Java's `NaN >= 0 == false` would silently diverge from both
+      // the HOF reference and the oracle
+      if (v >= 0 || v.isNaN) words(i / 64) |= 1L << (63 - (i % 64))
       i += 1
     }
     new GenericArrayData(words)
@@ -82,7 +86,9 @@ case class SignPack(child: Expression) extends UnaryExpression {
          |  long[] $words = new long[$n / 64];
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullCheck
-         |    if (((double) $x.$get($i)) >= 0) {
+         |    double ${i}v = (double) $x.$get($i);
+         |    // SQL NaN semantics: NaN >= 0 (see eval)
+         |    if (${i}v >= 0 || Double.isNaN(${i}v)) {
          |      $words[$i / 64] |= 1L << (63 - ($i % 64));
          |    }
          |  }
@@ -102,16 +108,7 @@ case class SignPack(child: Expression) extends UnaryExpression {
 }
 
 object SignPack {
-  private val exprUtils =
-    Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
-  private val toColumn =
-    exprUtils.getMethod("column", classOf[Expression])
-  private val toExpression =
-    exprUtils.getMethod("expression", classOf[Column])
-
   /** Column API: native sign-bit packing. */
   def pack(v: Column): Column =
-    toColumn.invoke(null, SignPack(
-      toExpression.invoke(null, v).asInstanceOf[Expression]))
-      .asInstanceOf[Column]
+    ColumnBridge.column(SignPack(ColumnBridge.expression(v)))
 }

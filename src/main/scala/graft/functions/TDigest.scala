@@ -32,19 +32,27 @@ object TDigest {
   /** Unmerged points buffered per state before an in-place compress. */
   val PendingCap = 512
 
-  /** Digest state: sorted centroids + an unsorted pending buffer.
-    * Arrays (not collections) keep the product encoder compact. */
+  /** Digest state: sorted centroids + a PREALLOCATED pending slab
+    * filled to `nPending`. The reduce hot path mutates the slab in
+    * place and bumps the count — the live buffer object is reused
+    * between rows by the aggregation iterator, so per-row work is
+    * O(1) with no array copy (serialization through the encoder only
+    * happens at partial-output boundaries, where `flush` has already
+    * folded the slab away). Arrays (not collections) keep the product
+    * encoder compact. */
   case class Buf(means: Array[Double], weights: Array[Double],
-      pending: Array[Double])
+      pending: Array[Double], nPending: Int)
 
-  val empty: Buf = Buf(Array.empty, Array.empty, Array.empty)
+  /** Fresh state — allocate a new slab per call (states must never
+    * share the mutable buffer). */
+  def empty: Buf = Buf(Array.empty, Array.empty,
+    new Array[Double](PendingCap), 0)
 
   def insert(b: Buf, x: Double): Buf = {
-    val p = new Array[Double](b.pending.length + 1)
-    System.arraycopy(b.pending, 0, p, 0, b.pending.length)
-    p(b.pending.length) = x
-    if (p.length >= PendingCap) flushInto(b.means, b.weights, p)
-    else Buf(b.means, b.weights, p)
+    b.pending(b.nPending) = x
+    if (b.nPending + 1 >= PendingCap)
+      flushInto(b.means, b.weights, b.pending, b.nPending + 1)
+    else b.copy(nPending = b.nPending + 1)
   }
 
   def merge(a: Buf, b: Buf): Buf = {
@@ -52,13 +60,15 @@ object TDigest {
     mergeSorted(fa.means, fa.weights, fb.means, fb.weights)
   }
 
-  /** Fold the pending points into the centroid list. */
+  /** Fold the pending slab into the centroid list. */
   def flush(b: Buf): Buf =
-    if (b.pending.isEmpty) b else flushInto(b.means, b.weights, b.pending)
+    if (b.nPending == 0) b
+    else flushInto(b.means, b.weights, b.pending, b.nPending)
 
   private def flushInto(means: Array[Double], weights: Array[Double],
-      pending: Array[Double]): Buf = {
-    val p = pending.sorted
+      pending: Array[Double], n: Int): Buf = {
+    val p = java.util.Arrays.copyOf(pending, n)
+    java.util.Arrays.sort(p)
     mergeSorted(means, weights, p, Array.fill(p.length)(1.0))
   }
 
@@ -106,7 +116,7 @@ object TDigest {
       t += 1
     }
     om(out) = cm; ow(out) = cw; out += 1
-    Buf(om.take(out), ow.take(out), Array.empty)
+    Buf(om.take(out), ow.take(out), new Array[Double](PendingCap), 0)
   }
 
   /** Estimate the φ-quantile: linear interpolation between centroid

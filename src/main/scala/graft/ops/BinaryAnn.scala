@@ -91,9 +91,7 @@ object BinaryAnn {
     // (the code scan above). At 100 TB this is the point-lookup
     // against the stored vector column; here the join-then-derive
     // order keeps the derivation off the corpus-scale path too.
-    val stored = VectorOps.truncateKnown(
-      Embeddings.featurize(col("text"), Embeddings.ModelDims),
-      Embeddings.RefDims)
+    val stored = Embeddings.embedStored(col("text"))
     val candVecs = Tables.documents(spark, sfDir)
       .join(broadcast(cand), col("doc_id") === col("vec_id"))
       .withColumn("v", stored)

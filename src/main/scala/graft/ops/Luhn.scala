@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * so production PII pipelines validate every candidate with the
   * payment-card Luhn checksum (ISO/IEC 7812-1 §B) and only treat
   * checksum-passing runs as card numbers. The whole validator is one
-  * codegen'd higher-order expression — reversed-digit walk, double
-  * every second digit, subtract 9 over 9, sum mod 10 — no UDF, so it
-  * runs inside the scan's WholeStageCodegen span and is restated
-  * verbatim for the oracle.
+  * single-pass higher-order expression — reversed-digit walk, double
+  * every second digit, subtract 9 over 9, sum mod 10 — no UDF, every
+  * subtree evaluated once per row, and restated verbatim for the
+  * oracle.
   *
   * Scale shape: extraction + validation are per-row scalar work on
   * the text scan (zero shuffles before the final tiny per-status
@@ -34,17 +34,29 @@ object Luhn {
   /** Candidate digit-run pattern (PAN lengths per ISO/IEC 7812). */
   val Pattern = "[0-9]{13,19}"
 
-  /** Luhn checksum over a digit string: walk the REVERSED digits
-    * 1-based, double every even position (i.e. every second digit
-    * from the right), fold 2d>9 to 2d-9, valid iff the sum ≡ 0 mod
-    * 10. Null candidate → null. */
+  /** Luhn checksum over a digit string: walk the REVERSED digits,
+    * double every second digit from the right, fold 2d>9 to 2d-9,
+    * valid iff the sum ≡ 0 mod 10. Null candidate → null.
+    *
+    * Expression shape matters: the reversed char array sits in
+    * `transform`'s CHILD position (evaluated once per row) and the
+    * lambdas touch only their own variables — capturing the candidate
+    * producer INSIDE a lambda would re-run it once per digit after
+    * projection collapse (the SignPack/TextOps trap; a regex producer
+    * would execute ~19× per row). HOFs evaluate outside whole-stage
+    * codegen, but single-evaluation keeps the scan linear. */
   def luhnValid(cand: Column): Column = {
-    val r = reverse(cand)
-    val s = aggregate(sequence(lit(1), length(cand)), lit(0L), (acc, i) => {
-      val d = r.substr(i, lit(1)).cast("long")
-      acc + when(pmod(i, lit(2)) === 0,
+    // split(str, "") keeps a trailing "" (Spark splits with limit -1);
+    // drop empties so every element is exactly one digit char
+    val digits = filter(split(reverse(cand), ""), c => c =!= "")
+    val contribs = transform(digits, (c, i0) => {
+      val d = c.cast("long")
+      // i0 is 0-based from the right: double the odd indices
+      // (positions 2, 4, … from the right)
+      when(pmod(i0, lit(2)) === 1,
         when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
     })
+    val s = aggregate(contribs, lit(0L), (acc, x) => acc + x)
     pmod(s, lit(10)) === 0
   }
 

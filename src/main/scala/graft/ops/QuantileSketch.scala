@@ -13,7 +13,14 @@ import org.apache.spark.sql.functions._
   * a rank-error contract with ≥4× margin over the digest's
   * worst-case mid-quantile bound (2·q(1−q)/δ·N ≈ 0.5% of N at
   * δ=100), so it holds under any merge order even though the
-  * estimate itself is partitioning-dependent.
+  * estimate itself is partitioning-dependent. One honesty caveat:
+  * the envelope compares VALUES, which is stricter than the digest's
+  * rank guarantee when a single value carries ≥ 2ε of a group's mass
+  * (the envelope collapses to a point the interpolated estimate may
+  * legitimately miss). That shape cannot occur on the declared
+  * column (l_extendedprice is near-unique); TDigestSpec covers
+  * atom-heavy data with the rank-interval metric the sketch actually
+  * guarantees.
   *
   * Scale shape: the digest is why this query exists — constant-size
   * mergeable state (≤ ~2δ centroids), map-side partial merges, one

@@ -60,7 +60,7 @@ class TDigestSpec extends SparkSpec {
     val d = TDigest.flush(digestOf(Seq.fill(100000)(rnd.nextDouble())))
     assert(d.means.length <= 2 * TDigest.Delta.toInt + 1,
       s"${d.means.length} centroids for delta=${TDigest.Delta}")
-    assert(d.pending.isEmpty)
+    assert(d.nPending === 0)
     // weights conserve the count exactly
     assert(d.weights.sum === 100000.0)
     // centroids stay mean-sorted (the merge invariant)
