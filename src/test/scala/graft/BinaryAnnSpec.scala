@@ -35,6 +35,25 @@ class BinaryAnnSpec extends SparkSpec {
     assert(both.forall { case (a, b) => a == b })
   }
 
+  test("native signPack matches the HOF (SQL NaN semantics) on NaN/zero/-0.0 elements") {
+    // NaN orders greater than everything in SQL comparisons, so its
+    // sign bit is 1 in BOTH formulations; 0.0 and -0.0 both compare
+    // >= 0 (SQL equates them)
+    val v = Array.tabulate(1024) {
+      case 0 => Double.NaN
+      case 1 => 0.0
+      case 2 => -0.0
+      case i => if (i % 2 == 0) 1.0 else -1.0
+    }
+    val row = Seq(Tuple1(v)).toDF("v")
+      .select(BinaryAnn.signPack(col("v")).as("a"),
+        BinaryAnn.signPackHof(col("v")).as("b"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(row._1 === row._2)
+    // and the NaN/zero bits are actually set
+    assert((row._1.head >>> 61) === 7L, "dims 0-2 must all pack as 1")
+  }
+
   test("native signPack is NULL on a length not divisible by 64") {
     val got = Seq(Tuple1(Array.fill(100)(1.0))).toDF("v")
       .select(BinaryAnn.signPack(col("v"))).collect()
