@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryMinus}
-import graft.expressions.{DotProduct, HashFeaturize, SignPack}
+import graft.expressions.{DotProduct, HashFeaturize, NfcNormalize, SignPack}
 
 /** Session extension point — registers the engine's native SQL
   * functions so `spark.sql("SELECT vec_dot(a, b) ...")` works:
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_signpack"),
       new ExpressionInfo(classOf[SignPack].getName, "vec_signpack"),
       (args: Seq[Expression]) => SignPack(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
     ext.injectFunction((
       new FunctionIdentifier("vec_featurize"),
       new ExpressionInfo(classOf[HashFeaturize].getName, "vec_featurize"),

@@ -175,6 +175,22 @@ object Curation {
     * canonical-keep oracle in [[Components]]. */
   private[ops] val scoreCtesSql: String = scoreCtesFor("documents", "")
 
+  /** Per-doc scored points (doc_id, source, n_chars, score) — the
+    * quality-vs-length relation shared by the Pareto skyline (q207)
+    * and the OLS trend fit (q208). */
+  private[ops] def scoredPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    scoreDocs(docs)
+      .select(col("doc_id"), col("source"), col("score"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+  }
+
+  /** The [[scoredPoints]] CTE over [[scoreCtesSql]]'s `s` relation. */
+  private[ops] val ptsCteSql: String =
+    """pts AS (
+      |  SELECT s.doc_id, s.source, d.n_chars, s.score
+      |  FROM s JOIN documents d USING (doc_id))""".stripMargin
+
   val qualityClassifierSql: String = {
     val swSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
     s"""WITH d AS (

@@ -45,7 +45,7 @@ object Similarity {
 
   /** The cosine with the exact operation order of
     * [[VectorOps.cosine]] so both engines stay bit-identical. */
-  private def cosSql(a: String, b: String): String =
+  private[ops] def cosSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
        | THEN 0.0 ELSE list_dot_product($a, $b)
        |   / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
