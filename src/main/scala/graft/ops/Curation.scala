@@ -178,7 +178,7 @@ object Curation {
   /** Per-doc scored points (doc_id, source, n_chars, score) — the
     * quality-vs-length relation shared by the Pareto skyline (q207)
     * and the OLS trend fit (q208). */
-  private[ops] def scoredPoints(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def scoredPoints(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
     scoreDocs(docs)
       .select(col("doc_id"), col("source"), col("score"))

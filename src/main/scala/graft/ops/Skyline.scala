@@ -42,7 +42,7 @@ object Skyline {
   /** The frontier of a (doc_id, source, n_chars, score) relation —
     * exposed for the spec's bucket-invariance and brute-force
     * replays. */
-  private[ops] def frontierOf(pts: DataFrame, nBuckets: Int): DataFrame = {
+  private[graft] def frontierOf(pts: DataFrame, nBuckets: Int): DataFrame = {
     val withB = pts.withColumn("bucket",
       floor(col("score") * nBuckets).cast("long"))
     // (a) per score group: min cost (one partial agg)
