@@ -114,14 +114,19 @@ object Curation {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
   /** Per-doc scores over any (doc_id, source, text) relation —
-    * exposed so specs can probe the model on synthetic documents. */
-  def scoreDocs(docs: DataFrame): DataFrame = {
+    * exposed so specs can probe the model on synthetic documents.
+    * `carry` names input columns passed through unchanged, so a
+    * consumer needing score + another attribute (q207/q208 want
+    * n_chars) rides the ONE scoring scan instead of self-joining the
+    * corpus back by doc_id. */
+  def scoreDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val d = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
     val sw = array(Stopwords.map(lit): _*)
-    val feats = d.select(col("doc_id"), col("source"),
+    val feats = d.select(Seq(col("doc_id"), col("source")) ++
+      carry.map(col) ++ Seq(
       round(log(lit(1.0) + col("n")), 9).as("f_len"),
       round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
         .cast("double") / col("n"), 6).as("f_wlen"),
@@ -130,7 +135,7 @@ object Curation {
       round(size(filter(col("toks"), t => t.rlike("^[0-9]+$")))
         .cast("double") / col("n"), 6).as("f_digit"),
       round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
-        / col("n"), 6).as("f_rep"))
+        / col("n"), 6).as("f_rep")): _*)
     val z = round(lit(-1.2) + lit(0.35) * col("f_len")
       + lit(0.18) * col("f_wlen") + lit(2.0) * col("f_stop")
       - lit(3.0) * col("f_digit") - lit(2.5) * col("f_rep"), 9)
@@ -178,12 +183,9 @@ object Curation {
   /** Per-doc scored points (doc_id, source, n_chars, score) — the
     * quality-vs-length relation shared by the Pareto skyline (q207)
     * and the OLS trend fit (q208). */
-  private[graft] def scoredPoints(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, sfDir)
-    scoreDocs(docs)
-      .select(col("doc_id"), col("source"), col("score"))
-      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-  }
+  private[graft] def scoredPoints(spark: SparkSession, sfDir: String): DataFrame =
+    scoreDocs(graft.Tables.documents(spark, sfDir), carry = Seq("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("score"))
 
   /** The [[scoredPoints]] CTE over [[scoreCtesSql]]'s `s` relation. */
   private[ops] val ptsCteSql: String =

@@ -96,11 +96,22 @@ object RetrievalEval {
       sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("hits1"),
       sum(when(col("rel") === 2, 1L).otherwise(0L)).as("hits2"))
 
-    // per-query relevant-pool sizes (one partial-agg'd pass; n_rel2
-    // excludes the query itself, which always has rel=2)
-    val pools = scored.groupBy(col("q_id")).agg(
-      sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n_rel2"),
-      sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n_rel1"))
+    // per-query relevant-pool sizes from the LABEL HISTOGRAM — a
+    // bounded relation (one row per label), so the pools never touch
+    // the |Q|×corpus candidate relation (the oracle derives the same
+    // numbers from the scored CTE; the histogram route is the one
+    // that scales). n_rel2 excludes the query itself (always rel=2).
+    val hist = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val q2 = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("qlabel"))
+    val pools = q2.crossJoin(broadcast(hist)).groupBy(col("q_id")).agg(
+      sum(when(col("label") === col("qlabel"), col("cnt") - 1)
+        .otherwise(0L)).as("n_rel2"),
+      sum(when(col("label") =!= col("qlabel")
+        && pmod(col("label"), lit(5)) === pmod(col("qlabel"), lit(5)),
+        col("cnt")).otherwise(0L)).as("n_rel1"))
 
     // closed-form ideal DCG: rank ladder 1..K over the pool counts
     val idcg = pools

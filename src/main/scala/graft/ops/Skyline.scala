@@ -43,8 +43,12 @@ object Skyline {
     * exposed for the spec's bucket-invariance and brute-force
     * replays. */
   private[graft] def frontierOf(pts: DataFrame, nBuckets: Int): DataFrame = {
+    // materialize the (slim) point relation once: it feeds both the
+    // group-min aggregation and the final dominance filter, and for
+    // q207 the upstream is the full scoring scan — without the pin
+    // the tokenizer+featurize pipeline would run on both join sides
     val withB = pts.withColumn("bucket",
-      floor(col("score") * nBuckets).cast("long"))
+      floor(col("score") * nBuckets).cast("long")).localCheckpoint()
     // (a) per score group: min cost (one partial agg)
     val grp = withB.groupBy(col("bucket"), col("score"))
       .agg(min(col("n_chars")).as("gmin"))

@@ -468,6 +468,81 @@ class PlanSpec extends SparkSpec {
       s"digest/percentile agg not map-side combined:\n$p")
   }
 
+  test("q205 retrieval eval: queries broadcast; per-query windows partitioned; pools ride the label histogram") {
+    val df = ops.RetrievalEval.retrievalEval(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side should broadcast against the streaming corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation degraded to a cartesian:\n$p")
+    assert("windowspecdefinition\\(q_id#".r.findFirstIn(p).isDefined,
+      s"the run's top-K window must partition by q_id (parallel per query):\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"metric sums not map-side combined:\n$p")
+  }
+
+  test("q206 peak concurrency: no interval join anywhere; sweep windows partition by (type, day)") {
+    val df = ops.Intervals.peakConcurrency(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"),
+      s"the sweep-line needs NO join (the naive overlap join is the quadratic it replaces):\n$p")
+    assert("windowspecdefinition\\(event_type#".r.findFirstIn(p).isDefined,
+      s"sweep window must partition by (event_type, day):\n$p")
+    assert("partial_max".r.findFirstIn(p).isDefined
+      || "partial_count".r.findFirstIn(p).isDefined,
+      s"daily rollup not map-side combined:\n$p")
+  }
+
+  test("q207 skyline: equi-joins only; within-bucket windows partitioned; group mins partial-agg") {
+    val df = ops.Skyline.paretoFrontier(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dominance must decompose to equi-joins, never all-pairs:\n$p")
+    assert("windowspecdefinition\\(bucket#".r.findFirstIn(p).isDefined,
+      s"running min must partition by bucket (parallel):\n$p")
+    assert("partial_min".r.findFirstIn(p).isDefined,
+      s"score-group mins not map-side combined:\n$p")
+  }
+
+  test("q208 OLS trend: ONE scan, no join — the sufficient statistics all partial-agg") {
+    val df = ops.Regression.olsTrend(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"),
+      s"q208 must ride a single scoring scan (carry, not self-join):\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"moment sums not map-side combined:\n$p")
+  }
+
+  test("q209 NFC census: scan-fused normalize, no join; count-distincts expand one input pass") {
+    val df = ops.Unicode.nfcDedup(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"q209 needs no join:\n$p")
+    assert(p.contains("Expand"),
+      s"the two count-distincts should expand ONE staged pass, not rescan:\n$p")
+    assert(p.contains("nfc_normalize"),
+      s"normalization must appear as the native expression in the scan:\n$p")
+  }
+
+  test("q211 bootstrap: replicate means partial-agg; no cartesian anywhere") {
+    val df = ops.Bootstrap.bootstrapCi(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"the B-fold replicate explode must ride the scan, not a join:\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"replicate weighted sums not map-side combined:\n$p")
+  }
+
+  test("q212 robust means: the cutoff relation broadcasts back; aggs partial") {
+    val df = ops.RobustStats.robustMeans(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"|groups|-row cutoff relation should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cutoff join degraded to a corpus shuffle:\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"conditional means not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan

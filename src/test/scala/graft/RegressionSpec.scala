@@ -37,7 +37,7 @@ class RegressionSpec extends SparkSpec {
 
   test("q208 matches a from-scratch driver replay of the moment sums") {
     val pts = Curation.scoredPoints(spark, sfDir).collect()
-      .map(r => (r.getString(1), r.getLong(3), r.getDouble(2)))
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
     // (source, n_chars, score); x/y exactly as the op derives them
     val bySrc = pts.groupBy(_._1)
     val want = bySrc.toSeq.sortBy(_._1).map { case (src, rows) =>

@@ -23,8 +23,8 @@ class SkylineSpec extends SparkSpec {
   test("bucketed frontier equals brute-force dominance on real data") {
     val ptsDf = Curation.scoredPoints(spark, sfDir).localCheckpoint()
     val pts = ptsDf.collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getDouble(2)))
-    // collect() column order: doc_id, source, score, n_chars
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // collect() column order: doc_id, source, n_chars, score
     val want = bruteForce(pts.toSeq)
     assert(frontierSet(ptsDf, Skyline.NBuckets) === want)
     assert(want.nonEmpty)
