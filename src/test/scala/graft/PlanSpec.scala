@@ -543,6 +543,26 @@ class PlanSpec extends SparkSpec {
       s"conditional means not map-side combined:\n$p")
   }
 
+  test("q213 KS drift: ECDF windows partition by source; counts partial-agg") {
+    val df = ops.KsDrift.ksReport(spark, sfDir)
+    val p = plan(df)
+    assert("windowspecdefinition\\(source#".r.findFirstIn(p).isDefined,
+      s"ECDF running sums must partition by source (parallel, bounded rows):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs anything in a CDF comparison:\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"(source, score) counts not map-side combined:\n$p")
+  }
+
+  test("q214 Benford: digit counts partial-agg; the 9-digit grid joins broadcast") {
+    val df = ops.Benford.benfordAudit(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"the bounded grid/counts joins must broadcast:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      s"digit counts not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
