@@ -65,12 +65,10 @@ object Bayes {
           / (col("total") + lit(Bins.toDouble))), 9).as("lp"))
   }
 
-  /** q166: train the seed-corpus NB model, score every document by
-    * its average per-token log-likelihood ratio, and publish the
-    * per-source keep curve (llr > 0 ⇒ "curated-like"). This is the
-    * report a pipeline reads before wiring the trained filter into
-    * the q105 funnel. */
-  def nbQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc (source, doc_id, llr) under the trained model — the
+    * scoring relation shared by q166's keep curve and q215's
+    * inter-classifier agreement. */
+  private[graft] def perDocLlr(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val toks = docs
       .select(col("doc_id"), col("source"),
@@ -82,13 +80,21 @@ object Bayes {
     val weights = m.groupBy(col("bin")).agg(
       (sum(when(col("curated"), col("lp")).otherwise(lit(0.0)))
         - sum(when(!col("curated"), col("lp")).otherwise(lit(0.0)))).as("w"))
-    val perDoc = toks
+    toks
       .select(col("doc_id"), col("source"), binCol.as("bin"))
       .join(broadcast(weights), Seq("bin"))
       .groupBy(col("source"), col("doc_id"))
       .agg(round(sum(col("w").cast("decimal(28,12)")).cast("double")
         / count(lit(1)), 6).as("llr"))
-    perDoc.groupBy(col("source")).agg(
+  }
+
+  /** q166: train the seed-corpus NB model, score every document by
+    * its average per-token log-likelihood ratio, and publish the
+    * per-source keep curve (llr > 0 ⇒ "curated-like"). This is the
+    * report a pipeline reads before wiring the trained filter into
+    * the q105 funnel. */
+  def nbQualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    perDocLlr(spark, sfDir).groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("llr") > 0.0, 1L).otherwise(0L)).as("n_kept"),
       round(sum(when(col("llr") > 0.0, 1L).otherwise(0L)).cast("double")
@@ -96,7 +102,6 @@ object Bayes {
       round(sum(col("llr").cast("decimal(28,6)")).cast("double")
         / count(lit(1)), 6).as("avg_llr"))
       .orderBy(col("source"))
-  }
 
   /** The train+score CTE chain over an arbitrary (doc_id, source,
     * text) relation rendering `rel`, ending in

@@ -563,6 +563,25 @@ class PlanSpec extends SparkSpec {
       s"digit counts not map-side combined:\n$p")
   }
 
+  test("q215 kappa: slim decision join, no cartesian; cells partial-agg") {
+    val df = ops.Agreement.kappaReport(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"decision pairing must stay keyed on doc_id:\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"confusion cells not map-side combined:\n$p")
+  }
+
+  test("q216 Gini: no join; cumulative windows partition by stratum") {
+    val df = ops.Gini.tokenGini(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"the rank identity needs no join:\n$p")
+    assert("windowspecdefinition\\(stratum#".r.findFirstIn(p).isDefined,
+      s"run cumulative must partition by stratum:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      s"value-run counts not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
