@@ -49,8 +49,12 @@ object Agreement {
       sum(when(!col("keep_lin") && !col("keep_nb"), 1L).otherwise(0L)).as("d"))
     val n = col("n").cast("double")
     val po = (col("a") + col("d")) / n
-    val pe = ((col("a") + col("c")) * (col("a") + col("b"))
-      + (col("b") + col("d")) * (col("c") + col("d"))) / (n * n)
+    // marginals multiply in DOUBLE: long products overflow at corpus
+    // scale (silent wrap in Spark vs overflow error in the oracle)
+    val pe = ((col("a") + col("c")).cast("double")
+      * (col("a") + col("b")).cast("double")
+      + (col("b") + col("d")).cast("double")
+        * (col("c") + col("d")).cast("double")) / (n * n)
     cells.select(col("stratum"), col("n"),
         col("a").as("both_keep"), col("b").as("nb_only"),
         col("c").as("lin_only"), col("d").as("both_drop"),
@@ -76,18 +80,19 @@ object Agreement {
       |    CAST(SUM(CASE WHEN NOT keep_lin AND keep_nb THEN 1 ELSE 0 END) AS BIGINT) AS b,
       |    CAST(SUM(CASE WHEN keep_lin AND NOT keep_nb THEN 1 ELSE 0 END) AS BIGINT) AS c,
       |    CAST(SUM(CASE WHEN NOT keep_lin AND NOT keep_nb THEN 1 ELSE 0 END) AS BIGINT) AS d
-      |  FROM paired GROUP BY stratum)
+      |  FROM paired GROUP BY stratum),
+      |probs AS (
+      |  SELECT stratum, n, a, b, c, d,
+      |    (a + d) / CAST(n AS DOUBLE) AS po,
+      |    (CAST(a + c AS DOUBLE) * CAST(a + b AS DOUBLE)
+      |      + CAST(b + d AS DOUBLE) * CAST(c + d AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+      |  FROM cells)
       |SELECT stratum, n,
       |  a AS both_keep, b AS nb_only, c AS lin_only, d AS both_drop,
-      |  ROUND((a + d) / CAST(n AS DOUBLE), 6) AS p_observed,
-      |  ROUND(((a + c) * (a + b) + (b + d) * (c + d))
-      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_chance,
-      |  CASE WHEN ((a + c) * (a + b) + (b + d) * (c + d))
-      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0 THEN NULL
-      |    ELSE ROUND(((a + d) / CAST(n AS DOUBLE)
-      |        - ((a + c) * (a + b) + (b + d) * (c + d))
-      |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-      |      / (1.0 - ((a + c) * (a + b) + (b + d) * (c + d))
-      |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) END AS kappa
-      |FROM cells ORDER BY stratum""".stripMargin
+      |  ROUND(po, 6) AS p_observed,
+      |  ROUND(pe, 6) AS p_chance,
+      |  CASE WHEN pe = 1.0 THEN NULL
+      |    ELSE ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+      |FROM probs ORDER BY stratum""".stripMargin
 }

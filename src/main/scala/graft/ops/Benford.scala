@@ -59,14 +59,23 @@ object Benford {
   /** The audit over any (priority, amount) relation — exposed for the
     * spec's crafted digit and dense-grid cases. */
   private[graft] def auditOf(rows: DataFrame): DataFrame = {
-    val counts = rows
-      .filter(col("amount") > 0)
-      .select(col("priority"), firstDigitCents(col("amount")).as("digit"))
+    // validity is decided on the CENTS the digit rule reads — an
+    // amount in (0, 0.005) rounds to zero cents and is excluded
+    // consistently (filtering on the raw amount would admit it and
+    // then silently drop its digit-0 row at the grid join)
+    val valid = rows
+      .select(col("priority"), round(col("amount") * 100).cast("long")
+        .as("cents"))
+      .filter(col("cents") > 0)
+    val counts = valid
+      .select(col("priority"),
+        substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("priority"), col("digit"))
       .agg(count(lit(1)).as("n_d"))
-    // dense digit grid: a digit with zero observations still
-    // contributes n·p to χ² — absent rows would understate it
-    val grid = rows
+    // dense digit grid over priorities WITH valid amounts: a digit
+    // with zero observations still contributes n·p to χ² — absent
+    // rows would understate it
+    val grid = valid
       .select(col("priority")).distinct()
       .crossJoin(counts.sparkSession.range(1, 10)
         .select(col("id").cast("int").as("digit")))
@@ -95,16 +104,18 @@ object Benford {
     val ladder = BenfordP.zipWithIndex
       .map { case (p, i) => s"WHEN g.digit = ${i + 1} THEN $p" }
       .mkString("\n      |      ")
-    s"""WITH counts AS (
+    s"""WITH valid AS (
       |  SELECT o_orderpriority AS priority,
-      |    CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
-      |      AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE ROUND(o_totalprice * 100) > 0),
+      |counts AS (
+      |  SELECT priority,
+      |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
       |    COUNT(*) AS n_d
-      |  FROM orders WHERE o_totalprice > 0
-      |  GROUP BY 1, 2),
+      |  FROM valid GROUP BY 1, 2),
       |grid AS (
       |  SELECT priority, digit
-      |  FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders)
+      |  FROM (SELECT DISTINCT priority FROM valid)
       |  CROSS JOIN generate_series(1, 9) AS t(digit)),
       |dense AS (
       |  SELECT g.priority, g.digit,

@@ -36,12 +36,9 @@ object Bootstrap {
   /** Bootstrap replicates. */
   val B = 64
 
-  private val Denom = math.pow(2.0, 52)
-
-  /** Seeded uniform in [0,1): 13 hex chars = 52 bits of the key's
-    * md5 (the [[DpRelease]] derivation). */
-  private[graft] def seededU(key: Column): Column =
-    conv(substring(md5(key), 1, 13), 16, 10).cast("long") / lit(Denom)
+  /** Seeded uniform in [0,1) — the [[DpRelease]] derivation, shared
+    * so the two seeded operators cannot drift. */
+  private[graft] def seededU(key: Column): Column = DpRelease.seededU(key)
 
   /** Poisson(1) CDF thresholds, 10-decimal literals (tail ≥ 9 lumped:
     * P ≈ 1.1e-6 — the draw is capped, identically in both engines). */
@@ -111,7 +108,7 @@ object Bootstrap {
       |  FROM (
       |    SELECT source, b, score,
       |      ('0x' || substr(md5(doc_id || '|' || b), 1, 13))::BIGINT
-      |        / ${Denom.toLong}.0 AS u
+      |        / ${DpRelease.Denom.toLong}.0 AS u
       |    FROM base CROSS JOIN generate_series(0, ${B - 1}) AS t(b))),
       |rm AS (
       |  SELECT source, b,

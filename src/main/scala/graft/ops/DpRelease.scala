@@ -28,11 +28,11 @@ object DpRelease {
   /** Privacy budgets under audit. */
   val Epsilons: Seq[String] = Seq("0.1", "1.0")
 
-  private val Denom = math.pow(2.0, 52)
+  private[ops] val Denom = math.pow(2.0, 52)
 
   /** Seeded uniform in [0,1): 13 hex chars = 52 bits of the key's
     * md5. */
-  private def seededU(key: Column): Column =
+  private[ops] def seededU(key: Column): Column =
     conv(substring(md5(key), 1, 13), 16, 10).cast("long") / lit(Denom)
 
   /** q179: per-(nation, segment) customer counts released under each

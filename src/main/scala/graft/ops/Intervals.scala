@@ -59,6 +59,10 @@ object Intervals {
       .withColumn("seg_s", greatest(col("s"), col("day").cast("timestamp")))
       .withColumn("seg_e", least(col("e"),
         date_add(col("day"), 1).cast("timestamp")))
+      // an interval ending EXACTLY at midnight is half-open [s, e):
+      // not open in the next day — drop the zero-length segment the
+      // 2-day list fabricates for it (phantom day rows otherwise)
+      .filter(col("seg_s") < col("seg_e"))
     val boundaries = iv.select(
       col("event_type"), col("day"),
       explode(array(
@@ -98,10 +102,12 @@ object Intervals {
       |    ts + INTERVAL (1 + event_id % 59) MINUTE AS e
       |  FROM events),
       |segs AS (
-      |  SELECT event_type, day,
-      |    GREATEST(s, CAST(day AS TIMESTAMP)) AS seg_s,
-      |    LEAST(e, CAST(day + 1 AS TIMESTAMP)) AS seg_e
-      |  FROM iv, UNNEST(list_distinct([CAST(s AS DATE), CAST(e AS DATE)])) AS u(day)),
+      |  SELECT event_type, day, seg_s, seg_e FROM (
+      |    SELECT event_type, day,
+      |      GREATEST(s, CAST(day AS TIMESTAMP)) AS seg_s,
+      |      LEAST(e, CAST(day + 1 AS TIMESTAMP)) AS seg_e
+      |    FROM iv, UNNEST(list_distinct([CAST(s AS DATE), CAST(e AS DATE)])) AS u(day))
+      |  WHERE seg_s < seg_e),
       |boundaries AS (
       |  SELECT event_type, day, seg_s AS t, 1 AS delta FROM segs
       |  UNION ALL

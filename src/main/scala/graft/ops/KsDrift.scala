@@ -77,9 +77,11 @@ object KsDrift {
       .agg(round(max(col("dev")), 9).as("ks_d"),
         min(when(col("dev") === col("maxdev"), col("score"))).as("at_score"))
       .withColumn("ks_crit",
+        // t_o·t_n multiplies in DOUBLE — a long product wraps at
+        // corpus scale while the oracle's HUGEINT doesn't
         when(col("t_o") > 0 && col("t_n") > 0, round(lit(C05) * sqrt(
           (col("t_o") + col("t_n")).cast("double")
-            / (col("t_o") * col("t_n")).cast("double")), 9)))
+            / (col("t_o").cast("double") * col("t_n").cast("double"))), 9)))
       .withColumn("drifted", col("ks_d") > col("ks_crit"))
       .select(col("source"), col("t_o").as("n_old"), col("t_n").as("n_new"),
         col("ks_d"), col("ks_crit"), col("drifted"), col("at_score"))
@@ -126,10 +128,10 @@ object KsDrift {
       |  ROUND(MAX(dev), 9) AS ks_d,
       |  CASE WHEN t_o > 0 AND t_n > 0 THEN
       |    ROUND($C05 * sqrt(CAST(t_o + t_n AS DOUBLE)
-      |      / CAST(t_o * t_n AS DOUBLE)), 9) END AS ks_crit,
+      |      / (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE))), 9) END AS ks_crit,
       |  ROUND(MAX(dev), 9) > CASE WHEN t_o > 0 AND t_n > 0 THEN
       |    ROUND($C05 * sqrt(CAST(t_o + t_n AS DOUBLE)
-      |      / CAST(t_o * t_n AS DOUBLE)), 9) END AS drifted,
+      |      / (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE))), 9) END AS drifted,
       |  MIN(CASE WHEN dev = maxdev THEN score END) AS at_score
       |FROM devm GROUP BY source, t_o, t_n
       |ORDER BY source""".stripMargin

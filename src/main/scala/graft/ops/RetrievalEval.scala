@@ -125,15 +125,21 @@ object RetrievalEval {
       .agg(sum(round(col("igain") / disc(col("i")), 9)
         .cast("decimal(28,9)")).as("idcg_raw"))
 
+    // degenerate-pool guards (a query label unique in the corpus):
+    // empty ideal → NDCG undefined; empty rel-2 pool → recall
+    // undefined — NULL in both engines, never an engine-specific
+    // NaN/Infinity
     runAgg.join(idcg, Seq("q_id"))
       .select(col("q_id"), col("qlabel"),
         col("n_rel2"), col("n_rel1"),
-        round(col("dcg_raw").cast("double")
-          / col("idcg_raw").cast("double"), 6).as("ndcg10"),
+        when(col("idcg_raw") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dcg_raw").cast("double")
+            / col("idcg_raw").cast("double"), 6)).as("ndcg10"),
         col("rr"),
         round(col("hits1").cast("double") / K, 6).as("p10"),
-        round(col("hits2").cast("double") / col("n_rel2"), 6)
-          .as("recall10"))
+        when(col("n_rel2") === 0, lit(null).cast("double"))
+          .otherwise(round(col("hits2").cast("double")
+            / col("n_rel2"), 6)).as("recall10"))
       .orderBy(col("q_id"))
   }
 
@@ -176,10 +182,13 @@ object RetrievalEval {
       |  FROM pools CROSS JOIN generate_series(1, $K) AS t(i)
       |  GROUP BY q_id, n_rel2, n_rel1)
       |SELECT r.q_id, r.qlabel, p.n_rel2, p.n_rel1,
-      |  ROUND(CAST(r.dcg_raw AS DOUBLE) / CAST(p.idcg_raw AS DOUBLE), 6) AS ndcg10,
+      |  CASE WHEN p.idcg_raw = 0 THEN NULL ELSE
+      |    ROUND(CAST(r.dcg_raw AS DOUBLE) / CAST(p.idcg_raw AS DOUBLE), 6)
+      |  END AS ndcg10,
       |  r.rr,
       |  ROUND(CAST(r.hits1 AS DOUBLE) / $K, 6) AS p10,
-      |  ROUND(CAST(r.hits2 AS DOUBLE) / p.n_rel2, 6) AS recall10
+      |  CASE WHEN p.n_rel2 = 0 THEN NULL ELSE
+      |    ROUND(CAST(r.hits2 AS DOUBLE) / p.n_rel2, 6) END AS recall10
       |FROM runagg r JOIN idcg p USING (q_id)
       |ORDER BY q_id""".stripMargin
 }

@@ -30,6 +30,18 @@ class BenfordSpec extends SparkSpec {
       "monotone decreasing in digit")
   }
 
+  test("sub-half-cent amounts are excluded by the cents rule, with accounting") {
+    // 0.004 rounds to 0 cents: no digit exists — the row must leave
+    // n entirely, not vanish after being counted
+    val rows = (Seq.fill(5)(("p", 10.0)) :+ (("p", 0.004)))
+      .toDF("priority", "amount")
+    val out = Benford.auditOf(rows).collect()
+    assert(out.map(_.getLong(2)).sum === 5L, "only the 5 valid amounts count")
+    // a priority with NO valid amounts never enters the report
+    val empty = Seq(("q", 0.004)).toDF("priority", "amount")
+    assert(Benford.auditOf(empty).collect().isEmpty)
+  }
+
   test("zero-observation digits still contribute n·p to χ² (dense grid)") {
     // every amount starts with digit 1 → for d=2..9, chi2_part = n·p
     val rows = Seq.fill(10)(("p", 12.3)).toDF("priority", "amount")

@@ -36,6 +36,13 @@ class IntervalsSpec extends SparkSpec {
     assert(p === Map(("a", "2024-01-01") -> 2L))
   }
 
+  test("an interval ending EXACTLY at midnight is closed out of the next day") {
+    val p = peaks(Seq(
+      ("a", ts("2024-01-01 23:41:00"), ts("2024-01-02 00:00:00"))))
+    assert(p === Map(("a", "2024-01-01") -> 1L),
+      "half-open [s, e): no phantom next-day row for a zero-length segment")
+  }
+
   test("a midnight-crossing interval is open in BOTH days' sweeps") {
     val p = peaks(Seq(
       ("a", ts("2024-01-01 23:50:00"), ts("2024-01-02 00:20:00")),
