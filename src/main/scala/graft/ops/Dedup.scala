@@ -222,33 +222,54 @@ object Dedup {
     * is 16 longs per doc regardless of doc length — the property that
     * makes near-dedup feasible at 100 TB (shuffle carries signatures,
     * not shingle sets). */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = corpusNear(spark, sfDir)
+  /** The shingled near-dup corpus (doc_id, sh), cached — feeds
+    * signatures and the verification joins; shared with the q217
+    * estimator audit. */
+  private[graft] def shingledNear(spark: SparkSession,
+      sfDir: String): DataFrame =
+    corpusNear(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"),
         TextOps.shingleHashesFromTokens(col("toks")).as("sh"))
       .cache() // feeds signatures + both verification joins
+
+  /** (doc_id, sh, m0..m15): the 16-permutation signature columns. */
+  private[graft] def signedOf(docs: DataFrame): DataFrame = {
     val sig = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("sh"),
         x => (lit(a) * pmod(x, lit(P31)) + lit(b)) % lit(P31))).as(s"m$i")
     }
-    val signed = docs.select(col("doc_id") +: col("sh") +: sig: _*)
+    docs.select(col("doc_id") +: col("sh") +: sig: _*)
+  }
+
+  /** The exploded (doc_id, bkey) banded inverted index of a signed
+    * relation — 4 bands × 4 rows. */
+  private[graft] def invOf(signed: DataFrame): DataFrame = {
     val bands = (0 until 4).map { bi =>
       concat_ws("-", (0 until 4).map(ri => col(s"m${bi * 4 + ri}")): _*)
         .as(s"band$bi")
     }
     val banded = signed.select(col("doc_id") +: bands: _*)
-    // candidates carry only ids through the band join + distinct;
-    // shingle arrays join back once per surviving pair (shuffling
-    // signatures, not shingle sets — the property that scales)
-    val inv = banded.select(col("doc_id"),
+    banded.select(col("doc_id"),
       explode(array((0 until 4).map(bi =>
         concat_ws(":", lit(bi), col(s"band$bi"))): _*)).as("bkey"))
-    val cand = inv.as("a").join(inv.as("b"),
+  }
+
+  /** Distinct candidate pairs (a_id < b_id) of an inverted index. */
+  private[graft] def candOf(inv: DataFrame): DataFrame =
+    inv.as("a").join(inv.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingledNear(spark, sfDir)
+    val signed = signedOf(docs)
+    // candidates carry only ids through the band join + distinct;
+    // shingle arrays join back once per surviving pair (shuffling
+    // signatures, not shingle sets — the property that scales)
+    val cand = candOf(invOf(signed))
     val sized = docs.withColumn("n_sh", size(col("sh")))
     cand
       .join(sized.select(col("doc_id").as("a_id"), col("sh").as("sha"),

@@ -365,4 +365,86 @@ object Graph {
       |ORDER BY auth DESC, node
       |LIMIT 10""".stripMargin
   }
+
+  // ---- q218: degree assortativity --------------------------------
+
+  /** q218: Newman's degree-assortativity coefficient (Newman 2002,
+    * "Assortative mixing in networks") over the undirected PageRank
+    * graph — the mixing diagnostic the per-node scores (q66 rank,
+    * q110 hubs, q94 triangles) can't give: do high-degree nodes link
+    * to other hubs (r > 0, social-network shape) or to leaves (r < 0,
+    * hub-and-spoke, the shape that concentrates join load on a few
+    * keys)? r is the Pearson correlation of the endpoint degrees over
+    * edges — the q49 decimal-moment discipline on the symmetrized
+    * edge relation (each undirected edge contributes both
+    * orientations, the standard formulation that makes the two
+    * marginals identical).
+    *
+    * Scale shape: symmetrize + distinct is one shuffle on the edge
+    * relation; degrees are a partial-agg'd count; two broadcast-free
+    * keyed joins attach endpoint degrees (degree relation is
+    * node-sized — no broadcast hint, the q69 honesty rule); the
+    * moment sums collapse map-side to ONE row. */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame =
+    assortativityOf(edges(spark, sfDir))
+
+  /** The coefficient of any (src, dst) edge relation — exposed for
+    * the spec's closed-form graphs. */
+  private[graft] def assortativityOf(edgesDf: DataFrame): DataFrame = {
+    val e = edgesDf.filter(col("src") =!= col("dst"))
+    val und = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val paired = und
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+    def dsum(c: Column, scale: Int) =
+      sum(c.cast(s"decimal(38,$scale)")).cast("double")
+    val m = paired.agg(
+      count(lit(1)).cast("double").as("m"),
+      dsum(col("dx"), 0).as("sx"),
+      dsum(col("dy"), 0).as("sy"),
+      dsum(col("dx") * col("dy"), 0).as("sxy"),
+      dsum(col("dx") * col("dx"), 0).as("sxx"),
+      dsum(col("dy") * col("dy"), 0).as("syy"))
+    val cov = col("m") * col("sxy") - col("sx") * col("sy")
+    val vx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vy = col("m") * col("syy") - col("sy") * col("sy")
+    m.select(
+        (col("m") / 2).cast("long").as("n_edges"),
+        round(col("sx") / col("m"), 6).as("mean_deg_at_edge"),
+        when(vx * vy === 0.0, lit(null).cast("double"))
+          .otherwise(round(cov / sqrt(vx * vy), 6)).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    """WITH e AS (
+      |  SELECT src, dst FROM (
+      |    SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+      |    FROM lineitem) WHERE src <> dst),
+      |und AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)),
+      |deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+      |paired AS (
+      |  SELECT da.deg AS dx, db.deg AS dy
+      |  FROM und u
+      |  JOIN deg da ON da.node = u.src
+      |  JOIN deg db ON db.node = u.dst),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+      |    CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM paired)
+      |SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+      |  ROUND(sx / m, 6) AS mean_deg_at_edge,
+      |  CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0.0 THEN NULL
+      |    ELSE ROUND((m * sxy - sx * sy)
+      |      / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+      |  END AS assortativity
+      |FROM m""".stripMargin
 }

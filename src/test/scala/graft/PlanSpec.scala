@@ -582,6 +582,30 @@ class PlanSpec extends SparkSpec {
       s"value-run counts not map-side combined:\n$p")
   }
 
+  test("q217 estimator audit: the q24 candidate shape — keyed joins, census partial-aggs") {
+    val df = ops.MinHashAudit.estimatorAudit(spark, sfDir)
+    // the declared query checkpoints the census (one execution
+    // serves contract + answer) — pin the pre-checkpoint pipeline
+    val docs = ops.Dedup.shingledNear(spark, sfDir)
+    val signed = ops.Dedup.signedOf(docs)
+    val cand = ops.Dedup.candOf(ops.Dedup.invOf(signed))
+    val p = plan(cand)
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay band-keyed:\n$p")
+    assert(df.columns.toSeq === Seq("band", "n_pairs", "mean_est",
+      "mean_exact", "mean_abs_err", "max_abs_err"))
+  }
+
+  test("q218 assortativity: moment sums collapse map-side; no cartesian") {
+    val df = ops.Graph.assortativity(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"degree attachment must stay keyed:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined
+      || "partial_sum".r.findFirstIn(p).isDefined,
+      s"degree counts / moment sums not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
