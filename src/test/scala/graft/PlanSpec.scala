@@ -606,6 +606,25 @@ class PlanSpec extends SparkSpec {
       s"degree counts / moment sums not map-side combined:\n$p")
   }
 
+  test("q219 KM: spans partial-agg; horizon broadcasts; the KM table is the bounded relation") {
+    val df = ops.Survival.kaplanMeier(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row horizon must broadcast:\n$p")
+    assert("partial_min".r.findFirstIn(p).isDefined
+      || "partial_max".r.findFirstIn(p).isDefined,
+      s"per-user span bounds not map-side combined:\n$p")
+  }
+
+  test("q220 A/B: one events pass, totals broadcast, 1-row statistic") {
+    val df = ops.AbTest.abTest(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row totals must broadcast:\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"per-user conversion counts not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
