@@ -217,11 +217,6 @@ object Dedup {
 
   // ---- 3. MinHash + LSH ----------------------------------------
 
-  /** 16-permutation MinHash signature, banded 4×4; band-bucket join
-    * yields candidates, exact Jaccard ≥ 0.5 verifies. The signature
-    * is 16 longs per doc regardless of doc length — the property that
-    * makes near-dedup feasible at 100 TB (shuffle carries signatures,
-    * not shingle sets). */
   /** The shingled near-dup corpus (doc_id, sh), cached — feeds
     * signatures and the verification joins; shared with the q217
     * estimator audit. */
@@ -263,6 +258,11 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
 
+  /** q24: 16-permutation MinHash signature, banded 4×4; band-bucket
+    * join yields candidates, exact Jaccard ≥ 0.5 verifies. The
+    * signature is 16 longs per doc regardless of doc length — the
+    * property that makes near-dedup feasible at 100 TB (shuffle
+    * carries signatures, not shingle sets). */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingledNear(spark, sfDir)
     val signed = signedOf(docs)

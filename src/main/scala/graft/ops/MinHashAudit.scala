@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MinHash Jaccard-estimator audit under an observed-error contract —
@@ -46,7 +46,11 @@ object MinHashAudit {
     * hard-asserted. */
   def estimatorAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Dedup.shingledNear(spark, sfDir)
-    val signed = Dedup.signedOf(docs)
+    // cache the SIGNED relation, not just the shingles: the inverted
+    // index and both pair sides consume it, and the 16-permutation
+    // transform over every shingle array is the expensive part —
+    // without this boundary the signature pass runs three times
+    val signed = Dedup.signedOf(docs).cache()
     val cand = Dedup.candOf(Dedup.invOf(signed))
     def side(tag: String) = signed
       .withColumn("n_sh", size(col("sh")))
