@@ -625,6 +625,15 @@ class PlanSpec extends SparkSpec {
       s"per-user conversion counts not map-side combined:\n$p")
   }
 
+  test("q221 EB shrinkage: one scoring scan; the prior fit broadcasts back") {
+    val df = ops.Shrinkage.ebKeepRates(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row fit must broadcast into the strata relation:\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"keep counts not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
