@@ -634,6 +634,15 @@ class PlanSpec extends SparkSpec {
       s"keep counts not map-side combined:\n$p")
   }
 
+  test("q222 CUPED: one events pass to slim per-user rows; fits broadcast back") {
+    val df = ops.Cuped.cupedReport(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row epoch/fit relations must broadcast:\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"per-arm moment sums not map-side combined:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
