@@ -59,16 +59,19 @@ object Cuped {
       .localCheckpoint() // slim per-user relation feeds fit + report
     def dsum(c: org.apache.spark.sql.Column, scale: Int) =
       sum(c.cast(s"decimal(38,$scale)")).cast("double")
-    // pooled θ fit (standard CUPED: one θ across arms)
+    // pooled θ fit (standard CUPED: one θ across arms). Degeneracy is
+    // decided EXACTLY via the covariate's distinct count — a float
+    // test of the moment denominator against 0 can be bypassed by
+    // catastrophic cancellation once the products pass 2^53
     val fit = users.agg(
       count(lit(1)).cast("double").as("n"),
+      countDistinct(col("x")).as("ndx"),
       dsum(col("x"), 0).as("sx"), dsum(col("y"), 0).as("sy"),
       dsum(col("x") * col("y"), 0).as("sxy"),
       dsum(col("x") * col("x"), 0).as("sxx"))
       .select(col("n"),
         round(col("sx") / col("n"), 9).as("mx"),
-        when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0,
-          lit(null).cast("double"))
+        when(col("ndx") <= 1, lit(null).cast("double"))
           .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
             / (col("n") * col("sxx") - col("sx") * col("sx")), 9))
           .as("theta"))
@@ -82,11 +85,14 @@ object Cuped {
       dsum(col("ystar"), 12).as("ssa"),
       dsum(col("ystar") * col("ystar"), 12).as("sssa"))
       .withColumn("mean_y", col("sya") / col("na"))
-      .withColumn("var_y", (col("syya") - col("sya") * col("sya")
-        / col("na")) / (col("na") - 1.0))
+      // a 1-user arm has no sample variance — NULL, never a 0/0
+      .withColumn("var_y", when(col("na") > 1.0,
+        (col("syya") - col("sya") * col("sya")
+          / col("na")) / (col("na") - 1.0)))
       .withColumn("mean_adj", col("ssa") / col("na"))
-      .withColumn("var_adj", (col("sssa") - col("ssa") * col("ssa")
-        / col("na")) / (col("na") - 1.0))
+      .withColumn("var_adj", when(col("na") > 1.0,
+        (col("sssa") - col("ssa") * col("ssa")
+          / col("na")) / (col("na") - 1.0)))
     // two arms → a 2-row relation pivoted into the 1-row report
     val r = cells.agg(
       sum(when(col("arm") === 0, col("na"))).as("n0"),
@@ -100,20 +106,23 @@ object Cuped {
       sum(when(col("arm") === 0, col("var_adj"))).as("va0"),
       sum(when(col("arm") === 1, col("var_adj"))).as("va1"))
       .crossJoin(broadcast(fit.select(col("theta"))))
+    // zero pooled variance ⇒ the test statistic is undefined — NULL
+    // in both engines, never an engine-specific Infinity/NaN
     def z(m0: org.apache.spark.sql.Column, m1: org.apache.spark.sql.Column,
         v0: org.apache.spark.sql.Column, v1: org.apache.spark.sql.Column) =
-      (m1 - m0) / sqrt(v0 / col("n0") + v1 / col("n1"))
+      when(v0 / col("n0") + v1 / col("n1") > 0.0,
+        round((m1 - m0) / sqrt(v0 / col("n0") + v1 / col("n1")), 6))
     r.select(
       col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
       round(col("my0"), 6).as("mean_y0"), round(col("my1"), 6).as("mean_y1"),
       col("theta"),
       round(col("ma0"), 6).as("mean_adj0"),
       round(col("ma1"), 6).as("mean_adj1"),
-      round(lit(1.0) - (col("va0") + col("va1"))
-        / (col("vy0") + col("vy1")), 6).as("var_reduction"),
-      round(z(col("my0"), col("my1"), col("vy0"), col("vy1")), 6).as("z_raw"),
-      round(z(col("ma0"), col("ma1"), col("va0"), col("va1")), 6)
-        .as("z_cuped"))
+      when(col("vy0") + col("vy1") > 0.0,
+        round(lit(1.0) - (col("va0") + col("va1"))
+          / (col("vy0") + col("vy1")), 6)).as("var_reduction"),
+      z(col("my0"), col("my1"), col("vy0"), col("vy1")).as("z_raw"),
+      z(col("ma0"), col("ma1"), col("va0"), col("va1")).as("z_cuped"))
   }
 
   val cupedReportSql: String =
@@ -129,11 +138,12 @@ object Cuped {
       |  FROM events CROSS JOIN epoch GROUP BY user_id),
       |fit AS (
       |  SELECT n, ROUND(sx / n, 9) AS mx,
-      |    CASE WHEN n * sxx - sx * sx = 0.0 THEN NULL
+      |    CASE WHEN ndx <= 1 THEN NULL
       |      ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
       |    END AS theta
       |  FROM (
       |    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |      COUNT(DISTINCT x) AS ndx,
       |      CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
       |      CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
       |      CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
@@ -151,9 +161,11 @@ object Cuped {
       |  FROM adj GROUP BY arm),
       |stats AS (
       |  SELECT arm, na, sya / na AS mean_y,
-      |    (syya - sya * sya / na) / (na - 1.0) AS var_y,
+      |    CASE WHEN na > 1.0 THEN
+      |      (syya - sya * sya / na) / (na - 1.0) END AS var_y,
       |    ssa / na AS mean_adj,
-      |    (sssa - ssa * ssa / na) / (na - 1.0) AS var_adj
+      |    CASE WHEN na > 1.0 THEN
+      |      (sssa - ssa * ssa / na) / (na - 1.0) END AS var_adj
       |  FROM cells),
       |wide AS (
       |  SELECT
@@ -172,8 +184,11 @@ object Cuped {
       |  ROUND(my0, 6) AS mean_y0, ROUND(my1, 6) AS mean_y1,
       |  (SELECT theta FROM fit) AS theta,
       |  ROUND(ma0, 6) AS mean_adj0, ROUND(ma1, 6) AS mean_adj1,
-      |  ROUND(1.0 - (va0 + va1) / (vy0 + vy1), 6) AS var_reduction,
-      |  ROUND((my1 - my0) / sqrt(vy0 / n0 + vy1 / n1), 6) AS z_raw,
-      |  ROUND((ma1 - ma0) / sqrt(va0 / n0 + va1 / n1), 6) AS z_cuped
+      |  CASE WHEN vy0 + vy1 > 0.0 THEN
+      |    ROUND(1.0 - (va0 + va1) / (vy0 + vy1), 6) END AS var_reduction,
+      |  CASE WHEN vy0 / n0 + vy1 / n1 > 0.0 THEN
+      |    ROUND((my1 - my0) / sqrt(vy0 / n0 + vy1 / n1), 6) END AS z_raw,
+      |  CASE WHEN va0 / n0 + va1 / n1 > 0.0 THEN
+      |    ROUND((ma1 - ma0) / sqrt(va0 / n0 + va1 / n1), 6) END AS z_cuped
       |FROM wide""".stripMargin
 }

@@ -33,8 +33,12 @@ object Shrinkage {
   /** The shrinkage report of an (stratum, n, k) relation — the
     * estimator core, exposed for the spec's crafted cohorts. */
   private[graft] def ebOf(cells: DataFrame): DataFrame = {
+    // pin the (tiny) rated relation: it feeds the moment fit AND the
+    // published rows, and its upstream is the full scoring scan —
+    // without the pin the corpus would tokenize+score twice
     val rated = cells.withColumn("raw_rate",
       round(col("k").cast("double") / col("n"), 6))
+      .localCheckpoint()
     // method-of-moments Beta fit over the observed rates
     val moments = rated.agg(
       count(lit(1)).cast("double").as("s"),

@@ -46,6 +46,20 @@ class CupedSpec extends SparkSpec {
     assert(!r.isNullAt(8), "the raw z is unaffected")
   }
 
+  test("degenerate outcome variance and 1-user arms yield NULL tests, not NaN") {
+    // constant y in both arms: every variance is 0 → z undefined
+    val flat = (0 until 40).map(i => (i % 2, (i % 5).toLong, 3L))
+      .toDF("arm", "x", "y")
+    val r = Cuped.cupedOf(flat).collect()(0)
+    assert(r.isNullAt(7) && r.isNullAt(8) && r.isNullAt(9))
+    // a single-user arm has no sample variance at all
+    val tiny = Seq((0, 1L, 2L), (1, 3L, 4L), (1, 5L, 6L))
+      .toDF("arm", "x", "y")
+    val t = Cuped.cupedOf(tiny).collect()(0)
+    assert(t.isNullAt(8) && t.isNullAt(9),
+      "n0 = 1 leaves both z statistics undefined")
+  }
+
   test("q222 replays from the collected per-user counts") {
     val ev = Tables.events(spark, sfDir)
     val epoch = ev.agg(min(to_date(col("ts")))).head().getDate(0)
