@@ -121,6 +121,133 @@ object StreamDedup {
       .orderBy(col("batch"))
   }
 
+  // ---- q223: BOUNDED dedup state (dropDuplicatesWithinWatermark) --
+
+  /** Dedup window for the bounded variant. */
+  val DedupDelay = "10 minutes"
+
+  /** q223: `dropDuplicatesWithinWatermark` — the BOUNDED-state dedup
+    * q191's scaladoc points at: the unbounded `dropDuplicates` store
+    * grows with every distinct key forever (the quiet OOM of a
+    * year-long ingest), while the watermark variant evicts a key's
+    * state once the watermark passes its event time + delay — at the
+    * price of the at-least-once reality the unbounded store hides: a
+    * re-delivery arriving AFTER eviction is admitted AGAIN. This
+    * query certifies BOTH sides of that contract: a fast duplicate
+    * (1 min after its original, well inside the 10-min window) must
+    * be suppressed, and a late re-delivery (24 h after, with the
+    * watermark advanced far past the original's horizon by
+    * intervening batches) must be re-admitted.
+    *
+    * Determinism: timestamps are fixed literals (no data-derived
+    * clock) and the gaps are EXTREME relative to the delay — the
+    * suppression/eviction outcomes are forced by the API's coarse
+    * guarantees, not by which batch the watermark update lands in
+    * (the q197 one-batch-lag pin never becomes observable). Arrivals
+    * carry their staged batch index as a COLUMN, so the rollup is
+    * batch-exact without depending on which physical row survives.
+    *
+    * Scale shape: identical to q191 — (key, ts) pairs shuffle, one
+    * state entry per key — except state size is now bounded by the
+    * key-arrival rate × delay instead of the key cardinality of all
+    * time: the difference between a dedup store that fits in RocksDB
+    * forever and one that cannot. */
+  def streamedBoundedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.Scratch.dir("stream_wdedup", sfDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val stage = new java.io.File(base, "stage")
+    stage.mkdirs()
+    val keys = Tables.documents(spark, sfDir)
+      .select(TextOps.fingerprint(col("text")).as("key")).distinct()
+    val t0 = lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    def adv(k: Long, offsetMin: Int, bix: Int) = {
+      import spark.implicits._
+      Seq(k).toDF("key").select(col("key"),
+        (t0 + expr(s"interval $offsetMin minutes")).as("ts"),
+        lit(bix).as("bix"))
+    }
+    val batches = Seq(
+      keys.select(col("key"), t0.as("ts"), lit(0).as("bix")),
+      keys.filter(pmod(col("key"), lit(3)) === 0)
+        .select(col("key"), (t0 + expr("interval 1 minute")).as("ts"),
+          lit(1).as("bix"))
+        .unionByName(adv(-1L, 30, 1)),
+      adv(-2L, 720, 2),
+      keys.filter(pmod(col("key"), lit(5)) === 0)
+        .select(col("key"), (t0 + expr("interval 1440 minutes")).as("ts"),
+          lit(3).as("bix"))
+        .unionByName(adv(-3L, 1500, 3)))
+    batches.zipWithIndex.foreach { case (df, b) =>
+      val tmp = s"$base/tmp$b"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      val dst = new java.io.File(stage, f"b$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(1400000000000L + b * 60000L),
+        s"cannot pin mtime on $dst")
+    }
+    val src = spark.readStream
+      .schema("key BIGINT, ts TIMESTAMP, bix INT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.getAbsolutePath)
+    val q = StreamTune.withStatePartitions(spark) {
+      src.withWatermark("ts", DedupDelay)
+        .dropDuplicatesWithinWatermark("key")
+        .writeStream
+        .outputMode("append").format("parquet")
+        .option("path", s"$base/admitted")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(nBatches >= 4,
+      s"bounded dedup must drain all four staged batches, saw $nBatches")
+    val admitted = spark.read.parquet(s"$base/admitted")
+      .groupBy(col("bix").as("batch")).agg(count(lit(1)).as("n_admitted"))
+    val arrivals = batches.map(_.groupBy(col("bix").as("batch"))
+      .agg(count(lit(1)).as("n_arrivals"))).reduce(_ unionByName _)
+    arrivals.join(admitted, Seq("batch"), "left")
+      .na.fill(0L, Seq("n_admitted"))
+      .withColumn("n_suppressed", col("n_arrivals") - col("n_admitted"))
+      .orderBy(col("batch"))
+  }
+
+  /** Closed-form oracle — the staging's extreme gaps force every
+    * outcome: batch 0 all admitted; batch 1's fast duplicates all
+    * suppressed (the advance key admitted); batch 2's advance
+    * admitted; batch 3's 24-h re-deliveries ALL RE-ADMITTED (state
+    * evicted — the bounded-store contract under test). */
+  val streamedBoundedDedupSql: String = {
+    val tokSql = TextOps.tokSql()
+    s"""WITH fps AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(array_to_string($tokSql, ' ')), 1, 15))::BIGINT
+      |      AS key
+      |  FROM documents)
+      |SELECT 0 AS batch, CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+      |  CAST(COUNT(*) AS BIGINT) AS n_admitted,
+      |  CAST(0 AS BIGINT) AS n_suppressed FROM fps
+      |UNION ALL
+      |SELECT 1,
+      |  CAST(COUNT(*) FILTER (WHERE key % 3 = 0) + 1 AS BIGINT),
+      |  CAST(1 AS BIGINT),
+      |  CAST(COUNT(*) FILTER (WHERE key % 3 = 0) AS BIGINT) FROM fps
+      |UNION ALL
+      |SELECT 2, CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 3,
+      |  CAST(COUNT(*) FILTER (WHERE key % 5 = 0) + 1 AS BIGINT),
+      |  CAST(COUNT(*) FILTER (WHERE key % 5 = 0) + 1 AS BIGINT),
+      |  CAST(0 AS BIGINT) FROM fps
+      |ORDER BY batch""".stripMargin
+  }
+
   /** DuckDB recomputes the stream's answer from the pinned split:
     * a fingerprint's surviving row lands in its FIRST batch; every
     * other arrival is suppressed. */
