@@ -40,18 +40,27 @@ object Gini {
     val runs = byVal
       .withColumn("m", coalesce(sum(col("c")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // Σ ranks of this value-run = c·m + c(c+1)/2 — integer div
-      // (c·(c+1) is even), never a double-typed `/`
-      .withColumn("ranksum",
-        expr("c * m + (c * (c + 1)) div 2"))
+      // Σ ranks of this value-run = c·m + c(c+1)/2 — all of it in
+      // DECIMAL(38,0): c·m reaches ~n²/4 for the pooled stratum, which
+      // wraps a long silently (non-ANSI) beyond ~6e9 items while the
+      // oracle's HUGEINT does not. The halving stays integral via the
+      // parity split (exactly one of c, c+1 is even), so no decimal
+      // division ever runs.
+      .withColumn("ranksum", {
+        val cDec = col("c").cast("decimal(38,0)")
+        val half = when(pmod(col("c"), lit(2)) === 0,
+            expr("c div 2").cast("decimal(38,0)")
+              * (col("c") + 1).cast("decimal(38,0)"))
+          .otherwise(cDec * expr("(c + 1) div 2").cast("decimal(38,0)"))
+        cDec * col("m").cast("decimal(38,0)") + half
+      })
     val agg = runs.groupBy(col("stratum")).agg(
       sum(col("c")).as("n"),
       // multiply IN decimal: long products v·ranksum overflow at
       // corpus scale before any cast could save them
       sum(col("v").cast("decimal(19,0)")
         * col("c").cast("decimal(19,0)")).as("sx"),
-      sum(col("v").cast("decimal(19,0)")
-        * col("ranksum").cast("decimal(19,0)")).as("sxr"))
+      sum(col("v").cast("decimal(19,0)") * col("ranksum")).as("sxr"))
     agg.select(col("stratum"), col("n").as("n_docs"),
         col("sx").cast("long").as("total_tokens"),
         when(col("sx") === 0, lit(null).cast("double"))

@@ -51,6 +51,19 @@ object MinHashAudit {
     // transform over every shingle array is the expensive part —
     // without this boundary the signature pass runs three times
     val signed = Dedup.signedOf(docs).cache()
+    try estimatorAuditOf(signed)
+    finally {
+      // the checkpointed census is the only thing consumed after this
+      // point — drop both pinned copies of the per-doc shingle arrays
+      // (the widest relation in the pipeline) instead of holding them
+      // for the session
+      signed.unpersist()
+      docs.unpersist()
+      ()
+    }
+  }
+
+  private def estimatorAuditOf(signed: DataFrame): DataFrame = {
     val cand = Dedup.candOf(Dedup.invOf(signed))
     def side(tag: String) = signed
       .withColumn("n_sh", size(col("sh")))
