@@ -3,7 +3,7 @@ package graft
 /** Driver-run benchmark: every registered query at the given SF,
   * one JSON line on stdout.
   *
-  * ## Fresh JVM per query (round 6)
+  * ## Fresh JVM per query (round 6), tiered (round 11)
   *
   * Round-5 adjudication measured 5-15× per-query inflation when many
   * queries share one JVM (q24 2.3 s solo → 37.3 s mid-session, q67
@@ -11,17 +11,50 @@ package graft
   * ([[GraftSession.scrub]]) does NOT remove it — the pollution lives
   * below the Spark API (JIT/code-cache churn, codegen class
   * accumulation, heap fragmentation), not in the block manager. So
-  * isolation is now STRUCTURAL: the parent process runs no Spark at
-  * all and forks one child JVM per query (same classpath and JVM
-  * flags, via RuntimeMXBean); each child creates its own
-  * SparkSession, warms up scan+shuffle+codegen once, runs the query's
-  * reps, prints machine-readable times on stdout, and exits. Every
-  * recorded number is therefore a fresh-JVM quasi-solo measurement —
-  * the same conditions as `tools.TimeQuery` run by hand — and child
-  * startup (~5 s JVM + session) is excluded from the measured window.
+  * isolation is STRUCTURAL: the parent process runs no Spark at all
+  * and forks child JVMs (same classpath and JVM flags, via
+  * RuntimeMXBean); each child creates its own SparkSession, warms up
+  * scan+shuffle+codegen once, runs its queries' reps, prints
+  * machine-readable times on stdout, and exits. Child startup (~5 s
+  * JVM + session) is excluded from the measured window.
+  *
+  * ## Round-11 tiering — why not one child PER query anymore
+  *
+  * At 223 queries the one-child-per-query × 2-rep protocol costs
+  * ~16 s of per-child JVM boot + session + warmup overhead per query
+  * (~3650 s total) and stopped fitting the round driver's window
+  * (BENCH_r10 rc 124, killed mid-run). The round-5 pollution evidence
+  * is about LONG shared sessions (134 queries × 2 reps in one JVM),
+  * not about a handful of sub-second queries sharing a fresh child —
+  * so the suite now runs in three protocol tiers, picked by the
+  * CERTIFIED idle steady state of each query ([[BenchTiers]], from
+  * the canonical idle records):
+  *
+  *   - SOLO — certified ≥ [[Bench.SoloThresholdSec]], or not in the
+  *     certified table (newly added queries): unchanged round-6
+  *     protocol, one fresh JVM per query, min-of-reps.
+  *   - GROUPED — certified below the threshold: batches of up to
+  *     [[Bench.GroupSize]] queries share one fresh child (scrub +
+  *     bounded JIT-drain between queries), min-of-reps each. A
+  *     grouped measurement can only be HURT by its neighbours (the
+  *     pollution direction is always upward), so any grouped min
+  *     landing above max(1.5 s, 2× certified) is re-run on the SOLO
+  *     protocol and the solo result replaces it (`regrouped` in the
+  *     record names them). A sub-threshold query can therefore never
+  *     gain an unfairly fast number from grouping, and a polluted one
+  *     self-corrects.
+  *   - STREAMING — the stateful Structured Streaming replays share
+  *     ONE child with the engine machinery (micro-batch commit path,
+  *     RocksDB JNI + changelog provider) warmed once: per-query fresh
+  *     JVMs re-paid that fixed surface 11 times over (~45 s of suite
+  *     wall), which is engine cost a production streaming job pays
+  *     once per process lifetime, not per query.
   *
   * `SPARK_GRAFT_BENCH_FORK=0` restores the shared-JVM path (fast dev
   * loop; numbers from it are NOT publishable per the round-5 rule).
+  * `SPARK_GRAFT_BENCH_GROUP=0` forces every query onto the SOLO
+  * protocol (the round-6 behavior, used for probes and for
+  * re-certifying the tier table).
   *
   * Each query runs SPARK_GRAFT_BENCH_REPS times (default 2) and the
   * MINIMUM elapsed time is reported — one contended scheduling window
@@ -40,6 +73,52 @@ package graft
 object Bench {
 
   private[graft] def ms3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  /** Certified-steady boundary between the GROUPED and SOLO tiers. */
+  val SoloThresholdSec = 2.0
+
+  /** Max queries per grouped child — small enough that code-cache /
+    * heap pollution cannot build up (the round-5 failure mode needed
+    * hundreds of runs), large enough to amortize the ~10 s child
+    * fixed cost across a batch. */
+  val GroupSize = 12
+
+  /** A grouped min above max(1.5 s, 2× certified) is re-run SOLO. */
+  private[graft] def regroupCutoff(certified: Double): Double =
+    math.max(1.5, 2.0 * certified)
+
+  /** SOLO-tier queries that share a C2-compile surface run as one
+    * fresh-JVM FAMILY child (2 reps each, scrub + drain between, the
+    * same regroup self-correction as the grouped tier). Measured
+    * r11: q75 solo rep 1 carries 36-38 s of JIT — C2 compiling
+    * CATALYST itself (it persists with whole-stage codegen AND
+    * expression codegen off, and is untouched by AQE), driven by the
+    * 13+ iterative analyze/optimize/plan passes; run after q66 in the
+    * same JVM, rep 1 drops 8.7 → 3.5 s and the min-of-2 is unchanged
+    * (2.96 vs the 3.09 solo certified band) because solo min-of-2
+    * already reports the post-storm steady state. Family sharing
+    * removes the per-query re-payment of that fixed engine surface —
+    * the exact q75/q66 timeout mechanism of the r10 official run
+    * (jit = 55 s in a contended child) — without changing what any
+    * query's number means. */
+  private[graft] val HeavyFamilies: Seq[Seq[String]] = Seq(
+    // iterative link-graph loops (shared join/agg/checkpoint passes)
+    Seq("q66_pagerank", "q75_pagerank_full", "q110_hits", "q94_triangles"),
+    // the shingle→pair→CC pipeline family (shared q23 subtree)
+    Seq("q23_jaccard_pairs", "q53_dedup_groups", "q145_cc_star",
+      "q147_canonical_keep"),
+    // 1024-d vector family (featurize scans, Lloyd fits, pair scoring)
+    Seq("q27_embedding_near_dup", "q67_pq_ann", "q79_ivf_1024",
+      "q100_semdedup", "q119_ann_recall"))
+
+  /** Declared queries that run a stateful Structured Streaming
+    * replay — they share one machinery-warmed child (see scaladoc). */
+  private[graft] val StreamingQueries = Set(
+    "q155_streaming_ingest", "q157_streaming_lsh", "q158_streaming_audit",
+    "q159_streaming_windows", "q160_streaming_state",
+    "q161_streaming_sessions", "q162_streaming_join",
+    "q191_streaming_dedup", "q197_late_drops",
+    "q210_stream_outer_join", "q223_bounded_dedup")
 
   /** Fixed CPU-bound micro-calibration (hash-sum over 100M longs,
     * codegen'd, no IO): its time on an idle 32-thread host is stable,
@@ -65,40 +144,52 @@ object Bench {
       Seq(s.head, s(s.size / 2), s.last).map(ms3).mkString("[", ",", "]")
     }
 
+  private def shortName(k: String): String = k.takeWhile(_ != '_')
+
+  /** One query's outcome: min-of-reps, all-reps-ok, child env markers
+    * (calib, load — shared by every query of a grouped child), and
+    * the rep times in run order. */
+  private[graft] final case class QResult(name: String, best: Double,
+      ok: Boolean, env: Option[(Double, Double)], reps: Seq[Double])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    val group = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "1") != "0"
     // dev filter: SPARK_GRAFT_BENCH_ONLY=q23,q53 limits the run to
     // queries whose qNN prefix is listed (full suite when unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
-    val results =
-      if (fork) names.map(runForked(_, sfDir, reps))
-      else runShared(names, sfDir, reps)
-    def short(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _, _, _) => "\"" + short(k) + "\":" + v }
+      .filter(n => only.forall(_.contains(shortName(n))))
+    val (results, regrouped) =
+      if (fork) runTiered(names, sfDir, reps, group)
+      else (runShared(names, sfDir, reps), Nil)
+    val byName = results.map(r => r.name -> r).toMap
+    val ordered = names.map(byName)
+    val qs = ordered.map(r => "\"" + shortName(r.name) + "\":" + r.best)
       .mkString("{", ",", "}")
     // per-query rep arrays IN RUN ORDER (rep 1 = in-JVM cold): the
     // record self-adjudicates cold-vs-steady per query instead of
     // PERF.md hand-probing it (r8 VERDICT #5)
-    val repArrays = results.map { case (k, _, _, _, ts) =>
-      "\"" + short(k) + "\":" + ts.map(ms3).mkString("[", ",", "]")
+    val repArrays = ordered.map { r =>
+      "\"" + shortName(r.name) + "\":" + r.reps.map(ms3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _) => "\"" + short(k) + "\"" }
+    val failed = ordered.collect { case r if !r.ok => "\"" + shortName(r.name) + "\"" }
       .mkString("[", ",", "]")
-    val total = ms3(results.map(_._2).sum)
-    val envs = results.flatMap(_._4)
+    val total = ms3(ordered.map(_.best).sum)
+    val envs = ordered.flatMap(_.env).distinct
     val calib = tri(envs.map(_._1))
     val load = tri(envs.map(_._2))
     // median over queries of rep1/min — the suite-wide cold-start
     // surcharge, derived from the record itself
-    val coldRatios = results.map(_._5).filter(ts => ts.size >= 2 && ts.min > 0)
+    val coldRatios = ordered.map(_.reps).filter(ts => ts.size >= 2 && ts.min > 0)
       .map(ts => ts.head / ts.min).sorted
     val coldMed =
       if (coldRatios.isEmpty) 1.0 else ms3(coldRatios(coldRatios.size / 2))
+    val regroupedJson = regrouped.map("\"" + shortName(_) + "\"")
+      .mkString("[", ",", "]")
     // Field ORDER is load-bearing: the driver's output capture keeps
     // only the LAST ~2 KB of stdout, and the r7 record line (152
     // queries) was cut at the FRONT, losing the suite total (ADVICE
@@ -106,7 +197,7 @@ object Bench {
     // every scalar summary field goes last, so any truncation eats
     // query timings, never the headline metrics; the complete record
     // is also persisted to BENCH_FULL_LATEST.json for reconstruction.
-    val record = s"""{"query_reps":$repArrays,"queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$failed,"calib":$calib,"load":$load,"cold_ratio_med":$coldMed,"metric":"total","unit":"sec","value":$total}"""
+    val record = s"""{"query_reps":$repArrays,"queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$failed,"regrouped":$regroupedJson,"calib":$calib,"load":$load,"cold_ratio_med":$coldMed,"metric":"total","unit":"sec","value":$total}"""
     println(record)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL_LATEST.json"), record + "\n")
@@ -114,10 +205,58 @@ object Bench {
       System.err.println(s"[bench] full-record persist failed: ${e.getMessage}") }
   }
 
+  /** Tier the suite, run the children, apply the grouped→solo re-run
+    * rule. Returns (per-query results, names re-run solo). */
+  private def runTiered(names: Seq[String], sfDir: String, reps: Int,
+      group: Boolean): (Seq[QResult], Seq[String]) = {
+    val (streaming, batch) = names.partition(StreamingQueries)
+    val (grouped, solo) =
+      if (!group) (Nil, batch)
+      else batch.partition { n =>
+        BenchTiers.certifiedSteady.get(shortName(n))
+          .exists(_ < SoloThresholdSec)
+      }
+    // solo-tier queries belonging to a heavy family share one child
+    // (in family order); the rest run one child each
+    val famMembers = HeavyFamilies.flatten.toSet
+    val (inFamily, singleton) =
+      if (group) solo.partition(famMembers.contains)
+      else (Nil, solo)
+    val families = HeavyFamilies
+      .map(f => f.filter(inFamily.contains)).filter(_.nonEmpty)
+    System.err.println(s"[bench] tiers: solo=${singleton.size} " +
+      s"family=${inFamily.size}/${families.size} " +
+      s"grouped=${grouped.size} streaming=${streaming.size}")
+    val soloResults = singleton.flatMap(n => runChild(Seq(n), sfDir, reps))
+    val familyResults = families.flatMap(f => runChild(f, sfDir, reps))
+    val groupedResults = grouped.grouped(GroupSize).toSeq
+      .flatMap(g => runChild(g, sfDir, reps))
+    // streaming replays share one machinery-warmed child; when the
+    // tier filter leaves exactly one member it degenerates to solo
+    val streamingResults =
+      if (streaming.isEmpty) Nil
+      else if (group) runChild(streaming, sfDir, reps)
+      else streaming.flatMap(n => runChild(Seq(n), sfDir, reps))
+    // grouped/family self-correction: pollution only pushes numbers
+    // UP, so a shared-child min far above its certified band is
+    // re-measured on the solo protocol and the solo result stands
+    val (suspect, clean) = (groupedResults ++ familyResults).partition { r =>
+      val cert = BenchTiers.certifiedSteady.getOrElse(shortName(r.name), 0.0)
+      r.ok && r.best > regroupCutoff(cert)
+    }
+    val rerun = suspect.map { r =>
+      System.err.println(s"[bench] ${r.name} grouped ${ms3(r.best)} over " +
+        "certified band — re-running solo")
+      runChild(Seq(r.name), sfDir, reps).headOption.getOrElse(r)
+    }
+    (soloResults ++ clean ++ rerun ++ streamingResults,
+      suspect.map(_.name))
+  }
+
   /** Child JVM command line: same java binary, classpath, and JVM
     * flags as this process (so -Xmx / --add-opens / code-cache /
     * tmpdir settings carry over verbatim). */
-  private def childCmd(sfDir: String, reps: Int, name: String): Seq[String] = {
+  private def childCmd(sfDir: String, reps: Int, names: Seq[String]): Seq[String] = {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java")
       .getAbsolutePath
@@ -125,18 +264,22 @@ object Bench {
       .getInputArguments.toArray.map(_.toString).toSeq
     Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"),
-        "graft.BenchOne", sfDir, reps.toString, name)
+        "graft.BenchOne", sfDir, reps.toString, names.mkString(","))
   }
 
   /** Per-child wall-clock cap — generous (the worst honest query is
-    * tens of seconds); a hung child is killed and recorded as failed
-    * with its elapsed time, never silently dropped. */
+    * tens of seconds, the largest child runs ~12 sub-2 s queries); a
+    * hung child is killed and recorded as failed with its elapsed
+    * time, never silently dropped. */
   private val ChildTimeoutSec = 900L
 
-  private def runForked(name: String, sfDir: String, reps: Int)
-      : (String, Double, Boolean, Option[(Double, Double)], Seq[Double]) = {
+  /** Fork one child for `names`; parse one BENCHONE line per query.
+    * Queries the child never reported (crash/timeout) are recorded
+    * failed, carrying the child's remaining wall time. */
+  private def runChild(names: Seq[String], sfDir: String, reps: Int)
+      : Seq[QResult] = {
     val t0 = System.nanoTime()
-    val pb = new ProcessBuilder(childCmd(sfDir, reps, name): _*)
+    val pb = new ProcessBuilder(childCmd(sfDir, reps, names): _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
     // watchdog: readLine below blocks until child EOF, so the timeout
@@ -153,16 +296,17 @@ object Bench {
     val out = new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getInputStream))
     var line: String = null
-    var got: Option[(Double, Boolean)] = None
+    val got = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Seq[Double])]
     var env: Option[(Double, Double)] = None
-    var repTimes: Seq[Double] = Nil
     try {
       while ({ line = out.readLine(); line != null }) line match {
         case l if l.startsWith("BENCHONE ") =>
+          // "BENCHONE <name> <ok> <t1> [t2 ...]"
           val parts = l.split("\\s+")
-          val ok = parts(1) == "1"
-          val times = parts.drop(2).map(_.toDouble)
-          if (times.nonEmpty) { got = Some((times.min, ok)); repTimes = times.toSeq }
+          val name = parts(1)
+          val ok = parts(2) == "1"
+          val times = parts.drop(3).map(_.toDouble).toSeq
+          if (times.nonEmpty) got(name) = (ok, times)
         case l if l.startsWith("BENCHENV ") =>
           // "BENCHENV <calib_sec> <load_avg>" — contention markers
           val parts = l.split("\\s+")
@@ -170,23 +314,30 @@ object Bench {
         case l => System.err.println(l) // child chatter → parent stderr
       }
       p.waitFor()
-      if (timedOut.get) {
-        System.err.println(s"[bench] $name child TIMED OUT after ${ChildTimeoutSec}s")
-        got = None
-      } else if (p.exitValue() != 0 && got.isEmpty)
-        System.err.println(s"[bench] $name child exited ${p.exitValue()}")
+      if (timedOut.get)
+        System.err.println(s"[bench] child [${names.mkString(",")}] TIMED " +
+          s"OUT after ${ChildTimeoutSec}s")
+      else if (p.exitValue() != 0 && got.size < names.size)
+        System.err.println(s"[bench] child [${names.mkString(",")}] exited " +
+          p.exitValue())
     } finally out.close()
     val wall = (System.nanoTime() - t0) / 1e9
-    val (best, ok) = got.getOrElse((wall, false))
-    System.err.println(s"[bench] $name ${ms3(best)} ok=$ok wall=${ms3(wall)}" +
-      env.map { case (c, l) => s" calib=${ms3(c)} load=$l" }.getOrElse(""))
-    (name, ms3(best), ok, env, repTimes)
+    // wall not accounted to reported queries (child boot + overhead +
+    // queries the child never reached) — attributed to the missing ones
+    val residual = math.max(0.0, wall - got.values.map(_._2.sum).sum)
+    names.map { name =>
+      val (ok, times) = got.getOrElse(name, (false, Seq(residual)))
+      val best = times.min
+      System.err.println(s"[bench] $name ${ms3(best)} ok=$ok" +
+        env.map { case (c, l) => s" calib=${ms3(c)} load=$l" }.getOrElse(""))
+      QResult(name, ms3(best), ok, env, times)
+    }
   }
 
   /** Legacy shared-JVM path (dev only): all queries in this process,
     * scrub between runs, measured window excludes the scrub. */
   private def runShared(names: Seq[String], sfDir: String, reps: Int)
-      : Seq[(String, Double, Boolean, Option[(Double, Double)], Seq[Double])] = {
+      : Seq[QResult] = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -205,7 +356,7 @@ object Bench {
         System.err.println(s"[bench] $name ${ms3(dt)} ok=$ok")
         (dt, ok)
       }
-      (name, ms3(runs.map(_._1).min), runs.forall(_._2), env,
+      QResult(name, ms3(runs.map(_._1).min), runs.forall(_._2), env,
         runs.map(_._1))
     }
     spark.stop()
@@ -213,33 +364,23 @@ object Bench {
   }
 }
 
-/** One-query child process for the forked bench: own SparkSession,
-  * one warm-up action, `reps` timed runs, one `BENCHONE <ok> <t…>`
-  * line on stdout. Runs standalone too:
+/** Child process for the forked bench: own SparkSession, one warm-up
+  * action, then for EACH named query `reps` timed runs and one
+  * `BENCHONE <name> <ok> <t…>` line on stdout (scrub + bounded
+  * JIT-drain between queries). Runs standalone too:
   * {{{ sbt "runMain graft.BenchOne /root/testdata/sf0.1 2 q53_dedup_groups" }}}
   */
 object BenchOne {
 
-  /** Declared queries that run a stateful Structured Streaming
-    * replay. Their children additionally warm the STREAMING ENGINE
-    * machinery (micro-batch commit path, state-store provider —
-    * RocksDB JNI + changelog since r10) before the measured reps:
-    * that surface is engine fixed cost, same class as the
-    * scan/shuffle/codegen warm-up, and on a fresh JVM it otherwise
-    * dominates rep 1 AND leaks compile residue into rep 2 (r10
-    * record: q157 rep 2 carried jit=8.7 s ≈ wall; idle rep 3 landed
-    * at 5.96 s — min-of-2 never reached steady state). Per-query
-    * PLAN compilation still lands inside the measurement; only the
-    * query-independent machinery is warmed. */
-  private val StatefulStreaming = Set(
-    "q155_streaming_ingest", "q157_streaming_lsh", "q158_streaming_audit",
-    "q159_streaming_windows", "q160_streaming_state",
-    "q161_streaming_sessions", "q162_streaming_join",
-    "q191_streaming_dedup", "q197_late_drops")
-
   /** One-row file-source stream through a stateful dropDuplicates on
     * the replay backend (StreamTune scope), noop sink — compiles and
-    * runs the whole micro-batch + state-commit path once. */
+    * runs the whole micro-batch + state-commit path once. Engine
+    * fixed cost, same class as the scan/shuffle/codegen warm-up; on a
+    * fresh JVM it otherwise dominates rep 1 AND leaks compile residue
+    * into rep 2 (r10 record: q157 rep 2 carried jit=8.7 s ≈ wall;
+    * idle rep 3 landed at 5.96 s — min-of-2 never reached steady
+    * state). Per-query PLAN compilation still lands inside the
+    * measurement; only the query-independent machinery is warmed. */
   private def warmStreamingMachinery(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
@@ -261,10 +402,26 @@ object BenchOne {
       .delete(new org.apache.hadoop.fs.Path(dir.toString), true)
   }
 
+  /** Wait (bounded) until accumulated JIT compile time stops moving —
+    * the r9 CC-variance finding: a rep can run 2-3× slow purely
+    * because earlier codegen classes are still compiling on the
+    * background C2 threads. Runs OUTSIDE every measured window. */
+  private def drainJit(jitBean: java.lang.management.CompilationMXBean,
+      maxSec: Long): Unit = {
+    val deadline = System.nanoTime() + maxSec * 1000 * 1000 * 1000
+    var last = jitBean.getTotalCompilationTime
+    var stable = 0
+    while (stable < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val now = jitBean.getTotalCompilationTime
+      if (now == last) stable += 1 else { stable = 0; last = now }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = args(1).toInt
-    val name = args(2)
+    val names = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -273,13 +430,12 @@ object BenchOne {
     // expression compilation stays in the measurement (it's part of
     // the engine's real cost)
     Tables.nation(spark, sfDir).groupBy("n_regionkey").count().count()
-    if (StatefulStreaming(name)) warmStreamingMachinery(spark)
+    if (names.exists(Bench.StreamingQueries)) warmStreamingMachinery(spark)
     // contention markers: fixed CPU-bound calib + host load average,
     // reported on their own protocol line so a contended record is
     // self-identifying (round-6 lesson: driver host was 2-5× loaded)
     val calib = Bench.calibrate(spark)
     println("BENCHENV " + Bench.ms3(calib) + " " + Bench.loadAvg())
-    val fn = SparkEntry.queries(name)
     // per-rep JIT-compile and GC deltas: the r9 CC-variance finding —
     // a rep dominated by C2 compilation of the query's codegen'd
     // stages shows a jit delta comparable to its wall time, which the
@@ -292,41 +448,35 @@ object BenchOne {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    val runs = (1 to reps).zipWithIndex.map { case (_, i) =>
-      val jit0 = jitBean.getTotalCompilationTime
-      val gc0 = gcMs
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9 // clock stops before scrub
-      System.err.println(s"[bench] $name rep ${i + 1}: ${Bench.ms3(dt)}s " +
-        s"jit=${jitBean.getTotalCompilationTime - jit0}ms gc=${gcMs - gc0}ms")
-      GraftSession.scrub(spark)
-      // Drain the C2 compile queue before the next rep (outside the
-      // measured window): the r9 CC-variance finding showed a rep can
-      // run 2-3× slow purely because rep 1's codegen classes are
-      // still compiling on the background threads. Steady-state is
-      // what min-of-reps claims to report, so wait (bounded) until
-      // accumulated compile time stops moving.
-      if (i + 1 < reps) {
-        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-        var last = jitBean.getTotalCompilationTime
-        var stable = 0
-        while (stable < 3 && System.nanoTime() < deadline) {
-          Thread.sleep(100)
-          val now = jitBean.getTotalCompilationTime
-          if (now == last) stable += 1 else { stable = 0; last = now }
-        }
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val runs = (1 to reps).zipWithIndex.map { case (_, i) =>
+        val jit0 = jitBean.getTotalCompilationTime
+        val gc0 = gcMs
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9 // clock stops before scrub
+        System.err.println(s"[bench] $name rep ${i + 1}: ${Bench.ms3(dt)}s " +
+          s"jit=${jitBean.getTotalCompilationTime - jit0}ms gc=${gcMs - gc0}ms")
+        GraftSession.scrub(spark)
+        // inter-rep drain: steady-state is what min-of-reps claims to
+        // report, so wait (bounded) until the compile queue settles
+        if (i + 1 < reps) drainJit(jitBean, 15L)
+        (dt, ok)
       }
-      (dt, ok)
+      // Double.toString, NOT f"%.3f": the f interpolator is
+      // locale-sensitive and a comma-decimal default locale would break
+      // the parent's toDouble parse of this protocol line
+      println("BENCHONE " + name + " " +
+        (if (runs.forall(_._2)) "1" else "0") + " " +
+        runs.map(r => Bench.ms3(r._1).toString).mkString(" "))
+      // inter-query drain (grouped children): residue from this
+      // query's codegen must not tax the next query's rep 1
+      drainJit(jitBean, 5L)
     }
-    // Double.toString, NOT f"%.3f": the f interpolator is
-    // locale-sensitive and a comma-decimal default locale would break
-    // the parent's toDouble parse of this protocol line
-    println("BENCHONE " + (if (runs.forall(_._2)) "1" else "0") + " " +
-      runs.map(r => Bench.ms3(r._1).toString).mkString(" "))
     spark.stop()
   }
 }
