@@ -83,6 +83,11 @@ object Bench {
     * fixed cost across a batch. */
   val GroupSize = 12
 
+  /** Max streaming replays per machinery-warmed child (see
+    * runTiered's streaming comment: long streaming children degrade
+    * progressively even with provider unload between runs). */
+  val StreamingChildSize = 4
+
   /** A grouped min above max(1.5 s, 2× certified) is re-run SOLO. */
   private[graft] def regroupCutoff(certified: Double): Double =
     math.max(1.5, 2.0 * certified)
@@ -231,26 +236,38 @@ object Bench {
     val familyResults = families.flatMap(f => runChild(f, sfDir, reps))
     val groupedResults = grouped.grouped(GroupSize).toSeq
       .flatMap(g => runChild(g, sfDir, reps))
-    // streaming replays share one machinery-warmed child; when the
-    // tier filter leaves exactly one member it degenerates to solo
+    // streaming replays share machinery-warmed children in batches of
+    // [[StreamingChildSize]], HEAVIEST-certified first: even with
+    // StateStore.stop + resetTerminated + GC between runs, a long
+    // streaming child still degrades progressively (first r11
+    // full-protocol run: q162 at position 7 ran 4.2× its certified
+    // steady; with provider unload it still ran 1.9× at that
+    // position), so the expensive rows take the early, clean slots
+    // and the accumulation exposure is capped at 4 runs — with the
+    // regroup fallback below as the backstop
     val streamingResults =
       if (streaming.isEmpty) Nil
-      else if (group) runChild(streaming, sfDir, reps)
-      else streaming.flatMap(n => runChild(Seq(n), sfDir, reps))
-    // grouped/family self-correction: pollution only pushes numbers
-    // UP, so a shared-child min far above its certified band is
-    // re-measured on the solo protocol and the solo result stands
-    val (suspect, clean) = (groupedResults ++ familyResults).partition { r =>
-      val cert = BenchTiers.certifiedSteady.getOrElse(shortName(r.name), 0.0)
-      r.ok && r.best > regroupCutoff(cert)
-    }
+      else if (group) {
+        val byCost = streaming.sortBy(n =>
+          -BenchTiers.certifiedSteady.getOrElse(shortName(n), 99.0))
+        byCost.grouped(StreamingChildSize).toSeq
+          .flatMap(g => runChild(g, sfDir, reps))
+      } else streaming.flatMap(n => runChild(Seq(n), sfDir, reps))
+    // shared-child self-correction (grouped, family, AND streaming):
+    // pollution only pushes numbers UP, so a shared-child min far
+    // above its certified band is re-measured on the solo protocol
+    // and the solo result stands
+    val (suspect, clean) =
+      (groupedResults ++ familyResults ++ streamingResults).partition { r =>
+        val cert = BenchTiers.certifiedSteady.getOrElse(shortName(r.name), 0.0)
+        r.ok && r.best > regroupCutoff(cert)
+      }
     val rerun = suspect.map { r =>
       System.err.println(s"[bench] ${r.name} grouped ${ms3(r.best)} over " +
         "certified band — re-running solo")
       runChild(Seq(r.name), sfDir, reps).headOption.getOrElse(r)
     }
-    (soloResults ++ clean ++ rerun ++ streamingResults,
-      suspect.map(_.name))
+    (soloResults ++ clean ++ rerun, suspect.map(_.name))
   }
 
   /** Child JVM command line: same java binary, classpath, and JVM
@@ -462,6 +479,22 @@ object BenchOne {
         System.err.println(s"[bench] $name rep ${i + 1}: ${Bench.ms3(dt)}s " +
           s"jit=${jitBean.getTotalCompilationTime - jit0}ms gc=${gcMs - gc0}ms")
         GraftSession.scrub(spark)
+        // unload state-store providers between STREAMING runs: every
+        // replay leaves its RocksDB providers (JNI memory + background
+        // maintenance) loaded in the executor, and across a shared
+        // child they accumulate into progressive slowdown (first
+        // full-protocol r11 run: q162 25.2 s at position 7 of the
+        // streaming child vs its 5.99 s certified steady; q210 29.0
+        // vs 8.5 at position 10). Outside the measured window; the
+        // next query reloads its own providers from checkpoint.
+        if (Bench.StreamingQueries(name)) {
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          spark.streams.resetTerminated()
+          // micro-batch replays leave thousands of tiny shuffle files
+          // + block metadata behind; the async ContextCleaner only
+          // reclaims them after a driver GC
+          System.gc()
+        }
         // inter-rep drain: steady-state is what min-of-reps claims to
         // report, so wait (bounded) until the compile queue settles
         if (i + 1 < reps) drainJit(jitBean, 15L)

@@ -120,15 +120,18 @@ object Similarity {
     * trade at any scale. No id-derived key anywhere: two similar
     * vectors block together regardless of their ids. */
   /** The near-dup input: document embeddings ∪ perturbed copies
-    * (vec_id + 10000, last component zeroed, renormalized), each row
+    * (vec_id + Planted.MinOffset, last component zeroed, renormalized), each row
     * carrying its norm. Materialized — exposed for the recall spec. */
   private[graft] def nearDupCorpus(spark: SparkSession,
       sfDir: String): DataFrame = {
-    // vec_id here IS doc_id (Corpus.docEmbeddings), so the +10000
-    // perturbed family needs the same headroom guard as the text
-    // carvings (ADVICE r9): an organic id ≥ 10000 would silently
-    // land in the planted range
-    Planted.assertHeadroom(spark, sfDir, 10000L,
+    // vec_id here IS doc_id (Corpus.docEmbeddings), so the perturbed
+    // family uses the SAME +100000 offset convention as the text
+    // carvings (Planted.MinOffset) and the same headroom guard
+    // (ADVICE r9): an organic id at-or-over the offset would silently
+    // land in the planted range. r10 had this at +10000, which left
+    // only 2x headroom over sf0.1's id range and excluded q27 from
+    // the 10x scale probe (staged ids reach 49999).
+    Planted.assertHeadroom(spark, sfDir, Planted.MinOffset,
       "q27 embedding near-dup corpus")
     // materialize the featurized vectors FIRST: the perturbation below
     // normalizes, and a normalize-of-featurize as one nested tree
@@ -138,7 +141,7 @@ object Similarity {
     // every subexpression runs once per row.
     val e = Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
     val perturbed = e.filter(pmod(col("vec_id"), lit(20)) === 0)
-      .select((col("vec_id") + 10000).as("vec_id"),
+      .select((col("vec_id") + Planted.MinOffset).as("vec_id"),
         concat(slice(col("v"), 1, Dims - 1), array(lit(0.0))).as("pv"))
       .withColumn("pn", VectorOps.l2Norm(col("pv")))
       // l2Normalize over the materialized (pv, pn) columns — same
@@ -184,7 +187,7 @@ object Similarity {
       |         THEN 1.0 ELSE -1.0 END) AS hv
       |  FROM generate_series(0, ${NHyperplanes - 1}) AS t(j)),
       |pert AS (
-      |  SELECT vec_id + 10000 AS vec_id,
+      |  SELECT vec_id + ${Planted.MinOffset} AS vec_id,
       |    CASE WHEN nrm = 0 THEN pv ELSE list_transform(pv, x -> x / nrm) END AS v
       |  FROM (
       |    SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS nrm
