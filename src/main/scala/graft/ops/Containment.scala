@@ -83,7 +83,15 @@ object Containment {
       .select(col("doc_id"), col("sh"))
       .localCheckpoint()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shared = kept.as("a").join(kept.as("b"), Seq("sh"))
+    // merge hint: `kept` is a localCheckpoint LogicalRDD whose
+    // inherited stats UNDER-report the index, so the static planner
+    // broadcast it into its own self-join (measured at the staged 30×
+    // corpus: the x10→x30 leg grew 5.5× on 3× data, the driver
+    // re-collecting the 30× index). AQE cannot demote a broadcast fed
+    // straight from a checkpoint (no shuffle stage to re-measure) —
+    // same mechanism as the q27 band join, same fix: shuffle both
+    // sides once on `sh`, the linear shape the scaladoc claims.
+    val shared = kept.as("a").join(kept.as("b").hint("merge"), Seq("sh"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
       .agg(count(lit(1)).as("shared"))

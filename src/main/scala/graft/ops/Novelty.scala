@@ -84,7 +84,14 @@ object Novelty {
     val grams = gramPairs(spark, sfDir).localCheckpoint() // feeds both sides
     val owner = grams.groupBy(col("g"))
       .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("df"))
-    grams.join(owner, Seq("g")) // equi-join on the agg's own partitioning
+    // merge hint: without it the static planner BROADCASTS the
+    // checkpointed gram relation (its LogicalRDD stats under-report
+    // the widest relation in the query) — the exact opposite of the
+    // co-partitioned equi-join this line always claimed, and AQE
+    // cannot demote a checkpoint-fed broadcast (the q27/q194
+    // mechanism). With the hint the join rides the agg's own
+    // hash-partitioning on g.
+    grams.hint("merge").join(owner, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_exclusive"),

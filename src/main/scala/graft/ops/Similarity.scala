@@ -157,19 +157,47 @@ object Similarity {
       .localCheckpoint()
   }
 
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingNearDupAt(spark, sfDir, NHyperplanes, BandBits)
+
+  /** The same operator with the LSH width parameters exposed — the
+    * production scaling path. At fixed band geometry the per-band
+    * bucket count is 2^bandBits, so the chance-collision candidate
+    * volume grows ~n²/2^bandBits once the corpus outruns the band
+    * width (measured on the staged 10× corpus: pairs 650 k → 8.8 M,
+    * 13.6× at 10× data). The standard LSH answer grows r (bits) and
+    * L (bands) together to hold recall while dividing chance density
+    * by 2^Δr: at the q27 operating point (sim ≥ 0.98 ⇒ per-bit sign
+    * agreement p ≈ 0.94), (r=16, L=8) ≈ (r=20, L=12) in recall, but
+    * the wider bands cut chance pairs ~16× per band. The DECLARED q27
+    * keeps (128, 16) — its oracle is pinned at that geometry — and
+    * the scale probe runs this at (240, 20). */
+  def embeddingNearDupAt(spark: SparkSession, sfDir: String,
+      nPlanes: Int, bandBits: Int): DataFrame = {
     import graft.expressions.HyperplaneBands
     val corpus = nearDupCorpus(spark, sfDir)
     val bucketed = corpus
       .select(col("vec_id"), col("v"), col("nrm"), posexplode(
-        HyperplaneBands.bands(col("v"), NHyperplanes, BandBits)))
+        HyperplaneBands.bands(col("v"), nPlanes, bandBits)))
       .toDF("vec_id", "v", "nrm", "band", "key")
     val a = bucketed.select(col("band"), col("key"),
       col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("band"), col("key"),
       col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     val denom = col("na") * col("nb")
-    a.join(b, Seq("band", "key"))
+    // Force the partitioned join: the bucketed sides are
+    // localCheckpoint LogicalRDDs whose inherited size estimate
+    // UNDER-reports the exploded 8 KB-vector rows, so the static
+    // planner picked BroadcastHashJoin — collecting corpus × NBands
+    // vector payloads through the driver (measured: 3.4 GB at the
+    // staged 10× corpus, 64 s wall; the (240, 20) geometry exceeded
+    // the 8 GiB broadcast cap outright). AQE cannot demote it: the
+    // relation feeds the join with no materialized shuffle stage to
+    // re-measure, so the static mistake stands at ANY scale — the
+    // inverse of the q192 promotion story. The merge join shuffles
+    // each side once on (band, key), which is the linear shape the
+    // operator claims.
+    a.join(b.hint("merge"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", when(denom === 0.0, lit(0.0))
         .otherwise(VectorOps.dot(col("va"), col("vb")) / denom))

@@ -88,7 +88,14 @@ object Winnow {
     val fps = fingerprints(spark, sfDir).localCheckpoint()
     val byFp = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= MaxDf)
-    val hot = fps.join(byFp, Seq("fp")).select(col("doc_id"), col("fp"))
+    // merge hint: `fps` is a localCheckpoint LogicalRDD whose
+    // inherited stats under-report the corpus-proportional
+    // fingerprint relation; the static planner broadcast it BuildLeft
+    // into the df-cap join and AQE cannot demote a checkpoint-fed
+    // broadcast (the q27/q194 mechanism). Shuffle on fp instead —
+    // the pair join downstream already rides that partitioning.
+    val hot = fps.hint("merge").join(byFp, Seq("fp"))
+      .select(col("doc_id"), col("fp"))
     val a = hot.select(col("fp"), col("doc_id").as("a_id"))
     val b = hot.select(col("fp"), col("doc_id").as("b_id"))
     a.join(b, Seq("fp"))
