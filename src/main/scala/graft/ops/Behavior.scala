@@ -32,11 +32,16 @@ object Behavior {
       .localCheckpoint() // feeds three stage aggregates
     val t1 = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
-    val t2 = e.filter(col("event_type") === "click")
+    // merge hints on the checkpoint-fed stage joins: the events
+    // checkpoint's inherited stats under-report it, so the static
+    // planner broadcast the event side and AQE cannot demote a
+    // checkpoint-fed broadcast (PERF.md r11 checkpoint-broadcast
+    // audit); the funnel's whole design is user_id-keyed shuffles
+    val t2 = e.filter(col("event_type") === "click").hint("merge")
       .join(t1, Seq("user_id"))
       .filter(col("us") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
-    val t3 = e.filter(col("event_type") === "purchase")
+    val t3 = e.filter(col("event_type") === "purchase").hint("merge")
       .join(t2, Seq("user_id"))
       .filter(col("us") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
@@ -127,7 +132,9 @@ object Behavior {
     val marg = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
     val a = items.select(col("okey"), col("part").as("pa"))
     val b = items.select(col("okey"), col("part").as("pb"))
-    a.join(b, Seq("okey"))
+    // merge: both sides are the basket checkpoint (stats-blind, the
+    // static planner broadcast one side; PERF.md r11 audit)
+    a.join(b.hint("merge"), Seq("okey"))
       .filter(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_ab"))

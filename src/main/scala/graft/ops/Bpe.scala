@@ -246,7 +246,11 @@ object Bpe {
     val perSource = Tables.documents(spark, sfDir)
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
-    perSource.join(model, Seq("word"))
+    // merge: the segmentation model is vocabulary-proportional (one
+    // row per distinct corpus word) and rode a stats-blind checkpoint
+    // estimate into a static broadcast (PERF.md r11 audit); AQE still
+    // promotes it back AFTER measuring when the vocab is small
+    perSource.join(model.hint("merge"), Seq("word"))
       .groupBy(col("source")).agg(
         sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_sym")).as("n_tokens"),

@@ -42,7 +42,10 @@ object Index {
       case (acc, (term, i)) =>
         val next = postings.where(col("term") === term)
           .select(col("doc_id").as("d2"), col("pos").as("p2"))
-        acc.join(next,
+        // merge: term postings are df(term)-proportional; the
+        // postings checkpoint's stats-blind estimate made the static
+        // planner broadcast them (PERF.md r11 audit)
+        acc.join(next.hint("merge"),
             acc("doc_id") === col("d2") && acc("pos") + lit(i) === col("p2"))
           .select(acc("doc_id"), acc("pos"))
     }

@@ -257,9 +257,14 @@ object Mining {
     val totals = d.agg(
       sum(col("n")).cast("double").as("ntok"),
       sum(greatest(col("n") - 1, lit(0))).cast("double").as("nbig"))
+    // merge: the unigram checkpoint is vocabulary-proportional and
+    // its inherited stats under-report it — the static planner
+    // broadcast it into both marginal joins (PERF.md r11 audit)
     bi.filter(col("c2") >= PmiMinCount)
-      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a"))
+        .hint("merge"), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b"))
+        .hint("merge"), Seq("w2"))
       .crossJoin(broadcast(totals))
       .withColumn("pmi", round(log(
         (col("c2").cast("double") / col("nbig"))
@@ -331,7 +336,9 @@ object Mining {
       .localCheckpoint() // feeds df counting and the join back
     val dfCounts = paras.groupBy(col("ph"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    paras.join(dfCounts, Seq("ph"))
+    // merge: the paragraph checkpoint is corpus-proportional and was
+    // statically broadcast off its stats-blind estimate (PERF.md r11)
+    paras.hint("merge").join(dfCounts, Seq("ph"))
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_paras"),
@@ -385,7 +392,9 @@ object Mining {
       .localCheckpoint() // shared by sizes + both join sides
     val sizes = grams.groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"))
-    val inter = grams.as("x")
+    // merge: both sides are the (source, gram) checkpoint — the
+    // static planner broadcast one side of the self-join (PERF.md r11)
+    val inter = grams.as("x").hint("merge")
       .join(grams.as("y"),
         col("x.g") === col("y.g") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))

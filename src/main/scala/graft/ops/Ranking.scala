@@ -232,8 +232,13 @@ object Ranking {
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_fwd"))
     val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bwd"))
     val types = bi.agg(count(lit(1)).cast("double").as("nbb"))
+    // merge on the bigram-model join: bi is a bigram-type-count
+    // checkpoint (corpus-scale relation) whose stats-blind estimate
+    // made the static planner broadcast it (PERF.md r11 audit); ctx/
+    // cont feed through measured shuffles and stay AQE-adaptive
     val scored = occ
-      .join(bi, Seq("w1", "w2")).join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .join(bi.hint("merge"), Seq("w1", "w2"))
+      .join(ctx, Seq("w1")).join(cont, Seq("w2"))
       .crossJoin(broadcast(types))
       .withColumn("lp", round(log(
         (greatest(col("c2").cast("double") - lit(D), lit(0.0))
@@ -305,7 +310,9 @@ object Ranking {
     val dfT = dt.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
       .localCheckpoint()
-    val w = dt.join(dfT, Seq("term"))
+    // merge: dfT is the vocabulary-sized df checkpoint, statically
+    // broadcast off its stats-blind estimate (PERF.md r11 audit)
+    val w = dt.join(dfT.hint("merge"), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("w", round(
         (lit(1.0) + round(log(col("tf")), 9))

@@ -72,7 +72,12 @@ object Sketches {
       .groupBy(col("user_id"))
       .agg(sum(when(col("hit"), 1).otherwise(0)).as("hits"))
       .withColumn("pass", col("hits") === BloomK)
-    passed.join(flagged.withColumn("flagged", lit(true)), Seq("user_id"), "left")
+    // explicit broadcast: the flagged set is bounded by the sketch's
+    // own capacity assumption (the bloom is sized for it) — document
+    // that instead of leaning on the checkpoint's stats-blind
+    // estimate (PERF.md r11 audit)
+    passed.join(broadcast(flagged.withColumn("flagged", lit(true))),
+        Seq("user_id"), "left")
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
         sum(when(col("pass"), 1L).otherwise(0L)).as("n_bloom_pass"),

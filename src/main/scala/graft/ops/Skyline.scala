@@ -70,7 +70,9 @@ object Skyline {
     val g = grp2.join(bpref.select(col("bucket"), col("mhb")), Seq("bucket"))
       .select(col("bucket"), col("score"), col("gmin"),
         least(col("msh_in"), col("mhb")).as("msh"))
-    withB.join(g, Seq("bucket", "score"))
+    // merge: withB is the scored CORPUS checkpoint — the static
+    // planner broadcast it off its stats-blind estimate (PERF.md r11)
+    withB.hint("merge").join(g, Seq("bucket", "score"))
       .filter(!(coalesce(col("msh") <= col("n_chars"), lit(false))
         || col("n_chars") > col("gmin")))
       .select(col("doc_id"), col("source"), col("n_chars"), col("score"))

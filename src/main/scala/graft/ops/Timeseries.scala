@@ -42,7 +42,9 @@ object Timeseries {
           .as("day"))
     val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("user_id", "day"), "left")
+    // merge: the daily checkpoint is (user x day)-proportional and
+    // was statically broadcast off its stats-blind estimate (PERF r11)
+    spine.join(daily.hint("merge"), Seq("user_id", "day"), "left")
       .withColumn("observed", col("v").isNotNull)
       .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(locf))
       .select(col("user_id"),

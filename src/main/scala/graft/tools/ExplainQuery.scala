@@ -9,11 +9,18 @@ object ExplainQuery {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.drop(1).foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      df.collect()
-      println(s"===== $name =====")
-      println(df.queryExecution.executedPlan.toString.take(400000))
+    val names =
+      if (args.lift(1).contains("all")) graft.SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(1).toSeq
+    names.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        println(s"===== $name =====")
+        println(df.queryExecution.executedPlan.toString.take(400000))
+      } catch { case e: Throwable =>
+        println(s"===== $name ===== EXPLAIN_FAILED: ${e.getMessage}")
+      } finally graft.GraftSession.scrub(spark)
     }
     spark.stop()
   }
