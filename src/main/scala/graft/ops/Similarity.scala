@@ -194,10 +194,13 @@ object Similarity {
     // the 8 GiB broadcast cap outright). AQE cannot demote it: the
     // relation feeds the join with no materialized shuffle stage to
     // re-measure, so the static mistake stands at ANY scale — the
-    // inverse of the q192 promotion story. The merge join shuffles
-    // each side once on (band, key), which is the linear shape the
-    // operator claims.
-    a.join(b.hint("merge"), Seq("band", "key"))
+    // inverse of the q192 promotion story. SHUFFLE_HASH, not merge:
+    // both restore the one-shuffle-per-side linear shape, but SMJ
+    // SORTS the 8 KB-vector rows (measured at the staged 10× corpus:
+    // merge 24-29 s with 4 s of GC vs 9.9 s hashed — the sort of wide
+    // payloads was the residual cost), while the hash build keys a
+    // bucket's rows without ever ordering the payloads.
+    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", when(denom === 0.0, lit(0.0))
         .otherwise(VectorOps.dot(col("va"), col("vb")) / denom))
