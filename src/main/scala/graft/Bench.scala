@@ -35,14 +35,21 @@ package graft
   *     protocol, one fresh JVM per query, min-of-reps.
   *   - GROUPED — certified below the threshold: batches of up to
   *     [[Bench.GroupSize]] queries share one fresh child (scrub +
-  *     bounded JIT-drain between queries), min-of-reps each. A
-  *     grouped measurement can only be HURT by its neighbours (the
-  *     pollution direction is always upward), so any grouped min
+  *     bounded JIT-drain between queries), min-of-reps each.
+  *     Neighbour POLLUTION pushes a grouped number up; shared-JVM
+  *     WARMTH (JIT residue from a sibling's codegen, resident page
+  *     cache) can also push it below its fresh-JVM band — the two
+  *     directions are handled differently. Upward: any grouped min
   *     landing above max(1.5 s, 2× certified) is re-run on the SOLO
   *     protocol and the solo result replaces it (`regrouped` in the
-  *     record names them). A sub-threshold query can therefore never
-  *     gain an unfairly fast number from grouping, and a polluted one
-  *     self-corrects.
+  *     record names them), so a polluted number self-corrects.
+  *     Downward: warm-fast rows are NOT re-run (the r11 official
+  *     record had zero rows under 0.5× certified and ~2 s of total
+  *     sub-0.7× gap on a 374 s suite — re-running them would cost
+  *     ~16 s of child boot each to recover pennies) but the record
+  *     NAMES them (`below_band`), and tiered suite totals are only
+  *     compared like-for-like against other tiered records, never
+  *     against the round-6 all-solo protocol (ADVICE r11).
   *   - STREAMING — the stateful Structured Streaming replays share
   *     ONE child with the engine machinery (micro-batch commit path,
   *     RocksDB JNI + changelog provider) warmed once: per-query fresh
@@ -91,6 +98,19 @@ object Bench {
   /** A grouped min above max(1.5 s, 2× certified) is re-run SOLO. */
   private[graft] def regroupCutoff(certified: Double): Double =
     math.max(1.5, 2.0 * certified)
+
+  /** A solo re-run whose own child calib exceeds this ran inside a
+    * load storm (idle calib ≈ 0.8-0.95 on this host) — it gets one
+    * drained retry, so the official artifact never records a
+    * backstop number measured under the very contention the backstop
+    * exists to escape (VERDICT r11 #1: q53 16.75 s vs 4.39 certified,
+    * re-run calib 1.84). */
+  private[graft] val RerunCalibGate = 1.25
+
+  /** Pause before the drained retry — long enough for a scheduling
+    * spike to pass, bounded so a persistent storm can't stall the
+    * suite (the retry's calib still rides the record either way). */
+  private[graft] val RerunRetryPauseMs = 20000L
 
   /** SOLO-tier queries that share a C2-compile surface run as one
     * fresh-JVM FAMILY child (2 reps each, scrub + drain between, the
@@ -152,10 +172,16 @@ object Bench {
   private def shortName(k: String): String = k.takeWhile(_ != '_')
 
   /** One query's outcome: min-of-reps, all-reps-ok, child env markers
-    * (calib, load — shared by every query of a grouped child), and
-    * the rep times in run order. */
+    * (calib, load — shared by every query of a grouped child), the
+    * rep times in run order, and the id of the child JVM that
+    * produced the standing number (so env samples dedup PER CHILD,
+    * not by value — two children that round to the same (calib,
+    * load) pair must both count in the tri summary; ADVICE r11). */
   private[graft] final case class QResult(name: String, best: Double,
-      ok: Boolean, env: Option[(Double, Double)], reps: Seq[Double])
+      ok: Boolean, env: Option[(Double, Double)], reps: Seq[Double],
+      child: Int = 0)
+
+  private val childSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -184,9 +210,26 @@ object Bench {
     val failed = ordered.collect { case r if !r.ok => "\"" + shortName(r.name) + "\"" }
       .mkString("[", ",", "]")
     val total = ms3(ordered.map(_.best).sum)
-    val envs = ordered.flatMap(_.env).distinct
+    val envs = ordered.flatMap(r => r.env.map((r.child, _)))
+      .distinct.map(_._2)
     val calib = tri(envs.map(_._1))
     val load = tri(envs.map(_._2))
+    // self-adjudication markers (VERDICT r11 #1 / ADVICE r11): each
+    // regrouped row carries the calib of the child that produced its
+    // standing number, and warm-fast shared-child rows (< 0.7x
+    // certified — the downward direction the regroup rule does not
+    // re-run) are named, so both directions of shared-child bias are
+    // readable from the artifact alone, without PERF.md
+    val regroupedSet = regrouped.toSet
+    val regroupCalib = ordered
+      .filter(r => regroupedSet.contains(r.name))
+      .flatMap(r => r.env.map(e =>
+        "\"" + shortName(r.name) + "\":" + ms3(e._1)))
+      .mkString("{", ",", "}")
+    val belowBand = ordered.filter { r =>
+      BenchTiers.certifiedSteady.get(shortName(r.name))
+        .exists(c => c >= 0.3 && r.best < 0.7 * c)
+    }.map(r => "\"" + shortName(r.name) + "\"").mkString("[", ",", "]")
     // median over queries of rep1/min — the suite-wide cold-start
     // surcharge, derived from the record itself
     val coldRatios = ordered.map(_.reps).filter(ts => ts.size >= 2 && ts.min > 0)
@@ -202,7 +245,7 @@ object Bench {
     // every scalar summary field goes last, so any truncation eats
     // query timings, never the headline metrics; the complete record
     // is also persisted to BENCH_FULL_LATEST.json for reconstruction.
-    val record = s"""{"query_reps":$repArrays,"queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$failed,"regrouped":$regroupedJson,"calib":$calib,"load":$load,"cold_ratio_med":$coldMed,"metric":"total","unit":"sec","value":$total}"""
+    val record = s"""{"query_reps":$repArrays,"queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$failed,"regrouped":$regroupedJson,"regrouped_calib":$regroupCalib,"below_band":$belowBand,"calib":$calib,"load":$load,"cold_ratio_med":$coldMed,"metric":"total","unit":"sec","value":$total}"""
     println(record)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL_LATEST.json"), record + "\n")
@@ -256,18 +299,51 @@ object Bench {
     // shared-child self-correction (grouped, family, AND streaming):
     // pollution only pushes numbers UP, so a shared-child min far
     // above its certified band is re-measured on the solo protocol
-    // and the solo result stands
+    // and the solo result stands. A shared-child FAILURE is also
+    // re-run solo before being recorded (ADVICE r11: a neighbour's
+    // crash or memory pressure must not permanently fail up to
+    // GroupSize-1 innocent queries — solo isolation is the arbiter).
     val (suspect, clean) =
       (groupedResults ++ familyResults ++ streamingResults).partition { r =>
         val cert = BenchTiers.certifiedSteady.getOrElse(shortName(r.name), 0.0)
-        r.ok && r.best > regroupCutoff(cert)
+        !r.ok || r.best > regroupCutoff(cert)
       }
     val rerun = suspect.map { r =>
-      System.err.println(s"[bench] ${r.name} grouped ${ms3(r.best)} over " +
-        "certified band — re-running solo")
-      runChild(Seq(r.name), sfDir, reps).headOption.getOrElse(r)
+      System.err.println(s"[bench] ${r.name} shared-child " +
+        (if (r.ok) s"${ms3(r.best)} over certified band" else "FAILED") +
+        " — re-running solo")
+      soloRerun(r, sfDir, reps)
     }
     (soloResults ++ clean ++ rerun, suspect.map(_.name))
+  }
+
+  /** The regroup backstop's solo re-run, contention-gated (VERDICT
+    * r11 #1): if the re-run child's own calib marks a load storm (or
+    * the re-run itself failed), pause briefly and run ONE drained
+    * retry; an ok attempt beats a failed one, and between two ok
+    * attempts the faster stands (the same semantics as min-of-reps —
+    * contention can only inflate, so the minimum is the honest
+    * steady-state estimate). The standing attempt's calib rides the
+    * record (`regrouped_calib`), so even a row whose both attempts
+    * ran hot adjudicates itself in the artifact. */
+  private def soloRerun(orig: QResult, sfDir: String, reps: Int): QResult = {
+    val first = runChild(Seq(orig.name), sfDir, reps).headOption.getOrElse(orig)
+    val hot = first.env.exists(_._1 > RerunCalibGate)
+    if (first.ok && !hot) first
+    else {
+      System.err.println(s"[bench] ${orig.name} solo re-run " +
+        (if (!first.ok) "failed"
+         else f"calib ${first.env.fold(0.0)(_._1)}%.2f hot") +
+        " — one drained retry")
+      Thread.sleep(RerunRetryPauseMs)
+      val second = runChild(Seq(orig.name), sfDir, reps).headOption
+        .getOrElse(first)
+      (first.ok, second.ok) match {
+        case (true, true) => if (second.best < first.best) second else first
+        case (true, false) => first
+        case (false, _) => second
+      }
+    }
   }
 
   /** Child JVM command line: same java binary, classpath, and JVM
@@ -340,14 +416,20 @@ object Bench {
     } finally out.close()
     val wall = (System.nanoTime() - t0) / 1e9
     // wall not accounted to reported queries (child boot + overhead +
-    // queries the child never reached) — attributed to the missing ones
+    // queries the child never reached) — split EVENLY across the
+    // missing queries, so a k-query crash charges the residual once,
+    // not k times (ADVICE r11: the old per-missing-query full-residual
+    // attribution multiply-inflated the suite total on a child death)
     val residual = math.max(0.0, wall - got.values.map(_._2.sum).sum)
+    val nMissing = names.count(n => !got.contains(n))
+    val share = if (nMissing == 0) 0.0 else residual / nMissing
+    val cid = childSeq.incrementAndGet()
     names.map { name =>
-      val (ok, times) = got.getOrElse(name, (false, Seq(residual)))
+      val (ok, times) = got.getOrElse(name, (false, Seq(share)))
       val best = times.min
       System.err.println(s"[bench] $name ${ms3(best)} ok=$ok" +
         env.map { case (c, l) => s" calib=${ms3(c)} load=$l" }.getOrElse(""))
-      QResult(name, ms3(best), ok, env, times)
+      QResult(name, ms3(best), ok, env, times, cid)
     }
   }
 

@@ -33,9 +33,9 @@ object Cdc {
     * 64 chars on random text). */
   val Divisor = 64
 
-  /** Twin ids: every 9th doc gets a prefix-shifted copy. */
+  /** Twin ids: every 9th doc gets a prefix-shifted copy, re-keyed
+    * into the slot-1 planted decade ([[Planted.familyOffset]]). */
   val TwinEvery = 9
-  val TwinOffset = 100000L
   val TwinPrefix = "zz "
 
   /** The 8-term window polynomial Σ code·31^k as a SQL expr over
@@ -77,10 +77,11 @@ object Cdc {
       |  c -> length(c) > 0)""".stripMargin
 
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val off = Planted.familyOffset(spark, sfDir, 1, "q182 cdc twins")
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val twins = base.filter(pmod(col("doc_id"), lit(TwinEvery)) === 0)
-      .select((col("doc_id") + TwinOffset).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         concat(lit(TwinPrefix), col("text")).as("text"))
     base.unionByName(twins)
   }
@@ -89,6 +90,7 @@ object Cdc {
     * chunk groups, and the shifted-twin recovery rate (the number
     * fixed-size blocking scores ~0 on). */
   def cdcCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val off = Planted.familyOffset(spark, sfDir, 1, "q182 cdc twins")
     val chunks = corpus(spark, sfDir)
       .withColumn("codes", expr(codesExpr))
       .withColumn("bnd", expr(boundsExpr))
@@ -104,11 +106,11 @@ object Cdc {
     val dups = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_chunk_groups"))
-    val baseH = chunks.filter(col("doc_id") < TwinOffset
+    val baseH = chunks.filter(col("doc_id") < off
         && pmod(col("doc_id"), lit(TwinEvery)) === 0)
       .select(col("doc_id"), col("h")).distinct()
-    val twinH = chunks.filter(col("doc_id") >= TwinOffset)
-      .select((col("doc_id") - TwinOffset).as("doc_id"), col("h")).distinct()
+    val twinH = chunks.filter(col("doc_id") >= off)
+      .select((col("doc_id") - off).as("doc_id"), col("h")).distinct()
     // LEFT join so a twin sharing NOTHING still yields a pair with
     // r = 0 (a semi-join would silently drop it from the mean);
     // twinH is (doc_id, h)-distinct, so the join never duplicates
@@ -134,7 +136,7 @@ object Cdc {
     s"""WITH corpus AS (
       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + $TwinOffset, '$TwinPrefix' || text FROM documents
+      |  SELECT doc_id + ${Planted.offsetSql(1)}, '$TwinPrefix' || text FROM documents
       |  WHERE doc_id % $TwinEvery = 0),
       |bounds AS (
       |  SELECT doc_id, text,
@@ -164,10 +166,10 @@ object Cdc {
       |        FROM chunks GROUP BY h)),
       |base_h AS (
       |  SELECT DISTINCT doc_id, h FROM chunks
-      |  WHERE doc_id < $TwinOffset AND doc_id % $TwinEvery = 0),
+      |  WHERE doc_id < ${Planted.offsetSql(1)} AND doc_id % $TwinEvery = 0),
       |twin_h AS (
-      |  SELECT DISTINCT doc_id - $TwinOffset AS doc_id, h FROM chunks
-      |  WHERE doc_id >= $TwinOffset),
+      |  SELECT DISTINCT doc_id - ${Planted.offsetSql(1)} AS doc_id, h FROM chunks
+      |  WHERE doc_id >= ${Planted.offsetSql(1)}),
       |recov AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS twin_pairs,
       |    ROUND(CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE)

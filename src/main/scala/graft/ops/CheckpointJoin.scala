@@ -51,13 +51,28 @@ object CheckpointJoin {
       .orderBy(col("bucket"))
     // (1) the disease pin: the unhinted twin still PLANS the
     // checkpoint side as a broadcast build (never executed — the
-    // assertion reads the static plan only)
+    // assertion reads the static plan only). The tripwire is only a
+    // HARD failure under the canonical engine conf it was calibrated
+    // against (broadcast planning enabled at a positive threshold, on
+    // the Spark line the audit ran on); under a session that disables
+    // auto-broadcast, or a future Spark whose LogicalRDD stats are
+    // fixed, the data answer is unchanged — so the gate logs the
+    // re-audit demand instead of failing a correct query (ADVICE
+    // r11: a conf difference must not fail the data-correctness
+    // gate). Assertion (2) below stays unconditional: it pins OUR
+    // hint's behavior, which no conf excuses.
     val unhinted = rollup(toks.join(dfreq, Seq("tok")))
     val staticPlan = unhinted.queryExecution.executedPlan.toString
-    require(staticPlan.contains("BroadcastHashJoin"),
-      "the stats-blind checkpoint no longer baits a static broadcast " +
-        "— the engine's estimation behavior changed; re-audit the " +
-        s"merge-hint convention (PERF.md r11):\n$staticPlan")
+    val canonicalConf =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB") != "-1" &&
+        spark.version.startsWith("4.")
+    if (!staticPlan.contains("BroadcastHashJoin")) {
+      val msg = "q224 tripwire: the stats-blind checkpoint no longer " +
+        "baits a static broadcast — the engine's estimation behavior " +
+        "changed; re-audit the merge-hint convention (PERF.md r11)"
+      require(!canonicalConf, s"$msg:\n$staticPlan")
+      System.err.println(s"[q224] $msg (non-canonical conf — warning only)")
+    }
     // (2) the guarded shape: merge hint, executed, no broadcast
     val guarded = rollup(toks.hint("merge").join(dfreq, Seq("tok")))
     val out = guarded.localCheckpoint(true)

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * 2-shingle doc "contained" anywhere is noise, not signal).
   *
   * Planted truth: every id%8==0 doc re-ships as its own first-half
-  * token slice (+500000) — its shingle set is a strict subset of the
+  * token slice (slot-5 planted offset) — its shingle set is a strict subset of the
   * original's, so the detector must recover the pair (and the census
   * counts prove it did).
   *
@@ -41,14 +41,14 @@ object Containment {
   val Threshold = 0.9
   val MinShingles = 5
 
-  /** documents ∪ first-half slices of id%8==0 (+500000). */
+  /** documents ∪ first-half slices of id%8==0 (slot-5 offset). */
   private[graft] def corpus(spark: SparkSession, sfDir: String): DataFrame = {
-    Planted.assertHeadroom(spark, sfDir, 500000L, "q194 containment corpus")
+    val off = Planted.familyOffset(spark, sfDir, 5, "q194 containment corpus")
     val d = Tables.documents(spark, sfDir)
     val toks = TextOps.tokens(col("text"))
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(8)) === 0)
-        .select((col("doc_id") + 500000).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           concat_ws(" ", slice(toks, lit(1),
             (size(toks).cast("int") / lit(2)).cast("int"))).as("text")))
   }
@@ -58,7 +58,7 @@ object Containment {
     s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 500000,
+      |  SELECT doc_id + ${Planted.offsetSql(5)},
       |    array_to_string(($tokSql)[1:len($tokSql) // 2], ' ')
       |  FROM documents WHERE doc_id % 8 = 0)""".stripMargin
   }
@@ -67,6 +67,7 @@ object Containment {
     * at containment ≥ 0.9, rolled up by the contained doc's origin
     * (planted slice vs organic). */
   def containmentCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val off = Planted.familyOffset(spark, sfDir, 5, "q194 containment corpus")
     // bind the token array BEFORE shingling — shinglesFromTokens
     // references its input 3x, and inlining the tokenizer there
     // triplicates the subtree (the TextOps-documented trap)
@@ -103,7 +104,7 @@ object Containment {
       .filter(col("containment") >= Threshold)
     pairs
       .withColumn("origin",
-        when(col("contained") >= 500000, lit("planted_slice"))
+        when(col("contained") >= off, lit("planted_slice"))
           .otherwise(lit("organic")))
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -136,7 +137,7 @@ object Containment {
       |  FROM shared s JOIN sizes z ON s.contained = z.doc_id
       |  WHERE z.n_sh >= $MinShingles
       |    AND ROUND(CAST(s.shared AS DOUBLE) / z.n_sh, 6) >= $Threshold)
-      |SELECT CASE WHEN contained >= 500000 THEN 'planted_slice'
+      |SELECT CASE WHEN contained >= ${Planted.offsetSql(5)} THEN 'planted_slice'
       |            ELSE 'organic' END AS origin,
       |  COUNT(*) AS n_pairs,
       |  COUNT(DISTINCT contained) AS n_contained_docs,

@@ -41,38 +41,37 @@ object Dedup {
   /** documents ∪ upper-cased copies of id%7==0 (fingerprint-identical
     * dups) — exercises case/whitespace-insensitive exact dedup. */
   private[graft] def corpusExact(spark: SparkSession, sfDir: String): DataFrame = {
-    Planted.assertHeadroom(spark, sfDir, 200000L, "q22 exact-dup corpus")
+    val off = Planted.familyOffset(spark, sfDir, 2, "q22 exact-dup corpus")
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           upper(col("text")).as("text")))
   }
 
   private[graft] val corpusExactCte =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 200000 AS doc_id, upper(text) AS text
+      |  SELECT doc_id + ${Planted.offsetSql(2)} AS doc_id, upper(text) AS text
       |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   /** documents ∪ near-dup copies of id%10==0 (three tokens appended →
     * Jaccard ≈ 0.9 against the original). */
   private[graft] def corpusNear(spark: SparkSession, sfDir: String): DataFrame = {
-    Planted.assertHeadroom(spark, sfDir, Planted.MinOffset,
-      "q23 near-dup corpus")
+    val off = Planted.familyOffset(spark, sfDir, 1, "q23 near-dup corpus")
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           concat(col("text"), lit(" near dup tail")).as("text")))
   }
 
   private[graft] val corpusNearCte =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id, text || ' near dup tail' AS text
+      |  SELECT doc_id + ${Planted.offsetSql(1)} AS doc_id, text || ' near dup tail' AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   private val tokSql = TextOps.tokSql()

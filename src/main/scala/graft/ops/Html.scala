@@ -214,17 +214,19 @@ object Html {
     * over the same docs → `{}` rows, all through the one dispatch
     * function. */
   def structuredRegistry(spark: SparkSession, sfDir: String): DataFrame = {
+    val off1 = Planted.familyOffset(spark, sfDir, 1, "q58 blog ids")
+    val off2 = Planted.familyOffset(spark, sfDir, 2, "q58 unknown-schema ids")
     val eco = Corpus.webPages(spark, sfDir)
       .filter(col("file_type") === "html" && col("id") < 20)
       .select(col("id"), lit("ecommerce").as("schema_name"),
         extractBySchema("ecommerce", col("content")).as("structured_json"))
     val blog = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 10)
-      .select((col("doc_id") + 100000).as("id"), lit("blog").as("schema_name"),
+      .select((col("doc_id") + off1).as("id"), lit("blog").as("schema_name"),
         extractBySchema("blog", col("text")).as("structured_json"))
     val unknown = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 5)
-      .select((col("doc_id") + 200000).as("id"),
+      .select((col("doc_id") + off2).as("id"),
         lit("not_a_schema").as("schema_name"),
         extractBySchema("not_a_schema", col("text")).as("structured_json"))
     eco.unionByName(blog).unionByName(unknown)
@@ -244,14 +246,14 @@ object Html {
       |    '"}' AS structured_json
       |  FROM web_pages WHERE file_type = 'html' AND id < 20),
       |blog AS (
-      |  SELECT doc_id + 100000 AS id, 'blog' AS schema_name,
+      |  SELECT doc_id + ${Planted.offsetSql(1)} AS id, 'blog' AS schema_name,
       |    '{"post_title":"' || array_to_string(($tokSqlDoc)[1:4], ' ') ||
       |    '","tags":"' || array_to_string(list_sort(list_distinct($tokSqlDoc))[1:3], ',') ||
       |    '","summary":"' || substr(text, 1, 60) ||
       |    '"}' AS structured_json
       |  FROM documents WHERE doc_id < 10),
       |unk AS (
-      |  SELECT doc_id + 200000 AS id, 'not_a_schema' AS schema_name,
+      |  SELECT doc_id + ${Planted.offsetSql(2)} AS id, 'not_a_schema' AS schema_name,
       |    '{}' AS structured_json
       |  FROM documents WHERE doc_id < 5)
       |SELECT * FROM (

@@ -120,18 +120,18 @@ object Similarity {
     * trade at any scale. No id-derived key anywhere: two similar
     * vectors block together regardless of their ids. */
   /** The near-dup input: document embeddings ∪ perturbed copies
-    * (vec_id + Planted.MinOffset, last component zeroed, renormalized), each row
-    * carrying its norm. Materialized — exposed for the recall spec. */
+    * (vec_id + the slot-1 planted offset, last component zeroed,
+    * renormalized), each row carrying its norm. Materialized —
+    * exposed for the recall spec. */
   private[graft] def nearDupCorpus(spark: SparkSession,
       sfDir: String): DataFrame = {
     // vec_id here IS doc_id (Corpus.docEmbeddings), so the perturbed
-    // family uses the SAME +100000 offset convention as the text
-    // carvings (Planted.MinOffset) and the same headroom guard
-    // (ADVICE r9): an organic id at-or-over the offset would silently
-    // land in the planted range. r10 had this at +10000, which left
-    // only 2x headroom over sf0.1's id range and excluded q27 from
-    // the 10x scale probe (staged ids reach 49999).
-    Planted.assertHeadroom(spark, sfDir, Planted.MinOffset,
+    // family uses the SAME slot-1 offset convention as the text
+    // carvings ([[Planted.familyOffset]], dynamic since r12 so the
+    // guard never bounds a scale probe: r10 had a fixed +10000 which
+    // excluded q27 from the 10x probe, r11's fixed +100000 would
+    // have excluded a 30x one).
+    val off = Planted.familyOffset(spark, sfDir, 1,
       "q27 embedding near-dup corpus")
     // materialize the featurized vectors FIRST: the perturbation below
     // normalizes, and a normalize-of-featurize as one nested tree
@@ -141,7 +141,7 @@ object Similarity {
     // every subexpression runs once per row.
     val e = Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
     val perturbed = e.filter(pmod(col("vec_id"), lit(20)) === 0)
-      .select((col("vec_id") + Planted.MinOffset).as("vec_id"),
+      .select((col("vec_id") + off).as("vec_id"),
         concat(slice(col("v"), 1, Dims - 1), array(lit(0.0))).as("pv"))
       .withColumn("pn", VectorOps.l2Norm(col("pv")))
       // l2Normalize over the materialized (pv, pn) columns — same
@@ -157,8 +157,88 @@ object Similarity {
       .localCheckpoint()
   }
 
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    embeddingNearDupAt(spark, sfDir, NHyperplanes, BandBits)
+  /** Recall-matched LSH geometry ladder at the [[SimThreshold]]
+    * operating point (per-bit sign agreement p = 1 − acos(0.98)/π ≈
+    * 0.936): each rung holds band-miss probability ≈ 2.5–3% at the
+    * threshold boundary while dividing per-band chance-collision
+    * density by 2^Δr — (16,8) ≈ (20,12) ≈ (24,16) in recall, but
+    * each step cuts chance pairs ~16× per band. planes = bits ×
+    * bands. */
+  val GeometryLadder: Seq[(Int, Int)] = Seq(
+    (NHyperplanes, BandBits), // (128, 16) — the declared geometry
+    (240, 20), // 12 bands × 20 bits — the 10⁶-row regime
+    (384, 24)) // 16 bands × 24 bits — the 10⁷-row regime
+
+  /** Declared candidate-volume bound: the operator refuses to run a
+    * geometry whose measured bucket census expects more than this
+    * many verification pairs per vector. Calibrated above every
+    * measured operating point of the CURRENT geometry (sf0.1 124/v,
+    * staged 10× 168/v, 20× 186/v — cluster mass, flat-ish in n) and
+    * below the chance-dominated 10⁶-row regime (n·L/2^r ≈ 122/v at
+    * n = 10⁶ rides ON TOP of the ~150/v cluster mass), so widening
+    * engages exactly where PERF.md r11 demonstrated the (240, 20)
+    * path by hand. */
+  val MaxCandPairsPerVector = 256L
+
+  /** The chosen geometry plus the census evidence that chose it. */
+  private[graft] final case class LshGeometry(planes: Int, bits: Int,
+      n: Long, candPairs: Long, widenedFrom: Seq[(Int, Int)])
+
+  /** Bucket-density census at a geometry: Σ c·(c−1)/2 over (band,
+    * key) buckets — the exact number of candidate verifications the
+    * band join will perform. One narrow aggregation over (band, key)
+    * keys; vector payloads never leave the scan. */
+  private[graft] def censusCandPairs(corpus: DataFrame,
+      planes: Int, bits: Int): Long = {
+    import graft.expressions.HyperplaneBands
+    corpus
+      .select(posexplode(HyperplaneBands.bands(col("v"), planes, bits)))
+      .toDF("band", "key")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0))
+        .cast("long"))
+      .head().getLong(0)
+  }
+
+  /** The self-guard (VERDICT r11 #2): walk the ladder until the
+    * measured candidate volume fits the declared budget; fail loudly
+    * (Planted-guard style) if even the widest rung is over — that
+    * density is irreducible near-dup mass, and the OUTPUT itself is
+    * quadratic: widening can thin chance collisions, never true
+    * duplicates, so the corpus needs collapsing (q22/q53) before
+    * pairwise scoring is meaningful. */
+  private[graft] def chooseGeometry(corpus: DataFrame,
+      budgetPerVector: Long = MaxCandPairsPerVector): LshGeometry = {
+    val n = corpus.count()
+    val budget = budgetPerVector * n
+    var walked = List.empty[(Int, Int)]
+    GeometryLadder.foreach { case (planes, bits) =>
+      val cand = censusCandPairs(corpus, planes, bits)
+      if (cand <= budget)
+        return LshGeometry(planes, bits, n, cand, walked.reverse)
+      System.err.println(s"[q27] lsh census at ($planes, $bits): " +
+        s"$cand candidate pairs > budget $budget " +
+        s"($budgetPerVector/vector × $n) — widening")
+      walked ::= ((planes, bits))
+    }
+    throw new IllegalStateException(
+      s"[q27 lsh-density guard] candidate volume exceeds " +
+        s"$budgetPerVector pairs/vector at EVERY ladder geometry " +
+        s"(${GeometryLadder.mkString(", ")}; n=$n): this density is " +
+        "irreducible near-duplicate mass, not chance collision — the " +
+        "pair OUTPUT itself is quadratic. Collapse exact/near " +
+        "duplicates (q22/q53) before pairwise scoring")
+  }
+
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = nearDupCorpus(spark, sfDir)
+    val g = chooseGeometry(corpus)
+    if (g.widenedFrom.nonEmpty)
+      System.err.println(s"[q27] lsh geometry widened " +
+        s"${g.widenedFrom.mkString("→")} → (${g.planes}, ${g.bits}) " +
+        s"(census ${g.candPairs} pairs over n=${g.n})")
+    nearDupPairs(corpus, g.planes, g.bits)
+  }
 
   /** The same operator with the LSH width parameters exposed — the
     * production scaling path. At fixed band geometry the per-band
@@ -173,9 +253,13 @@ object Similarity {
     * keeps (128, 16) — its oracle is pinned at that geometry — and
     * the scale probe runs this at (240, 20). */
   def embeddingNearDupAt(spark: SparkSession, sfDir: String,
+      nPlanes: Int, bandBits: Int): DataFrame =
+    nearDupPairs(nearDupCorpus(spark, sfDir), nPlanes, bandBits)
+
+  /** The band join at a fixed geometry over a prepared corpus. */
+  private[graft] def nearDupPairs(corpus: DataFrame,
       nPlanes: Int, bandBits: Int): DataFrame = {
     import graft.expressions.HyperplaneBands
-    val corpus = nearDupCorpus(spark, sfDir)
     val bucketed = corpus
       .select(col("vec_id"), col("v"), col("nrm"), posexplode(
         HyperplaneBands.bands(col("v"), nPlanes, bandBits)))
@@ -210,15 +294,18 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val embeddingNearDupSql: String =
-    s"""WITH ${Corpus.docEmbCte},
+  /** The shared oracle CTE chain up to per-vector band signatures —
+    * single-sourced between the q27 pair oracle and the q225 census
+    * oracle so the two can never drift. */
+  private[ops] val lshBandsCtes: String =
+    s"""${Corpus.docEmbCte},
       |hp AS MATERIALIZED (
       |  SELECT j, list_transform(generate_series(0, ${Dims - 1}), i ->
       |    CASE WHEN ('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % 2 = 0
       |         THEN 1.0 ELSE -1.0 END) AS hv
       |  FROM generate_series(0, ${NHyperplanes - 1}) AS t(j)),
       |pert AS (
-      |  SELECT vec_id + ${Planted.MinOffset} AS vec_id,
+      |  SELECT vec_id + ${Planted.offsetSql(1)} AS vec_id,
       |    CASE WHEN nrm = 0 THEN pv ELSE list_transform(pv, x -> x / nrm) END AS v
       |  FROM (
       |    SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS nrm
@@ -234,7 +321,10 @@ object Similarity {
       |bands AS (
       |  SELECT vec_id, j // $BandBits AS band,
       |    SUM(s * (1 << (j % $BandBits))) AS key
-      |  FROM proj GROUP BY vec_id, j // $BandBits),
+      |  FROM proj GROUP BY vec_id, j // $BandBits)""".stripMargin
+
+  val embeddingNearDupSql: String =
+    s"""WITH $lshBandsCtes,
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
       |  FROM bands a JOIN bands b
@@ -249,6 +339,37 @@ object Similarity {
       |SELECT a_id, b_id, ROUND(sim, 6) AS sim
       |FROM pairs WHERE sim >= $SimThreshold
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q225: the lsh-density census as a DECLARED query — the guard's
+    * arithmetic (bucket sizes → candidate verification volume, per
+    * band at the declared geometry) pinned at the oracle gate, the
+    * q224 treatment applied to the q27 self-guard: if a Spark change
+    * (hash evaluation, band packing, explode semantics) ever shifts
+    * the census the guard decides from, the gate fails loudly. Also
+    * the capacity-planning readout a production run logs: per-band
+    * bucket occupancy IS the skew/volume forecast for the band join. */
+  def lshDensityCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.expressions.HyperplaneBands
+    nearDupCorpus(spark, sfDir)
+      .select(posexplode(
+        HyperplaneBands.bands(col("v"), NHyperplanes, BandBits)))
+      .toDF("band", "key")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand_pairs"))
+      .orderBy(col("band"))
+  }
+
+  val lshDensityCensusSql: String =
+    s"""WITH $lshBandsCtes,
+      |buckets AS (
+      |  SELECT band, key, COUNT(*) AS c
+      |  FROM bands GROUP BY band, key)
+      |SELECT band, COUNT(*) AS n_buckets, MAX(c) AS max_bucket,
+      |  CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
+      |FROM buckets GROUP BY band ORDER BY band""".stripMargin
 
   /** IVF-style ANN: per-label centroids (the "inverted lists" — the
     * label column stands in for a k-means assignment), query probes

@@ -18,21 +18,21 @@ import org.apache.spark.sql.functions._
   * the report is a 4-key partial aggregate.
   *
   * Snapshots are carved deterministically from `documents`:
-  * OLD = ids with id%5 != 0, plus retired ids (+300000 for id%13==0);
+  * OLD = ids with id%5 != 0, plus retired ids (slot-3 planted\n  * offset for id%13==0);
   * NEW = every current id, with text revised (' v2' suffix) for
-  * id%7==0. So: id%5==0 → added, +300000 → removed, id%7==0 (and
+  * id%7==0. So: id%5==0 → added, retired → removed, id%7==0 (and
   * id%5!=0) → changed, rest unchanged.
   */
 object Snapshot {
 
   /** q106: snapshot diff rollup — status × count × id range. */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    Planted.assertHeadroom(spark, sfDir, 300000L, "q106 snapshot carving")
+    val off = Planted.familyOffset(spark, sfDir, 3, "q106 snapshot carving")
     val d = Tables.documents(spark, sfDir)
     val old = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("old_fp"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           TextOps.fingerprint(col("text")).as("old_fp")))
     val neu = d.select(col("doc_id"),
       TextOps.fingerprint(
@@ -64,12 +64,12 @@ object Snapshot {
     * engine-parity recipe: shares rounded to 9 before the ln, the ln
     * rounded to 9 before the multiply. */
   def snapshotDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    Planted.assertHeadroom(spark, sfDir, 300000L, "q136 snapshot carving")
+    val off = Planted.familyOffset(spark, sfDir, 3, "q136 snapshot carving")
     val d = Tables.documents(spark, sfDir)
     val old = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .select(col("doc_id"), col("source"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .select((col("doc_id") + 300000).as("doc_id"), col("source")))
+        .select((col("doc_id") + off).as("doc_id"), col("source")))
     val neu = d.select(col("doc_id"), col("source"))
     def shares(gen: DataFrame, n: String, p: String): DataFrame = {
       val counts = gen.groupBy(col("source")).agg(count(lit(1)).as(n))
@@ -91,10 +91,10 @@ object Snapshot {
   }
 
   val snapshotDriftSql: String =
-    """WITH old AS (
+    s"""WITH old AS (
       |  SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 300000 AS doc_id, source
+      |  SELECT doc_id + ${Planted.offsetSql(3)} AS doc_id, source
       |  FROM documents WHERE doc_id % 13 = 0),
       |neu AS (SELECT doc_id, source FROM documents),
       |o AS (
@@ -121,7 +121,7 @@ object Snapshot {
       |  SELECT doc_id, ${fp("text")} AS old_fp
       |  FROM documents WHERE doc_id % 5 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 300000 AS doc_id, ${fp("text")} AS old_fp
+      |  SELECT doc_id + ${Planted.offsetSql(3)} AS doc_id, ${fp("text")} AS old_fp
       |  FROM documents WHERE doc_id % 13 = 0),
       |neu AS (
       |  SELECT doc_id,

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *
   * Staging (key-derived, restated in the oracle): every document
   * carries an NFC suffix " café"; each doc_id ≡ 0 (mod 3) also plants
-  * a +700000 twin with the DECOMPOSED suffix (same text under NFC —
-  * must collapse), and each doc_id ≡ 1 (mod 3) a +800000 twin with a
+  * a slot-7 twin with the DECOMPOSED suffix (same text under NFC —
+  * must collapse), and each doc_id ≡ 1 (mod 3) a slot-8 twin with a
   * genuinely different unaccented suffix (must NOT collapse — the
   * over-merge control).
   *
@@ -40,16 +40,17 @@ object Unicode {
 
   /** q209: per-source exact-vs-NFC fingerprint group census. */
   def nfcDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    Planted.assertHeadroom(spark, sfDir, 700000L, "q209 nfc twins")
+    val off7 = Planted.familyOffset(spark, sfDir, 7, "q209 nfc twins")
+    val off8 = Planted.familyOffset(spark, sfDir, 8, "q209 nfc control")
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
     val a = docs.select(col("doc_id"), col("source"),
       concat(col("text"), lit(NfcSuffix)).as("text"))
     val b = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-      .select((col("doc_id") + 700000L).as("doc_id"), col("source"),
+      .select((col("doc_id") + off7).as("doc_id"), col("source"),
         concat(col("text"), lit(NfdSuffix)).as("text"))
     val c = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
-      .select((col("doc_id") + 800000L).as("doc_id"), col("source"),
+      .select((col("doc_id") + off8).as("doc_id"), col("source"),
         concat(col("text"), lit(PlainSuffix)).as("text"))
     a.unionByName(b).unionByName(c)
       .select(col("source"),
@@ -64,14 +65,14 @@ object Unicode {
   }
 
   val nfcDedupSql: String =
-    """WITH staged AS (
+    s"""WITH staged AS (
       |  SELECT doc_id, source, text || ' caf' || chr(233) AS text
       |  FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 700000, source, text || ' cafe' || chr(769)
+      |  SELECT doc_id + ${Planted.offsetSql(7)}, source, text || ' cafe' || chr(769)
       |  FROM documents WHERE doc_id % 3 = 0
       |  UNION ALL
-      |  SELECT doc_id + 800000, source, text || ' cafe'
+      |  SELECT doc_id + ${Planted.offsetSql(8)}, source, text || ' cafe'
       |  FROM documents WHERE doc_id % 3 = 1)
       |SELECT source, COUNT(*) AS n_rows,
       |  COUNT(DISTINCT md5(text)) AS exact_groups,

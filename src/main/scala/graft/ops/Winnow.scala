@@ -37,18 +37,19 @@ object Winnow {
   /** documents ∪ near-dup copies of id%10==0 (same planted corpus as
     * the q23/q24 dedup family — guarantees detectable shared runs). */
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val off = Planted.familyOffset(spark, sfDir, 1, "q102 winnow corpus")
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           concat(col("text"), lit(" near dup tail")).as("text")))
   }
 
   private val corpusCte =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id, text || ' near dup tail' AS text
+      |  SELECT doc_id + ${Planted.offsetSql(1)} AS doc_id, text || ' near dup tail' AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   /** Per-document winnowing fingerprint set (doc_id, fp). */

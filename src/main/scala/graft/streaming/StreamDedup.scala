@@ -39,32 +39,44 @@ object StreamDedup {
     * trailing-tab (id%11) — all normalize to the same fingerprint
     * ([[TextOps.fingerprint]] tokenizes first). */
   private[graft] def corpus(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.ops.Planted.assertHeadroom(spark, sfDir, 200001L,
-      "q191 stream-dedup corpus")
+    import graft.ops.Planted
+    // slots 2/4/6 with +1/+2/+0 batch-residue adjusts: every base the
+    // Planted rule produces is divisible by 4, so the residues mod
+    // StreamBatches=4 are exactly the adjusts — the 1/2/0 shifts the
+    // scaladoc's replay contract depends on, at ANY staged scale
+    val off2 = Planted.familyOffset(spark, sfDir, 2,
+      "q191 stream-dedup upper family", adjust = 1L)
+    val off4 = Planted.familyOffset(spark, sfDir, 4,
+      "q191 stream-dedup re-spaced family", adjust = 2L)
+    val off6 = Planted.familyOffset(spark, sfDir, 6,
+      "q191 stream-dedup tab family")
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 200001).as("doc_id"),
+        .select((col("doc_id") + off2).as("doc_id"),
           upper(col("text")).as("text")))
       .unionByName(d.filter(pmod(col("doc_id"), lit(9)) === 0)
-        .select((col("doc_id") + 400002).as("doc_id"),
+        .select((col("doc_id") + off4).as("doc_id"),
           regexp_replace(col("text"), lit(" "), lit("  ")).as("text")))
       .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 0)
-        .select((col("doc_id") + 600000).as("doc_id"),
+        .select((col("doc_id") + off6).as("doc_id"),
           concat(col("text"), lit("\t")).as("text")))
   }
 
-  private[graft] val corpusCte =
-    """corpus AS (
+  private[graft] val corpusCte = {
+    import graft.ops.Planted
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 200001, upper(text) FROM documents WHERE doc_id % 7 = 0
+      |  SELECT doc_id + ${Planted.offsetSql(2, 1L)}, upper(text)
+      |  FROM documents WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id + 400002, replace(text, ' ', '  ')
+      |  SELECT doc_id + ${Planted.offsetSql(4, 2L)}, replace(text, ' ', '  ')
       |  FROM documents WHERE doc_id % 9 = 0
       |  UNION ALL
-      |  SELECT doc_id + 600000, text || chr(9)
+      |  SELECT doc_id + ${Planted.offsetSql(6)}, text || chr(9)
       |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+  }
 
   /** q191: the corpus replayed through a REAL `dropDuplicates`
     * streaming query (file source, one staged file per micro-batch,

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * shaped so every copy is an INDEPENDENT clone of the base workload —
   * the honest linear-scaling reference:
   *
-  *   documents — copy k re-keys `doc_id + k·stride` (stride = max+1,
-  *     so 10× sf0.1 tops out at 49999, inside the 100000 planted-id
-  *     headroom the Planted guard enforces) and suffixes EVERY token
+  *   documents — copy k re-keys `doc_id + k·stride` (stride = max+1;
+  *     the planted-id base is SF-PROPORTIONAL since r12 —
+  *     [[graft.ops.Planted.baseFor]] derives it from the staged max
+  *     id, so any K stays inside the guard: 30× sf0.1 tops out at
+  *     149,999 and transparently gets base 10⁷) and suffixes EVERY token
   *     with `_zk<k>`. Token/shingle/char-window vocabularies are
   *     therefore disjoint across copies: no cross-copy exact, Jaccard,
   *     MinHash, containment, or substring pairs form, so pair volume

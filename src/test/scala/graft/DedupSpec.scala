@@ -127,7 +127,7 @@ class DedupSpec extends SparkSpec {
     val planted = Tables.documents(spark, sfDir)
       .filter(pmod($"doc_id", lit(20)) === 0).count()
     val plantedPairs = pairs.filter(r =>
-      r.getAs[Long]("b_id") === r.getAs[Long]("a_id") + ops.Planted.MinOffset)
+      r.getAs[Long]("b_id") === r.getAs[Long]("a_id") + ops.Planted.familyOffset(spark, sfDir, 1, "spec"))
     assert(plantedPairs.length === planted)
     plantedPairs.foreach(r =>
       assert(r.getAs[Double]("sim") >= Similarity.SimThreshold))

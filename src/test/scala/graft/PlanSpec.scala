@@ -643,6 +643,55 @@ class PlanSpec extends SparkSpec {
       s"per-arm moment sums not map-side combined:\n$p")
   }
 
+  test("q147 score join: a LIVE static-stat broadcast — flips under a floored threshold") {
+    // VERDICT r11 #5: q147's score-side broadcast is a static decision
+    // from PARQUET stats — legitimate because those stats grow with
+    // the file, so the planner re-decides per corpus ("flips to SMJ
+    // when the file grows"), unlike the checkpoint class q224 pins
+    // whose stats stay frozen at any scale. Contract pinned here:
+    // (a) at testdata scale the decision IS a broadcast, and (b)
+    // flooring the threshold flips it to a partitioned join — the
+    // flip is the proof no hint froze the choice.
+    val labels = ops.Components.starLabels(spark, sfDir)
+    val scored = ops.Curation.scoreDocs(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("score"))
+    def scoreJoin = labels.join(scored, labels("node") === scored("doc_id"))
+    val p = plan(scoreJoin)
+    assert(p.contains("BroadcastHashJoin"),
+      s"score join not statically broadcast at testdata scale:\n$p")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan(scoreJoin)
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"score join still broadcasts under a floored threshold — a " +
+          s"hint froze the decision:\n$p2")
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"),
+        s"no partitioned join after the flip:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("q100 cluster pair join: the broadcast is an AQE RUNTIME promotion") {
+    // VERDICT r11 #5, the other legitimate-broadcast class: the pair
+    // join's build side is re-measured from actual shuffle bytes
+    // every run, so the promotion scales itself out when the corpus
+    // grows. Contract: the static plan does NOT broadcast (no frozen
+    // decision), and the executed adaptive plan DOES — the promotion
+    // must be visible in the final plan, nowhere earlier.
+    val df = ops.SemDedup.semDedup(spark, sfDir)
+    val initial = plan(df)
+    assert(initial.contains("isFinalPlan=false"),
+      s"q100 must plan adaptively:\n$initial")
+    assert(!initial.contains("BroadcastHashJoin"),
+      s"pair join statically broadcast — the q224 disease, not an " +
+        s"AQE promotion:\n$initial")
+    df.collect() // finalize THIS plan (count() spawns its own execution)
+    val fin = plan(df)
+    assert(fin.contains("isFinalPlan=true"))
+    assert(fin.contains("BroadcastHashJoin"),
+      s"AQE promotion not visible in the executed final plan:\n$fin")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan

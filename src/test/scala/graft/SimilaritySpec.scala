@@ -51,9 +51,9 @@ class SimilaritySpec extends SparkSpec {
       .select(col("a_id"), col("b_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // planted: every perturbed copy pairs with its source at cos≈0.9999
-    val planted = corpus.filter(col("vec_id") >= ops.Planted.MinOffset)
+    val planted = corpus.filter(col("vec_id") >= ops.Planted.familyOffset(spark, sfDir, 1, "spec"))
       .select(col("vec_id")).collect()
-      .map(_.getLong(0)).map(p => (p - ops.Planted.MinOffset, p)).toSet
+      .map(_.getLong(0)).map(p => (p - ops.Planted.familyOffset(spark, sfDir, 1, "spec"), p)).toSet
     assert(planted.subsetOf(found),
       s"missing planted pairs: ${(planted -- found).take(5)}")
     assert(brute.subsetOf(found),
