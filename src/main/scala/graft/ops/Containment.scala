@@ -59,7 +59,7 @@ object Containment {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + ${Planted.offsetSql(5)},
-      |    array_to_string(($tokSql)[1:len($tokSql) // 2], ' ')
+      |    COALESCE(array_to_string(($tokSql)[1:len($tokSql) // 2], ' '), '')
       |  FROM documents WHERE doc_id % 8 = 0)""".stripMargin
   }
 

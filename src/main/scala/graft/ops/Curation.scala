@@ -73,6 +73,13 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle note (found by the r12 sf0.1 verify sweep): a FULLY
+    * covered document keeps an EMPTY token list, and the two engines
+    * render it differently — Spark's `concat_ws` returns '' for an
+    * empty array while DuckDB's `array_to_string` returns NULL — so
+    * the hash must COALESCE to '' for parity. Invisible at sf0.01
+    * (threshold 5 is absolute: 500 docs produce no fully-covered
+    * rows; 5000 docs produce 4595). */
   val spanDedupSql: String = {
     val w = SpanN - 1
     s"""WITH d AS (
@@ -95,7 +102,7 @@ object Curation {
       |  FROM d LEFT JOIN cov c USING (doc_id))
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
       |  CAST(n - len(kept) AS BIGINT) AS n_removed,
-      |  ('0x' || substr(md5(array_to_string(kept, ' ')), 1, 15))::BIGINT AS kept_hash
+      |  ('0x' || substr(md5(COALESCE(array_to_string(kept, ' '), '')), 1, 15))::BIGINT AS kept_hash
       |FROM r ORDER BY doc_id""".stripMargin
   }
 
