@@ -256,18 +256,42 @@ object Similarity {
       nPlanes: Int, bandBits: Int): DataFrame =
     nearDupPairs(nearDupCorpus(spark, sfDir), nPlanes, bandBits)
 
+  /** Rows of (8 KB vector + keys) per hash-build partition: ~64 MB
+    * builds — comfortably inside a task's execution-memory slice at
+    * 32 tasks × 24 GB, and the right order for a production
+    * executor's per-core share. */
+  val BuildRowsPerPartition = 8192L
+
   /** The band join at a fixed geometry over a prepared corpus. */
   private[graft] def nearDupPairs(corpus: DataFrame,
       nPlanes: Int, bandBits: Int): DataFrame = {
     import graft.expressions.HyperplaneBands
+    val nBands = nPlanes / bandBits
     val bucketed = corpus
       .select(col("vec_id"), col("v"), col("nrm"), posexplode(
         HyperplaneBands.bands(col("v"), nPlanes, bandBits)))
       .toDF("vec_id", "v", "nrm", "band", "key")
+    // Hash-build partition sizing (r12, found by the 30× probe): the
+    // SHUFFLE_HASH build below holds one partition of (corpus ×
+    // bands) 8 KB-vector rows IN MEMORY, and a HashedRelation build
+    // cannot spill — at the session default of 32 partitions the 30×
+    // staged corpus needs a ~320 MB contiguous build per task and
+    // dies with "Can't acquire ... bytes memory to build hash
+    // relation". Width the exchange to ~[[BuildRowsPerPartition]]
+    // wide rows (~64 MB) per partition; the explicit repartition
+    // REPLACES the join's own ENSURE_REQUIREMENTS exchange (same
+    // keys, so the join adds none — one shuffle per side either
+    // way), AQE never coalesces a user-specified width, and the
+    // defaultParallelism floor keeps declared-SF plans unchanged.
+    val spark = corpus.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
+      corpus.count() * nBands / BuildRowsPerPartition + 1).toInt
     val a = bucketed.select(col("band"), col("key"),
       col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      .repartition(parts, col("band"), col("key"))
     val b = bucketed.select(col("band"), col("key"),
       col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .repartition(parts, col("band"), col("key"))
     val denom = col("na") * col("nb")
     // Force the partitioned join: the bucketed sides are
     // localCheckpoint LogicalRDDs whose inherited size estimate
