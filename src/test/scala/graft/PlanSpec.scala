@@ -692,6 +692,24 @@ class PlanSpec extends SparkSpec {
       s"AQE promotion not visible in the executed final plan:\n$fin")
   }
 
+  test("q27 band join: explicit sized exchange, hash join, no broadcast") {
+    // r12: the band join sizes its own (band, key) exchange so each
+    // non-spillable hash build holds ~64 MB of wide rows (the 30×
+    // probe OOM'd at the session default width). Pins: the explicit
+    // REPARTITION_BY_COL exchange is present on the join keys, the
+    // join executes hashed (never sorting 8 KB payloads), and the
+    // corpus-proportional checkpoint is never broadcast (the q224
+    // disease this operator had in r11).
+    val p = plan(ops.Similarity.embeddingNearDup(spark, sfDir))
+    assert(p.contains("REPARTITION_BY_COL") ||
+      "hashpartitioning\\(band".r.findFirstIn(p).isDefined,
+      s"band join lost its explicit sized exchange:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"band join must build hashed, not sort payloads:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-proportional checkpoint broadcast is back:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     val df = ops.Relational.pricingSummary(spark, sfDir)
     df.collect() // finalize the adaptive plan
