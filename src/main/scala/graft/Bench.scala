@@ -338,13 +338,21 @@ object Bench {
       Thread.sleep(RerunRetryPauseMs)
       val second = runChild(Seq(orig.name), sfDir, reps).headOption
         .getOrElse(first)
-      (first.ok, second.ok) match {
-        case (true, true) => if (second.best < first.best) second else first
-        case (true, false) => first
-        case (false, _) => second
-      }
+      pickAttempt(first, second)
     }
   }
+
+  /** Between two solo attempts: an ok attempt always beats a failed
+    * one; between two ok attempts the FASTER stands (min-of-attempts
+    * — the same claim min-of-reps makes: contention only inflates,
+    * so the minimum is the honest steady-state estimate); between
+    * two failures the retry stands (it ran on the calmer host). */
+  private[graft] def pickAttempt(first: QResult, second: QResult): QResult =
+    (first.ok, second.ok) match {
+      case (true, true) => if (second.best < first.best) second else first
+      case (true, false) => first
+      case (false, _) => second
+    }
 
   /** Child JVM command line: same java binary, classpath, and JVM
     * flags as this process (so -Xmx / --add-opens / code-cache /
