@@ -108,6 +108,19 @@ object Phash {
     * arithmetic, not rows. */
   def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // the copy classification below is range-derived (`b.id - a.id =
+    // CopyIdOffset`), so the fixed offset needs the same loud
+    // headroom guard the doc-space carvings get from
+    // [[Planted.familyOffset]] — this id space is p_partkey-derived,
+    // outside that convention (collides only past a ~5000× staged
+    // part table, but silently misclassifying there is exactly the
+    // r9 disease)
+    val maxId = Media.mediaTable(spark, sfDir)
+      .filter(col("kind") === "image")
+      .agg(max(col("id"))).head().getLong(0)
+    require(maxId < CopyIdOffset,
+      s"[q167 image copies] fixed offset $CopyIdOffset collides with " +
+        s"the image id range (max=$maxId at $sfDir) — re-key the carving")
     val hashes = Media.mediaTable(spark, sfDir)
       .filter(col("kind") === "image")
       .repartition(spark.sparkContext.defaultParallelism)
