@@ -194,9 +194,9 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(shortName(n))))
-    val (results, regrouped) =
+    val (results, regrouped, sharedNames) =
       if (fork) runTiered(names, sfDir, reps, group)
-      else (runShared(names, sfDir, reps), Nil)
+      else (runShared(names, sfDir, reps), Nil, Set.empty[String])
     val byName = results.map(r => r.name -> r).toMap
     val ordered = names.map(byName)
     val qs = ordered.map(r => "\"" + shortName(r.name) + "\":" + r.best)
@@ -227,8 +227,12 @@ object Bench {
         "\"" + shortName(r.name) + "\":" + ms3(e._1)))
       .mkString("{", ",", "}")
     val belowBand = ordered.filter { r =>
-      BenchTiers.certifiedSteady.get(shortName(r.name))
-        .exists(c => c >= 0.3 && r.best < 0.7 * c)
+      // SHARED-child rows only: a solo fresh-JVM row under its band
+      // is an honest measurement (a speedup, or a stale certified
+      // min), not warmth bias — naming it here would misrepresent it
+      sharedNames.contains(r.name) &&
+        BenchTiers.certifiedSteady.get(shortName(r.name))
+          .exists(c => c >= 0.3 && r.best < 0.7 * c)
     }.map(r => "\"" + shortName(r.name) + "\"").mkString("[", ",", "]")
     // median over queries of rep1/min — the suite-wide cold-start
     // surcharge, derived from the record itself
@@ -254,9 +258,11 @@ object Bench {
   }
 
   /** Tier the suite, run the children, apply the grouped→solo re-run
-    * rule. Returns (per-query results, names re-run solo). */
+    * rule. Returns (per-query results, names re-run solo, names whose
+    * STANDING number came from a shared child — the scope of the
+    * record's warm-fast `below_band` marker). */
   private def runTiered(names: Seq[String], sfDir: String, reps: Int,
-      group: Boolean): (Seq[QResult], Seq[String]) = {
+      group: Boolean): (Seq[QResult], Seq[String], Set[String]) = {
     val (streaming, batch) = names.partition(StreamingQueries)
     val (grouped, solo) =
       if (!group) (Nil, batch)
@@ -314,7 +320,8 @@ object Bench {
         " — re-running solo")
       soloRerun(r, sfDir, reps)
     }
-    (soloResults ++ clean ++ rerun, suspect.map(_.name))
+    (soloResults ++ clean ++ rerun, suspect.map(_.name),
+      clean.map(_.name).toSet)
   }
 
   /** The regroup backstop's solo re-run, contention-gated (VERDICT

@@ -63,9 +63,15 @@ object CheckpointJoin {
     // hint's behavior, which no conf excuses.
     val unhinted = rollup(toks.join(dfreq, Seq("tok")))
     val staticPlan = unhinted.queryExecution.executedPlan.toString
-    val canonicalConf =
-      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB") != "-1" &&
-        spark.version.startsWith("4.")
+    // "broadcast planning enabled" must be judged on the PARSED value
+    // — the conf accepts any byte-string rendering ("-1", "-1b", "0",
+    // "0b" all disable it), and a string-equality test would hard-fail
+    // a data-correct query under a disabled-but-differently-spelled
+    // conf (the exact false failure this gate exists to prevent)
+    val thr = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim.toLowerCase
+    val broadcastOn = !thr.startsWith("-") && !thr.matches("0+[kmgt]?i?b?")
+    val canonicalConf = broadcastOn && spark.version.startsWith("4.")
     if (!staticPlan.contains("BroadcastHashJoin")) {
       val msg = "q224 tripwire: the stats-blind checkpoint no longer " +
         "baits a static broadcast — the engine's estimation behavior " +

@@ -118,8 +118,13 @@ object Decontaminate {
 
   val decontaminateSql: String = {
     val tok = TextOps.tokSql()
+    // COALESCE: a zero-token document shingles to the '' gram in
+    // Spark (concat_ws) but array_to_string([]) is NULL in DuckDB and
+    // list_distinct would drop it — the q81 empty-list parity class,
+    // hardened here the same way (cannot fire under the ≥10-token
+    // corpus contract; scale-proofing only)
     val shingles =
-      s"""CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      s"""CASE WHEN len(toks) < 3 THEN [COALESCE(array_to_string(toks, ' '), '')]
          |     ELSE list_transform(generate_series(1, len(toks) - 2),
          |            i -> array_to_string(toks[i:i+2], ' ')) END""".stripMargin
     def posOf(gram: String, i: String) =

@@ -79,7 +79,7 @@ object Dedup {
   /** shingle-hash list SQL (3-gram, distinct, md5-based 60-bit). */
   private[graft] val shingleSql =
     s"""list_distinct(list_transform(
-       |  CASE WHEN len($tokSql) < 3 THEN [array_to_string($tokSql, ' ')]
+       |  CASE WHEN len($tokSql) < 3 THEN [COALESCE(array_to_string($tokSql, ' '), '')]
        |       ELSE list_transform(generate_series(1, len($tokSql) - 2),
        |              i -> array_to_string(($tokSql)[i:i+2], ' ')) END,
        |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))""".stripMargin
@@ -452,7 +452,7 @@ object Dedup {
 
   val dupSpansSql: String = {
     val grams8 =
-      s"""CASE WHEN len($tokSql) < 8 THEN [array_to_string($tokSql, ' ')]
+      s"""CASE WHEN len($tokSql) < 8 THEN [COALESCE(array_to_string($tokSql, ' '), '')]
          |     ELSE list_transform(generate_series(1, len($tokSql) - 7),
          |            i -> array_to_string(($tokSql)[i:i+7], ' ')) END""".stripMargin
     s"""WITH grams AS (

@@ -89,7 +89,7 @@ object Funnel {
         |              ELSE 0.0 END, 1.0)
         |    ) / 3.0, 6)""".stripMargin
     val grams =
-      s"""CASE WHEN len($tok) < 3 THEN [array_to_string($tok, ' ')]
+      s"""CASE WHEN len($tok) < 3 THEN [COALESCE(array_to_string($tok, ' '), '')]
         |     ELSE list_transform(generate_series(1, len($tok) - 2),
         |            i -> array_to_string(($tok)[i:i+2], ' ')) END""".stripMargin
     s"""WITH corpus AS (

@@ -414,7 +414,7 @@ object Mining {
     val tokSql = TextOps.tokSql()
     val grams8 =
       s"""list_distinct(list_transform(
-         |  CASE WHEN len($tokSql) < 8 THEN [array_to_string($tokSql, ' ')]
+         |  CASE WHEN len($tokSql) < 8 THEN [COALESCE(array_to_string($tokSql, ' '), '')]
          |       ELSE list_transform(generate_series(1, len($tokSql) - 7),
          |              i -> array_to_string(($tokSql)[i:i+7], ' ')) END,
          |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))""".stripMargin

@@ -63,7 +63,7 @@ object Novelty {
     val tokSql = TextOps.tokSql()
     s"""list_distinct(list_transform(
        |  CASE WHEN len($tokSql) < $Shingle
-       |       THEN [array_to_string($tokSql, ' ')]
+       |       THEN [COALESCE(array_to_string($tokSql, ' '), '')]
        |       ELSE list_transform(
        |              generate_series(1, len($tokSql) - ${Shingle - 1}),
        |              i -> array_to_string(($tokSql)[i:i+${Shingle - 1}], ' '))

@@ -82,6 +82,21 @@ object Phash {
     * [[Delta]], saturating at 255) — the processed-copy scenario
     * perceptual dedup exists for. Runs inside the scan partition, so
     * copies never cost a shuffle. */
+  private val maxIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Max image id, computed once per sfDir per JVM (pruned column
+    * scan); -1 for an imageless corpus (guard trivially passes). */
+  private def maxImageId(spark: SparkSession, sfDir: String): Long =
+    maxIdCache.computeIfAbsent(
+      new java.io.File(sfDir).getAbsolutePath,
+      _ => {
+        val r = Media.mediaTable(spark, sfDir)
+          .filter(col("kind") === "image")
+          .agg(max(col("id"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }).longValue()
+
   private[graft] def withCopies(
       rows: Iterator[Media.MediaRow]): Iterator[Media.MediaRow] =
     rows.flatMap { r =>
@@ -114,13 +129,10 @@ object Phash {
     // [[Planted.familyOffset]] — this id space is p_partkey-derived,
     // outside that convention (collides only past a ~5000× staged
     // part table, but silently misclassifying there is exactly the
-    // r9 disease)
-    val maxId = Media.mediaTable(spark, sfDir)
-      .filter(col("kind") === "image")
-      .agg(max(col("id"))).head().getLong(0)
-    require(maxId < CopyIdOffset,
-      s"[q167 image copies] fixed offset $CopyIdOffset collides with " +
-        s"the image id range (max=$maxId at $sfDir) — re-key the carving")
+    // r9 disease). Max id cached per (JVM, sfDir) like
+    // [[Planted.maxDocId]]; an imageless corpus trivially passes.
+    Planted.assertIdHeadroom(
+      maxImageId(spark, sfDir), CopyIdOffset, "q167 image copies", sfDir)
     val hashes = Media.mediaTable(spark, sfDir)
       .filter(col("kind") === "image")
       .repartition(spark.sparkContext.defaultParallelism)

@@ -73,7 +73,7 @@ object Pipeline {
 
   val repetitionScoreSql: String = {
     val grams =
-      s"""CASE WHEN len($tokSql) < 3 THEN [array_to_string($tokSql, ' ')]
+      s"""CASE WHEN len($tokSql) < 3 THEN [COALESCE(array_to_string($tokSql, ' '), '')]
          |     ELSE list_transform(generate_series(1, len($tokSql) - 2),
          |            i -> array_to_string(($tokSql)[i:i+2], ' ')) END""".stripMargin
     s"""WITH g AS (SELECT doc_id, $grams AS grams
@@ -304,7 +304,7 @@ object Pipeline {
   val contaminationSql: String = {
     val grams8 =
       s"""list_distinct(list_transform(
-         |  CASE WHEN len($tokSql) < 8 THEN [array_to_string($tokSql, ' ')]
+         |  CASE WHEN len($tokSql) < 8 THEN [COALESCE(array_to_string($tokSql, ' '), '')]
          |       ELSE list_transform(generate_series(1, len($tokSql) - 7),
          |              i -> array_to_string(($tokSql)[i:i+7], ' ')) END,
          |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))""".stripMargin

@@ -64,10 +64,6 @@ object Planted {
     math.max(BaseFloor, p * 10)
   }
 
-  /** The dynamic family base B for this corpus. */
-  def familyBase(spark: SparkSession, sfDir: String): Long =
-    baseFor(maxDocId(spark, sfDir))
-
   /** A family's id offset: `slot·B + adjust`, with the headroom
     * guard restated loudly even though `baseFor` guarantees it by
     * construction. Call at staging time, before the carved union is
@@ -111,14 +107,18 @@ object Planted {
         .agg(max(col("doc_id"))).head().getLong(0)).longValue()
 
   /** Fail loudly if a FIXED offset could collide with (or be
-    * confused for) the organic id range — retained for carve sites
-    * on id spaces [[familyOffset]] does not govern. */
-  def assertHeadroom(spark: SparkSession, sfDir: String,
-      offset: Long, site: String): Unit = {
-    val mx = maxDocId(spark, sfDir)
-    require(mx < offset,
+    * confused for) an organic id range — the shared guard for carve
+    * sites on id spaces [[familyOffset]] does not govern (callers
+    * supply their own max id, e.g. q167's image ids). */
+  def assertIdHeadroom(maxId: Long, offset: Long, site: String,
+      where: String): Unit =
+    require(maxId < offset,
       s"[$site] planted-id offset $offset collides with the organic " +
-        s"doc_id range (max=$mx at $sfDir): range-derived origin " +
+        s"id range (max=$maxId at $where): range-derived origin " +
         "classification would misreport — re-key the carving")
-  }
+
+  /** [[assertIdHeadroom]] over the documents table's doc_id space. */
+  def assertHeadroom(spark: SparkSession, sfDir: String,
+      offset: Long, site: String): Unit =
+    assertIdHeadroom(maxDocId(spark, sfDir), offset, site, sfDir)
 }

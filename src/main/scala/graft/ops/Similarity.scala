@@ -237,7 +237,7 @@ object Similarity {
       System.err.println(s"[q27] lsh geometry widened " +
         s"${g.widenedFrom.mkString("→")} → (${g.planes}, ${g.bits}) " +
         s"(census ${g.candPairs} pairs over n=${g.n})")
-    nearDupPairs(corpus, g.planes, g.bits)
+    nearDupPairs(corpus, g.planes, g.bits, nRows = Some(g.n))
   }
 
   /** The same operator with the LSH width parameters exposed — the
@@ -254,7 +254,7 @@ object Similarity {
     * the scale probe runs this at (240, 20). */
   def embeddingNearDupAt(spark: SparkSession, sfDir: String,
       nPlanes: Int, bandBits: Int): DataFrame =
-    nearDupPairs(nearDupCorpus(spark, sfDir), nPlanes, bandBits)
+    nearDupPairs(nearDupCorpus(spark, sfDir), nPlanes, bandBits, None)
 
   /** Rows of (8 KB vector + keys) per hash-build partition: ~64 MB
     * builds — comfortably inside a task's execution-memory slice at
@@ -262,9 +262,11 @@ object Similarity {
     * executor's per-core share. */
   val BuildRowsPerPartition = 8192L
 
-  /** The band join at a fixed geometry over a prepared corpus. */
+  /** The band join at a fixed geometry over a prepared corpus.
+    * `nRows` spares the partition-sizing count when the caller (the
+    * guard) already counted the checkpointed corpus. */
   private[graft] def nearDupPairs(corpus: DataFrame,
-      nPlanes: Int, bandBits: Int): DataFrame = {
+      nPlanes: Int, bandBits: Int, nRows: Option[Long] = None): DataFrame = {
     import graft.expressions.HyperplaneBands
     val nBands = nPlanes / bandBits
     val bucketed = corpus
@@ -285,7 +287,8 @@ object Similarity {
     // defaultParallelism floor keeps declared-SF plans unchanged.
     val spark = corpus.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
-      corpus.count() * nBands / BuildRowsPerPartition + 1).toInt
+      nRows.getOrElse(corpus.count()) * nBands / BuildRowsPerPartition + 1)
+      .toInt
     val a = bucketed.select(col("band"), col("key"),
       col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       .repartition(parts, col("band"), col("key"))

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * the report is a 4-key partial aggregate.
   *
   * Snapshots are carved deterministically from `documents`:
-  * OLD = ids with id%5 != 0, plus retired ids (slot-3 planted\n  * offset for id%13==0);
+  * OLD = ids with id%5 != 0, plus retired ids (slot-3 planted
+  * offset for id%13==0);
   * NEW = every current id, with text revised (' v2' suffix) for
   * id%7==0. So: id%5==0 → added, retired → removed, id%7==0 (and
   * id%5!=0) → changed, rest unchanged.

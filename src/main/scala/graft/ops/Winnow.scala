@@ -113,7 +113,7 @@ object Winnow {
       |h AS (
       |  SELECT doc_id, hs FROM (
       |    SELECT doc_id, list_transform(
-      |      CASE WHEN len($tok) < $K THEN [array_to_string($tok, ' ')]
+      |      CASE WHEN len($tok) < $K THEN [COALESCE(array_to_string($tok, ' '), '')]
       |           ELSE list_transform(generate_series(1, len($tok) - ${K - 1}),
       |                  i -> array_to_string(($tok)[i:i+${K - 1}], ' ')) END,
       |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
