@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   * range-classification by `[slot·B, (slot+1)·B)` stays sound):
   *
   *   - 1B  near-dup tail (q23/q24 Dedup, q102 Winnow), q27 perturbed
-  *     vectors, q58 blog ids, q182 CDC twins
+  *     vectors, q58 blog ids, q182 CDC twins, q228 leaked eval twins
   *   - 2B  exact-dup upper-case (q22), q58 unknown-schema ids;
   *     2B+1 stream-dedup upper family (q191, batch residue 1 mod 4)
   *   - 3B  snapshot retired ids (q106/q136)

@@ -140,15 +140,8 @@ object Similarity {
     // 31 s runtime at sf0.1. Staged through checkpoints/projections,
     // every subexpression runs once per row.
     val e = Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
-    val perturbed = e.filter(pmod(col("vec_id"), lit(20)) === 0)
-      .select((col("vec_id") + off).as("vec_id"),
-        concat(slice(col("v"), 1, Dims - 1), array(lit(0.0))).as("pv"))
-      .withColumn("pn", VectorOps.l2Norm(col("pv")))
-      // l2Normalize over the materialized (pv, pn) columns — same
-      // arithmetic, the norm now an attribute instead of a subtree
-      .select(col("vec_id"),
-        when(col("pn") === 0.0, col("pv"))
-          .otherwise(transform(col("pv"), x => x / col("pn"))).as("v"))
+    val perturbed = perturbLast(
+      e.filter(pmod(col("vec_id"), lit(20)) === 0), off)
     // norms ride on the corpus rows so pair verification is one dot
     // (identical arithmetic to the inline cosine: sqrt of the
     // self-dot, computed once per vector instead of once per pair)
@@ -156,6 +149,21 @@ object Similarity {
       .withColumn("nrm", VectorOps.l2Norm(col("v")))
       .localCheckpoint()
   }
+
+  /** Perturbed copies of `rows(vec_id, v)` — last component zeroed,
+    * renormalized, re-keyed to `vec_id + off`: the planted near-dup /
+    * leaked-twin recipe shared by q27 and q228 (single-sourced so the
+    * two corpora can never drift). l2Normalize runs over materialized
+    * (pv, pn) projections — same arithmetic as the inline form, the
+    * norm an attribute instead of a per-element subtree. */
+  private[ops] def perturbLast(rows: DataFrame, off: Long): DataFrame =
+    rows
+      .select((col("vec_id") + off).as("vec_id"),
+        concat(slice(col("v"), 1, Dims - 1), array(lit(0.0))).as("pv"))
+      .withColumn("pn", VectorOps.l2Norm(col("pv")))
+      .select(col("vec_id"),
+        when(col("pn") === 0.0, col("pv"))
+          .otherwise(transform(col("pv"), x => x / col("pn"))).as("v"))
 
   /** Recall-matched LSH geometry ladder at the [[SimThreshold]]
     * operating point (per-bit sign agreement p = 1 − acos(0.98)/π ≈
@@ -321,34 +329,48 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** The shared oracle CTE chain up to per-vector band signatures —
-    * single-sourced between the q27 pair oracle and the q225 census
-    * oracle so the two can never drift. */
-  private[ops] val lshBandsCtes: String =
-    s"""${Corpus.docEmbCte},
-      |hp AS MATERIALIZED (
-      |  SELECT j, list_transform(generate_series(0, ${Dims - 1}), i ->
-      |    CASE WHEN ('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % 2 = 0
-      |         THEN 1.0 ELSE -1.0 END) AS hv
-      |  FROM generate_series(0, ${NHyperplanes - 1}) AS t(j)),
-      |pert AS (
-      |  SELECT vec_id + ${Planted.offsetSql(1)} AS vec_id,
+  /** The perturbed-copy CTE over `src(vec_id, v)` — the oracle
+    * rendering of [[perturbLast]], single-sourced for q27 and q228. */
+  private[ops] def perturbCte(src: String, offsetSql: String): String =
+    s"""pert AS (
+      |  SELECT vec_id + $offsetSql AS vec_id,
       |    CASE WHEN nrm = 0 THEN pv ELSE list_transform(pv, x -> x / nrm) END AS v
       |  FROM (
       |    SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS nrm
       |    FROM (SELECT vec_id, list_append(v[1:${Dims - 1}], 0.0::DOUBLE) AS pv
-      |          FROM demb WHERE vec_id % 20 = 0))),
-      |corpus AS MATERIALIZED (
-      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
-      |    SELECT vec_id, v FROM demb UNION ALL SELECT vec_id, v FROM pert)),
+      |          FROM $src)))""".stripMargin
+
+  /** hp/proj/bands CTE chain over a caller-supplied `corpus(vec_id,
+    * v, …)` CTE — the band-signature rule single-sourced across the
+    * q27 pair oracle, the q225 census oracle, and the q228
+    * decontamination oracle so the engines (and the three queries)
+    * can never drift on the blocking geometry. */
+  private[ops] def hpProjBandsCtes(nPlanes: Int = NHyperplanes,
+      bandBits: Int = BandBits): String =
+    s"""hp AS MATERIALIZED (
+      |  SELECT j, list_transform(generate_series(0, ${Dims - 1}), i ->
+      |    CASE WHEN ('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS hv
+      |  FROM generate_series(0, ${nPlanes - 1}) AS t(j)),
       |proj AS (
       |  SELECT c.vec_id, h.j,
       |    CASE WHEN list_dot_product(c.v, h.hv) >= 0 THEN 1 ELSE 0 END AS s
       |  FROM corpus c CROSS JOIN hp h),
       |bands AS (
-      |  SELECT vec_id, j // $BandBits AS band,
-      |    SUM(s * (1 << (j % $BandBits))) AS key
-      |  FROM proj GROUP BY vec_id, j // $BandBits)""".stripMargin
+      |  SELECT vec_id, j // $bandBits AS band,
+      |    SUM(s * (1 << (j % $bandBits))) AS key
+      |  FROM proj GROUP BY vec_id, j // $bandBits)""".stripMargin
+
+  /** The shared oracle CTE chain up to per-vector band signatures —
+    * single-sourced between the q27 pair oracle and the q225 census
+    * oracle so the two can never drift. */
+  private[ops] val lshBandsCtes: String =
+    s"""${Corpus.docEmbCte},
+      |${perturbCte("demb WHERE vec_id % 20 = 0", Planted.offsetSql(1))},
+      |corpus AS MATERIALIZED (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+      |    SELECT vec_id, v FROM demb UNION ALL SELECT vec_id, v FROM pert)),
+      |${hpProjBandsCtes()}""".stripMargin
 
   val embeddingNearDupSql: String =
     s"""WITH $lshBandsCtes,
