@@ -39,9 +39,63 @@ object SemanticDecon {
     * semantic routes decontaminate the same eval set. */
   val EvalEvery: Int = Decontaminate.EvalEvery
 
+  /** Bipartite bucket-density census at a geometry: Σ a_c·b_c over
+    * shared (band, key) buckets — the exact number of candidate
+    * verifications the train×eval band join will perform. Narrow
+    * (band, key) aggregates only; vector payloads never leave the
+    * scan. The count relations are bounded by the geometry
+    * (≤ bands × 2^bits buckets), so their join is free at any
+    * corpus size. */
+  private[graft] def censusCandPairsBipartite(train: DataFrame,
+      eval: DataFrame, planes: Int, bits: Int): Long = {
+    import graft.expressions.HyperplaneBands
+    def counts(df: DataFrame, as: String) = df
+      .select(posexplode(HyperplaneBands.bands(col("v"), planes, bits)))
+      .toDF("band", "key")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as(as))
+    counts(train, "ca").join(counts(eval, "cb"), Seq("band", "key"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("long"))
+      .head().getLong(0)
+  }
+
+  /** The q27 density self-guard, bipartite (q228's exposure is the
+    * SAME chance-collision regime — the eval carve is a fixed
+    * fraction of the corpus, so the train×eval per-band bucket
+    * product grows ~n²/(97·2^bits) once the corpus outruns the band
+    * width): walk [[Similarity.GeometryLadder]] until the measured
+    * candidate volume fits the budget per TRAIN vector; refuse
+    * loudly when even the widest rung is over — that density is
+    * irreducible duplicate mass between the sides, and the flag
+    * OUTPUT itself approaches n_train × n_eval. */
+  private[graft] def chooseGeometry(train: DataFrame, eval: DataFrame,
+      budgetPerTrainVector: Long = Similarity.MaxCandPairsPerVector)
+      : Similarity.LshGeometry = {
+    val n = train.count()
+    val budget = budgetPerTrainVector * n
+    var walked = List.empty[(Int, Int)]
+    Similarity.GeometryLadder.foreach { case (planes, bits) =>
+      val cand = censusCandPairsBipartite(train, eval, planes, bits)
+      if (cand <= budget)
+        return Similarity.LshGeometry(planes, bits, n, cand,
+          walked.reverse)
+      System.err.println(s"[q228] bipartite lsh census at " +
+        s"($planes, $bits): $cand candidate pairs > budget $budget " +
+        s"($budgetPerTrainVector/train vector × $n) — widening")
+      walked ::= ((planes, bits))
+    }
+    throw new IllegalStateException(
+      s"[q228 lsh-density guard] candidate volume exceeds " +
+        s"$budgetPerTrainVector pairs/train vector at EVERY ladder " +
+        s"geometry (${Similarity.GeometryLadder.mkString(", ")}; " +
+        s"n_train=$n): this density is irreducible near-duplicate " +
+        "mass between train and eval, not chance collision — the " +
+        "flag output itself is quadratic. Collapse duplicates " +
+        "(q22/q53) on the training side before decontaminating")
+  }
+
   def semanticDecon(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.expressions.HyperplaneBands
-    import Similarity.{BandBits, NHyperplanes, SimThreshold}
+    import Similarity.SimThreshold
     val off = Planted.familyOffset(spark, sfDir, 1,
       "q228 leaked eval twins")
     // one featurize pass, read three ways (organic train / eval /
@@ -56,10 +110,19 @@ object SemanticDecon {
     val evalN = eval
       .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("v")))
       .localCheckpoint()
-    val nBands = NHyperplanes / BandBits
+    // the bipartite density self-guard (the q27/q225 discipline):
+    // hold the declared geometry while the measured candidate volume
+    // fits, widen along the recall-matched ladder when chance
+    // collisions dominate, refuse on irreducible duplicate mass
+    val g = chooseGeometry(train, evalN)
+    if (g.widenedFrom.nonEmpty)
+      System.err.println(s"[q228] lsh geometry widened " +
+        s"${g.widenedFrom.mkString("→")} → (${g.planes}, ${g.bits}) " +
+        s"(census ${g.candPairs} pairs over n_train=${g.n})")
+    val nBands = g.planes / g.bits
     def banded(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("v"), col("nrm"), posexplode(
-        HyperplaneBands.bands(col("v"), NHyperplanes, BandBits)))
+        HyperplaneBands.bands(col("v"), g.planes, g.bits)))
       .toDF("vec_id", "v", "nrm", "band", "key")
     // size the hash-build exchange to the LARGER (train) side — the
     // q27 r12 rule: a HashedRelation build cannot spill, so cap each
@@ -67,7 +130,7 @@ object SemanticDecon {
     // join's own ENSURE_REQUIREMENTS exchange
     val parts = math.max(
       spark.sparkContext.defaultParallelism.toLong,
-      train.count() * nBands / Similarity.BuildRowsPerPartition + 1).toInt
+      g.n * nBands / Similarity.BuildRowsPerPartition + 1).toInt
     val a = banded(train).select(col("band"), col("key"),
       col("vec_id").as("train_id"), col("v").as("va"), col("nrm").as("na"))
       .repartition(parts, col("band"), col("key"))

@@ -156,7 +156,7 @@ object Similarity {
     * two corpora can never drift). l2Normalize runs over materialized
     * (pv, pn) projections — same arithmetic as the inline form, the
     * norm an attribute instead of a per-element subtree. */
-  private[ops] def perturbLast(rows: DataFrame, off: Long): DataFrame =
+  private[graft] def perturbLast(rows: DataFrame, off: Long): DataFrame =
     rows
       .select((col("vec_id") + off).as("vec_id"),
         concat(slice(col("v"), 1, Dims - 1), array(lit(0.0))).as("pv"))

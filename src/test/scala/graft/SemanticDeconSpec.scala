@@ -48,6 +48,58 @@ class SemanticDeconSpec extends SparkSpec {
     }
   }
 
+  test("guard: declared SF keeps the declared geometry — oracle intact") {
+    import graft.Corpus
+    val e = Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
+    val isEval = pmod(col("vec_id"),
+      lit(Decontaminate.EvalEvery.toLong)) === 0
+    val train = e.filter(!isEval)
+      .unionByName(Similarity.perturbLast(e.filter(isEval), off))
+    val g = SemanticDecon.chooseGeometry(train, e.filter(isEval))
+    assert(g.planes === Similarity.NHyperplanes)
+    assert(g.bits === Similarity.BandBits)
+    assert(g.widenedFrom.isEmpty)
+    assert(g.candPairs <= Similarity.MaxCandPairsPerVector * g.n)
+  }
+
+  test("guard: irreducible train×eval duplicate mass refuses loudly") {
+    // every vector identical on both sides: all bands collapse to one
+    // shared bucket, candidates = n_train × n_eval × bands at EVERY
+    // rung — widening thins chance collisions, never true duplicates
+    val v = Seq.fill(Similarity.Dims)(1.0 / math.sqrt(Similarity.Dims))
+    val train = spark.range(0, 400).toDF("vec_id")
+      .withColumn("v", typedLit(v))
+    val eval = spark.range(1000, 1100).toDF("vec_id")
+      .withColumn("v", typedLit(v))
+    val e = intercept[IllegalStateException] {
+      SemanticDecon.chooseGeometry(train, eval)
+    }
+    assert(e.getMessage.contains("irreducible"))
+    assert(e.getMessage.contains("q22/q53"))
+  }
+
+  test("guard: bipartite census equals a driver-side replay") {
+    import graft.Corpus
+    import graft.expressions.HyperplaneBands
+    val e = Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
+    val isEval = pmod(col("vec_id"),
+      lit(Decontaminate.EvalEvery.toLong)) === 0
+    val sigsOf = (df: org.apache.spark.sql.DataFrame) => df
+      .select(HyperplaneBands.bands(col("v"),
+        Similarity.NHyperplanes, Similarity.BandBits).as("bs"))
+      .collect().map(_.getSeq[Long](0))
+    val trainBuckets = sigsOf(e.filter(!isEval)).flatMap(_.zipWithIndex)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val evalBuckets = sigsOf(e.filter(isEval)).flatMap(_.zipWithIndex)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = trainBuckets.map { case (b, ca) =>
+      ca * evalBuckets.getOrElse(b, 0L) }.sum
+    val measured = SemanticDecon.censusCandPairsBipartite(
+      e.filter(!isEval), e.filter(isEval),
+      Similarity.NHyperplanes, Similarity.BandBits)
+    assert(measured === expected)
+  }
+
   test("plan: the band join is partitioned — never broadcast") {
     val p = SemanticDecon.semanticDecon(spark, sfDir)
       .queryExecution.executedPlan.toString
