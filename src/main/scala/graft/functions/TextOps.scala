@@ -39,6 +39,15 @@ object TextOps {
     aggregate(tokens(c), lit(0L),
       (acc, t) => acc + ((length(t) + lit(3)) / lit(4)).cast("long"))
 
+  /** The DuckDB rendering of [[tokenCountBpe]] over a token-list
+    * expression — the same single-source rule as [[tokSql]] (every
+    * oracle restatement of the estimate MUST come from here, so the
+    * ⌈len/4⌉ divisor can never drift between engines or queries).
+    * COALESCE: DuckDB's list_sum is NULL on an empty list where the
+    * Spark aggregate's 0-init yields 0. */
+  def tokenCountBpeSql(toksExpr: String): String =
+    s"COALESCE(list_sum(list_transform($toksExpr, t -> (length(t) + 3) // 4)), 0)"
+
   /** Full-text match (F2): any query token appears in the text's token
     * set. The reference delegates to Postgres tsvector/tsquery over
     * `title || ' ' || domain || ' ' || url` (`search.py:60-63`,

@@ -51,10 +51,11 @@ object InContextPack {
 
   def inContextPack(spark: SparkSession, sfDir: String): DataFrame = {
     // (vec_id, v, xx, cid) under the fitted 1024-d doc model, plus
-    // the distance to the OWN centroid for the within-cluster order
-    val model = KMeans.fitDocs(spark, sfDir)
-      .select(col("cid"), col("cv"), col("cc"))
-    val dists = KMeans.docAssignments(spark, sfDir)
+    // the distance to the OWN centroid for the within-cluster order —
+    // one featurize pass and one Lloyd fit, shared between the model
+    // and the assignment (the checkpointed model is reused, not refit)
+    val (model, assigned) = KMeans.docModelAndAssignments(spark, sfDir)
+    val dists = assigned
       .join(broadcast(model), Seq("cid")) // bounded: K centroids
       .withColumn("cdist", round(col("xx")
         - lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cc"), 9))
@@ -71,11 +72,15 @@ object InContextPack {
     // is hinted per the q224 convention: shuffle_hash where a side
     // carries 8 KB vector payloads (SMJ would sort them — the q27
     // lesson), merge for the narrow per-context rollup
+    // materialized: packed feeds BOTH adjacency sides and the rollup
+    // — without the checkpoint the assignment join and the window
+    // sort re-execute three times
     val packed = dists.join(ntok.hint("shuffle_hash"), Seq("doc_id"))
       .withColumn("rnk", row_number().over(ord))
       .withColumn("ctx_id",
         ((sum(col("n_tok")).over(ord) - col("n_tok")) / CtxBudget)
           .cast("long"))
+      .localCheckpoint()
     // adjacency census: cosine of each (rank, rank+1) pair that lands
     // in the SAME context — partitioned equi-join on (cid, rnk)
     val a = packed.select(col("cid"), col("ctx_id"), col("rnk"),
@@ -111,9 +116,7 @@ object InContextPack {
       |    a.v, a.xx
       |  FROM assigned a JOIN model m USING (cid)),
       |ntok AS (
-      |  SELECT doc_id,
-      |    COALESCE(list_sum(list_transform($tok, t -> (length(t) + 3) // 4)), 0)
-      |      AS n_tok
+      |  SELECT doc_id, ${TextOps.tokenCountBpeSql(tok)} AS n_tok
       |  FROM documents),
       |packed AS (
       |  SELECT d.doc_id, d.cid, d.cdist, d.v, d.xx, n.n_tok,

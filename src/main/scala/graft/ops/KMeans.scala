@@ -176,9 +176,8 @@ object KMeans {
         max(col("nn")).as("n"))
       .withColumn("cc", VectorOps.dot(col("cv"), col("cv")))
 
-  /** Fitted 1024-d model: (cid, cv, cc, n). */
-  def fitDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = docVectors(spark, sfDir)
+  /** The Lloyd loop over an already-staged vector corpus. */
+  private def fitVecs(vecs: DataFrame): DataFrame = {
     var cents = vecs.filter(col("vec_id") < DocK)
       .select(col("vec_id").cast("int").as("cid"),
         col("v").as("cv"), col("xx").as("cc"))
@@ -187,12 +186,28 @@ object KMeans {
     cents
   }
 
+  /** Fitted 1024-d model: (cid, cv, cc, n). */
+  def fitDocs(spark: SparkSession, sfDir: String): DataFrame =
+    fitVecs(docVectors(spark, sfDir))
+
+  /** Fit + final assignment over ONE featurize/checkpoint pass —
+    * `(model(cid, cv, cc), assigned(vec_id, v, xx, cid))`. The
+    * composition consumers (q100, q229) were paying the corpus
+    * featurize and the whole Lloyd loop twice by calling
+    * [[docAssignments]]-then-[[fitDocs]] separately; this stages the
+    * corpus once and reuses the checkpointed model for both. */
+  private[graft] def docModelAndAssignments(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val vecs = docVectors(spark, sfDir)
+    val model = fitVecs(vecs).select(col("cid"), col("cv"), col("cc"))
+    (model, assignDoc(vecs, model))
+  }
+
   /** Final 1024-d cluster assignment (vec_id, v, xx, cid) under the
     * fitted doc model — the clustering consumers build on (q100
     * SemDeDup shares the exact q79 training loop). */
   def docAssignments(spark: SparkSession, sfDir: String): DataFrame =
-    assignDoc(docVectors(spark, sfDir),
-      fitDocs(spark, sfDir).select(col("cid"), col("cv"), col("cc")))
+    docModelAndAssignments(spark, sfDir)._2
 
   /** q79: learned-IVF ANN at 1024-d — probe the [[NProbe]] nearest
     * lists by true L2, exact cosine only inside them. */

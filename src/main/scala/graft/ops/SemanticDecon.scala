@@ -94,8 +94,6 @@ object SemanticDecon {
   }
 
   def semanticDecon(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.expressions.HyperplaneBands
-    import Similarity.SimThreshold
     val off = Planted.familyOffset(spark, sfDir, 1,
       "q228 leaked eval twins")
     // one featurize pass, read three ways (organic train / eval /
@@ -119,33 +117,14 @@ object SemanticDecon {
       System.err.println(s"[q228] lsh geometry widened " +
         s"${g.widenedFrom.mkString("→")} → (${g.planes}, ${g.bits}) " +
         s"(census ${g.candPairs} pairs over n_train=${g.n})")
-    val nBands = g.planes / g.bits
-    def banded(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), col("v"), col("nrm"), posexplode(
-        HyperplaneBands.bands(col("v"), g.planes, g.bits)))
-      .toDF("vec_id", "v", "nrm", "band", "key")
-    // size the hash-build exchange to the LARGER (train) side — the
-    // q27 r12 rule: a HashedRelation build cannot spill, so cap each
-    // partition's wide rows; the explicit repartition replaces the
-    // join's own ENSURE_REQUIREMENTS exchange
-    val parts = math.max(
-      spark.sparkContext.defaultParallelism.toLong,
-      g.n * nBands / Similarity.BuildRowsPerPartition + 1).toInt
-    val a = banded(train).select(col("band"), col("key"),
-      col("vec_id").as("train_id"), col("v").as("va"), col("nrm").as("na"))
-      .repartition(parts, col("band"), col("key"))
-    val b = banded(evalN).select(col("band"), col("key"),
-      col("vec_id").as("eval_id"), col("v").as("vb"), col("nrm").as("nb"))
-      .repartition(parts, col("band"), col("key"))
-    val denom = col("na") * col("nb")
-    val hits = a.join(b.hint("shuffle_hash"), Seq("band", "key"))
-      .withColumn("sim", when(denom === 0.0, lit(0.0))
-        .otherwise(graft.functions.VectorOps.dot(col("va"), col("vb"))
-          / denom))
-      .filter(col("sim") >= SimThreshold)
-      .select(col("train_id"), col("eval_id"),
-        round(col("sim"), 6).as("sim"))
-      .distinct()
+    // the shared sized shuffle-hash band join (q27's, bipartite) —
+    // the hash-build sizing and never-broadcast discipline live in
+    // ONE place ([[Similarity.bandJoinPairs]]); sizing keys off the
+    // larger (train) side, which the guard already counted
+    val hits = Similarity
+      .bandJoinPairs(train, Some(evalN), g.planes, g.bits, Some(g.n))
+      .withColumnRenamed("a_id", "train_id")
+      .withColumnRenamed("b_id", "eval_id")
     // per contaminated train doc: match count, best (highest rounded
     // sim, min eval_id) — ranking over ROUNDED sims so a last-ulp
     // cross-engine difference can never flip the tie-break

@@ -270,14 +270,19 @@ object Similarity {
     * executor's per-core share. */
   val BuildRowsPerPartition = 8192L
 
-  /** The band join at a fixed geometry over a prepared corpus.
-    * `nRows` spares the partition-sizing count when the caller (the
-    * guard) already counted the checkpointed corpus. */
-  private[graft] def nearDupPairs(corpus: DataFrame,
-      nPlanes: Int, bandBits: Int, nRows: Option[Long] = None): DataFrame = {
+  /** The sized shuffle-hash band join over prepared corpora — THE
+    * one place the hash-build partition sizing and the
+    * never-broadcast discipline live, for both the q27 SELF-join
+    * (`right = None`, pairs `a_id < b_id`) and the q228 BIPARTITE
+    * join (`right = Some(evalSide)`). `nRows` spares the
+    * partition-sizing count when the caller (a guard) already
+    * counted the checkpointed left corpus. */
+  private[graft] def bandJoinPairs(left: DataFrame,
+      right: Option[DataFrame], nPlanes: Int, bandBits: Int,
+      nRows: Option[Long] = None): DataFrame = {
     import graft.expressions.HyperplaneBands
     val nBands = nPlanes / bandBits
-    val bucketed = corpus
+    def banded(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("v"), col("nrm"), posexplode(
         HyperplaneBands.bands(col("v"), nPlanes, bandBits)))
       .toDF("vec_id", "v", "nrm", "band", "key")
@@ -293,14 +298,14 @@ object Similarity {
     // keys, so the join adds none — one shuffle per side either
     // way), AQE never coalesces a user-specified width, and the
     // defaultParallelism floor keeps declared-SF plans unchanged.
-    val spark = corpus.sparkSession
+    val spark = left.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
-      nRows.getOrElse(corpus.count()) * nBands / BuildRowsPerPartition + 1)
+      nRows.getOrElse(left.count()) * nBands / BuildRowsPerPartition + 1)
       .toInt
-    val a = bucketed.select(col("band"), col("key"),
+    val a = banded(left).select(col("band"), col("key"),
       col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       .repartition(parts, col("band"), col("key"))
-    val b = bucketed.select(col("band"), col("key"),
+    val b = banded(right.getOrElse(left)).select(col("band"), col("key"),
       col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
       .repartition(parts, col("band"), col("key"))
     val denom = col("na") * col("nb")
@@ -319,15 +324,25 @@ object Similarity {
     // merge 24-29 s with 4 s of GC vs 9.9 s hashed — the sort of wide
     // payloads was the residual cost), while the hash build keys a
     // bucket's rows without ever ordering the payloads.
-    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
+    val joined = a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+    // the self-join scopes to ordered pairs; the bipartite join keeps
+    // every (left, right) candidate (the sides are disjoint id spaces)
+    val scoped =
+      if (right.isEmpty) joined.filter(col("a_id") < col("b_id"))
+      else joined
+    scoped
       .withColumn("sim", when(denom === 0.0, lit(0.0))
         .otherwise(VectorOps.dot(col("va"), col("vb")) / denom))
       .filter(col("sim") >= SimThreshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
       .distinct()
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** The q27 self-join at a fixed geometry over a prepared corpus. */
+  private[graft] def nearDupPairs(corpus: DataFrame,
+      nPlanes: Int, bandBits: Int, nRows: Option[Long] = None): DataFrame =
+    bandJoinPairs(corpus, None, nPlanes, bandBits, nRows)
+      .orderBy(col("a_id"), col("b_id"))
 
   /** The perturbed-copy CTE over `src(vec_id, v)` — the oracle
     * rendering of [[perturbLast]], single-sourced for q27 and q228. */

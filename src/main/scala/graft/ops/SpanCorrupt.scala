@@ -110,10 +110,19 @@ object SpanCorrupt {
       |s AS (
       |  SELECT doc_id, source, toks, len(toks) AS n, len(toks) // $B AS nblk
       |  FROM d),
-      |tok AS (
-      |  SELECT doc_id, t.i, toks[t.i] AS tk, nblk,
-      |    ${stOf(s"(t.i - 1) // $B")} AS st
+      |blk AS (
+      |  SELECT doc_id, b.b, ${stOf("b.b")} AS st
+      |  FROM s, unnest(generate_series(0, nblk - 1)) AS b(b)),
+      |tokraw AS (
+      |  SELECT doc_id, t.i AS i, toks[t.i] AS tk, nblk
       |  FROM s, unnest(generate_series(1, n)) AS t(i)),
+      |tok AS (
+      |  -- the span offset joins in from blk (one md5 per BLOCK, not
+      |  -- per token); tail tokens past the last full block get NULL
+      |  -- st, which the first CASE branch below short-circuits
+      |  SELECT tr.doc_id, tr.i, tr.tk, tr.nblk, b.st
+      |  FROM tokraw tr LEFT JOIN blk b
+      |    ON b.doc_id = tr.doc_id AND b.b = (tr.i - 1) // $B),
       |itok AS (
       |  SELECT doc_id, i,
       |    CASE WHEN (i - 1) // $B >= nblk OR (i - 1) < st OR (i - 1) >= st + $L
@@ -125,9 +134,6 @@ object SpanCorrupt {
       |inp AS (
       |  SELECT doc_id, string_agg(otok, ' ' ORDER BY i) AS input_text
       |  FROM itok WHERE otok IS NOT NULL GROUP BY doc_id),
-      |blk AS (
-      |  SELECT doc_id, b.b, ${stOf("b.b")} AS st
-      |  FROM s, unnest(generate_series(0, nblk - 1)) AS b(b)),
       |tgt AS (
       |  SELECT blk.doc_id,
       |    string_agg('<extra_id_' || b || '> ' ||

@@ -61,10 +61,29 @@ object GenBenchTiers {
       if (failed.nonEmpty)
         System.err.println(s"[gen] $path: skipping failed rows " +
           failed.toSeq.sorted.mkString(","))
+      // a BELOW_BAND row is one the protocol itself flagged as
+      // anomalously warm-fast (< 0.7× its certified band, shared-JVM
+      // warmth) — a measurement the record disclaims should never
+      // become the new certified floor: a spuriously low floor lands
+      // honest future runs above the regroup cutoff and burns solo
+      // re-runs every round. Skip them like failed rows (records
+      // predating the field contribute all rows, as before).
+      val belowBand: Set[String] = {
+        val i = line.indexOf("\"below_band\":[")
+        if (i == -1) Set.empty
+        else {
+          val region = line.substring(i, line.indexOf("]", i) + 1)
+          FailedName.findAllMatchIn(region).map(_.group(1)).toSet
+        }
+      }
+      if (belowBand.nonEmpty)
+        System.err.println(s"[gen] $path: skipping ${belowBand.size} " +
+          "below_band (flagged warm-fast) rows")
       RepArray.findAllMatchIn(repsRegion).foreach { m =>
         val name = m.group(1)
         val reps = m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble)
-        if (reps.nonEmpty && !failed.contains(name)) {
+        if (reps.nonEmpty && !failed.contains(name) &&
+            !belowBand.contains(name)) {
           val v = reps.min
           mins.updateWith(name)(prev => Some(prev.fold(v)(math.min(_, v))))
         }

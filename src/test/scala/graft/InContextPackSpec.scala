@@ -65,11 +65,18 @@ class InContextPackSpec extends SparkSpec {
   }
 
   test("plan: hinted partitioned joins hold (q224 convention)") {
+    // the packed stage is localCheckpoint-materialized (it feeds both
+    // adjacency sides and the rollup), so its hinted ntok join lives
+    // inside the checkpoint evaluation; the FINAL plan must show the
+    // adjacency join shuffle-hashed, the rollup merged, and no
+    // broadcast of the corpus-proportional checkpoint relations
     val p = InContextPack.inContextPack(spark, sfDir)
       .queryExecution.executedPlan.toString
-    val shj = "ShuffledHashJoin".r.findAllIn(p).size
-    assert(shj >= 2, s"hinted shuffle_hash joins lost ($shj found):\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the adjacency join lost its shuffle_hash shape:\n$p")
     assert(p.contains("SortMergeJoin"),
       s"the per-context rollup lost its merge shape:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"a corpus-proportional side got broadcast (q224 trap):\n$p")
   }
 }
