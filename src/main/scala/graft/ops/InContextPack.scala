@@ -49,7 +49,11 @@ object InContextPack {
   /** Tokens per packed training context (BPE-estimated). */
   val CtxBudget = 512
 
-  def inContextPack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ordered-and-packed per-doc stage BEFORE materialization —
+    * exposed so the spec can pin its join shapes ([[inContextPack]]
+    * checkpoints it, which hides these joins from the final plan). */
+  private[graft] def packedStage(spark: SparkSession,
+      sfDir: String): DataFrame = {
     // (vec_id, v, xx, cid) under the fitted 1024-d doc model, plus
     // the distance to the OWN centroid for the within-cluster order —
     // one featurize pass and one Lloyd fit, shared between the model
@@ -64,23 +68,25 @@ object InContextPack {
     val ntok = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         TextOps.tokenCountBpe(col("text")).as("n_tok"))
-    // semantic order within cluster → q86 cumsum-floor packing
+    // semantic order within cluster → q86 cumsum-floor packing.
+    // checkpoint-fed lineage (docVectors localCheckpoints the corpus)
+    // under-reports sizes, so the corpus-proportional ntok join is
+    // hinted per the q224 convention (shuffle_hash: the dists side
+    // carries 8 KB vector payloads SMJ would sort — the q27 lesson)
     val ord = Window.partitionBy(col("cid"))
       .orderBy(col("cdist"), col("doc_id"))
-    // checkpoint-fed lineage (docVectors localCheckpoints the corpus)
-    // under-reports sizes, so every corpus-proportional join side here
-    // is hinted per the q224 convention: shuffle_hash where a side
-    // carries 8 KB vector payloads (SMJ would sort them — the q27
-    // lesson), merge for the narrow per-context rollup
-    // materialized: packed feeds BOTH adjacency sides and the rollup
-    // — without the checkpoint the assignment join and the window
-    // sort re-execute three times
-    val packed = dists.join(ntok.hint("shuffle_hash"), Seq("doc_id"))
+    dists.join(ntok.hint("shuffle_hash"), Seq("doc_id"))
       .withColumn("rnk", row_number().over(ord))
       .withColumn("ctx_id",
         ((sum(col("n_tok")).over(ord) - col("n_tok")) / CtxBudget)
           .cast("long"))
-      .localCheckpoint()
+  }
+
+  def inContextPack(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialized: packed feeds BOTH adjacency sides and the rollup
+    // — without the checkpoint the assignment join and the window
+    // sort re-execute three times
+    val packed = packedStage(spark, sfDir).localCheckpoint()
     // adjacency census: cosine of each (rank, rank+1) pair that lands
     // in the SAME context — partitioned equi-join on (cid, rnk)
     val a = packed.select(col("cid"), col("ctx_id"), col("rnk"),

@@ -212,11 +212,12 @@ object KMeans {
   /** q79: learned-IVF ANN at 1024-d — probe the [[NProbe]] nearest
     * lists by true L2, exact cosine only inside them. */
   def knnIvf1024(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = docVectors(spark, sfDir)
-    val model = fitDocs(spark, sfDir)
-    val cents = model.select(col("cid"), col("cv"), col("cc"))
-    val assigned = assignDoc(vecs, cents)
-    val q = vecs.filter(col("vec_id") < 3)
+    // one staged corpus + one fit (the q229/q100 fix applied here
+    // too — the old shape re-featurized the corpus inside fitDocs);
+    // the queries project straight off the assignment, which carries
+    // (vec_id, v, xx)
+    val (cents, assigned) = docModelAndAssignments(spark, sfDir)
+    val q = assigned.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("xx").as("qxx"))
     val probed = q.crossJoin(broadcast(cents))
       .withColumn("cdist", d2c(col("qxx"), col("qv"), col("cv"), col("cc")))

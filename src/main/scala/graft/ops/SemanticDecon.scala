@@ -69,29 +69,12 @@ object SemanticDecon {
     * OUTPUT itself approaches n_train × n_eval. */
   private[graft] def chooseGeometry(train: DataFrame, eval: DataFrame,
       budgetPerTrainVector: Long = Similarity.MaxCandPairsPerVector)
-      : Similarity.LshGeometry = {
-    val n = train.count()
-    val budget = budgetPerTrainVector * n
-    var walked = List.empty[(Int, Int)]
-    Similarity.GeometryLadder.foreach { case (planes, bits) =>
-      val cand = censusCandPairsBipartite(train, eval, planes, bits)
-      if (cand <= budget)
-        return Similarity.LshGeometry(planes, bits, n, cand,
-          walked.reverse)
-      System.err.println(s"[q228] bipartite lsh census at " +
-        s"($planes, $bits): $cand candidate pairs > budget $budget " +
-        s"($budgetPerTrainVector/train vector × $n) — widening")
-      walked ::= ((planes, bits))
-    }
-    throw new IllegalStateException(
-      s"[q228 lsh-density guard] candidate volume exceeds " +
-        s"$budgetPerTrainVector pairs/train vector at EVERY ladder " +
-        s"geometry (${Similarity.GeometryLadder.mkString(", ")}; " +
-        s"n_train=$n): this density is irreducible near-duplicate " +
-        "mass between train and eval, not chance collision — the " +
-        "flag output itself is quadratic. Collapse duplicates " +
-        "(q22/q53) on the training side before decontaminating")
-  }
+      : Similarity.LshGeometry =
+    Similarity.walkGeometryLadder(train.count(), budgetPerTrainVector,
+      "q228", "train vector",
+      "Collapse duplicates (q22/q53) on the training side before " +
+        "decontaminating",
+      censusCandPairsBipartite(train, eval, _, _))
 
   def semanticDecon(spark: SparkSession, sfDir: String): DataFrame = {
     val off = Planted.familyOffset(spark, sfDir, 1,

@@ -208,35 +208,43 @@ object Similarity {
       .head().getLong(0)
   }
 
-  /** The self-guard (VERDICT r11 #2): walk the ladder until the
-    * measured candidate volume fits the declared budget; fail loudly
+  /** The one ladder walker behind every LSH density self-guard
+    * (q27 self-join, q228 bipartite — the policy, the widen logging,
+    * and the refuse contract live here so the two guards cannot
+    * drift): walk the recall-matched ladder until the measured
+    * candidate volume fits the declared budget; fail loudly
     * (Planted-guard style) if even the widest rung is over — that
     * density is irreducible near-dup mass, and the OUTPUT itself is
     * quadratic: widening can thin chance collisions, never true
-    * duplicates, so the corpus needs collapsing (q22/q53) before
-    * pairwise scoring is meaningful. */
-  private[graft] def chooseGeometry(corpus: DataFrame,
-      budgetPerVector: Long = MaxCandPairsPerVector): LshGeometry = {
-    val n = corpus.count()
+    * duplicates. */
+  private[graft] def walkGeometryLadder(n: Long, budgetPerVector: Long,
+      label: String, subject: String, remedy: String,
+      census: (Int, Int) => Long): LshGeometry = {
     val budget = budgetPerVector * n
     var walked = List.empty[(Int, Int)]
     GeometryLadder.foreach { case (planes, bits) =>
-      val cand = censusCandPairs(corpus, planes, bits)
+      val cand = census(planes, bits)
       if (cand <= budget)
         return LshGeometry(planes, bits, n, cand, walked.reverse)
-      System.err.println(s"[q27] lsh census at ($planes, $bits): " +
+      System.err.println(s"[$label] lsh census at ($planes, $bits): " +
         s"$cand candidate pairs > budget $budget " +
-        s"($budgetPerVector/vector × $n) — widening")
+        s"($budgetPerVector/$subject × $n) — widening")
       walked ::= ((planes, bits))
     }
     throw new IllegalStateException(
-      s"[q27 lsh-density guard] candidate volume exceeds " +
-        s"$budgetPerVector pairs/vector at EVERY ladder geometry " +
+      s"[$label lsh-density guard] candidate volume exceeds " +
+        s"$budgetPerVector pairs/$subject at EVERY ladder geometry " +
         s"(${GeometryLadder.mkString(", ")}; n=$n): this density is " +
         "irreducible near-duplicate mass, not chance collision — the " +
-        "pair OUTPUT itself is quadratic. Collapse exact/near " +
-        "duplicates (q22/q53) before pairwise scoring")
+        s"pair OUTPUT itself is quadratic. $remedy")
   }
+
+  /** The q27 self-guard (VERDICT r11 #2). */
+  private[graft] def chooseGeometry(corpus: DataFrame,
+      budgetPerVector: Long = MaxCandPairsPerVector): LshGeometry =
+    walkGeometryLadder(corpus.count(), budgetPerVector, "q27", "vector",
+      "Collapse exact/near duplicates (q22/q53) before pairwise scoring",
+      censusCandPairs(corpus, _, _))
 
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = nearDupCorpus(spark, sfDir)

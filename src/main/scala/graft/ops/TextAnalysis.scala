@@ -100,7 +100,7 @@ object TextAnalysis {
       |  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 2) AS avg_tokens,
       |  CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens
       |FROM (SELECT lang, len($tokSql) AS nt,
-      |        ${TextOps.tokenCountBpeSql(s"$tokSql")} AS bpe
+      |        ${TextOps.tokenCountBpeSql(tokSql)} AS bpe
       |      FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 

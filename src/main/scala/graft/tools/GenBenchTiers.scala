@@ -38,54 +38,53 @@ object GenBenchTiers {
     records.foreach { path =>
       val line = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      // only the query_reps map contains rep ARRAYS keyed by qNN —
-      // restrict the scan to it so the `queries` min map (same keys,
-      // scalar values) cannot double-feed
-      val repsRegion = line.indexOf("\"query_reps\":") match {
-        case -1 => sys.error(s"$path: no query_reps map — not a bench record")
-        case i =>
-          val end = line.indexOf("}", line.indexOf("{", i))
-          line.substring(i, end + 1)
-      }
-      // a FAILED query's rep array is not a measurement — a child
-      // crash records the residual-wall SHARE as the rep of every
-      // unreached query, and certifying from that would mis-tier a
-      // possibly multi-second query into the grouped tier. Skip
-      // every name in the record's `failed` list.
-      val failed: Set[String] = {
-        val i = line.indexOf("\"failed\":[")
-        if (i == -1) sys.error(s"$path: no failed list — not a bench record")
-        val region = line.substring(i, line.indexOf("]", i) + 1)
-        FailedName.findAllMatchIn(region).map(_.group(1)).toSet
-      }
-      if (failed.nonEmpty)
-        System.err.println(s"[gen] $path: skipping failed rows " +
-          failed.toSeq.sorted.mkString(","))
-      // a BELOW_BAND row is one the protocol itself flagged as
-      // anomalously warm-fast (< 0.7× its certified band, shared-JVM
-      // warmth) — a measurement the record disclaims should never
-      // become the new certified floor: a spuriously low floor lands
-      // honest future runs above the regroup cutoff and burns solo
-      // re-runs every round. Skip them like failed rows (records
-      // predating the field contribute all rows, as before).
-      val belowBand: Set[String] = {
-        val i = line.indexOf("\"below_band\":[")
-        if (i == -1) Set.empty
-        else {
-          val region = line.substring(i, line.indexOf("]", i) + 1)
-          FailedName.findAllMatchIn(region).map(_.group(1)).toSet
+      if (!line.contains("\"failed\":["))
+        sys.error(s"$path: no failed list — not a bench record")
+      // a record may hold SEVERAL runs ({"runs":[...]}, e.g.
+      // BENCH_LOCAL_r10_addendum2): every run contributes its minima,
+      // and each run's failed/below_band exclusions are scoped to
+      // THAT run's object (from its query_reps to the next run's) —
+      // a whole-file grep would both drop later runs' rows and apply
+      // one run's flags to another's measurements.
+      val starts = "\"query_reps\":".r.findAllMatchIn(line)
+        .map(_.start).toList
+      if (starts.isEmpty)
+        sys.error(s"$path: no query_reps map — not a bench record")
+      starts.zipWithIndex.foreach { case (i, idx) =>
+        val bound =
+          if (idx + 1 < starts.length) starts(idx + 1) else line.length
+        val runRegion = line.substring(i, bound)
+        // only the query_reps map contains rep ARRAYS keyed by qNN —
+        // restrict the min scan to it so the `queries` min map (same
+        // keys, scalar values) cannot double-feed
+        val repsRegion = runRegion.substring(0,
+          runRegion.indexOf("}", runRegion.indexOf("{")) + 1)
+        def flagged(tag: String): Set[String] = {
+          val j = runRegion.indexOf(s""""$tag":[""")
+          if (j == -1) Set.empty
+          else FailedName.findAllMatchIn(
+            runRegion.substring(j, runRegion.indexOf("]", j) + 1))
+            .map(_.group(1)).toSet
         }
-      }
-      if (belowBand.nonEmpty)
-        System.err.println(s"[gen] $path: skipping ${belowBand.size} " +
-          "below_band (flagged warm-fast) rows")
-      RepArray.findAllMatchIn(repsRegion).foreach { m =>
-        val name = m.group(1)
-        val reps = m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble)
-        if (reps.nonEmpty && !failed.contains(name) &&
-            !belowBand.contains(name)) {
-          val v = reps.min
-          mins.updateWith(name)(prev => Some(prev.fold(v)(math.min(_, v))))
+        // FAILED rep arrays are residual-wall shares, not
+        // measurements; BELOW_BAND rows are ones the protocol itself
+        // flagged as anomalously warm-fast (< 0.7× certified) — a
+        // measurement the record disclaims must never become the
+        // certified floor (a spuriously low floor lands honest future
+        // runs above the regroup cutoff and burns solo re-runs).
+        val skip = flagged("failed") ++ flagged("below_band")
+        if (skip.nonEmpty)
+          System.err.println(s"[gen] $path run ${idx + 1}: skipping " +
+            s"${skip.size} failed/below_band rows")
+        RepArray.findAllMatchIn(repsRegion).foreach { m =>
+          val name = m.group(1)
+          val reps = m.group(2).split(",").filter(_.nonEmpty)
+            .map(_.toDouble)
+          if (reps.nonEmpty && !skip.contains(name)) {
+            val v = reps.min
+            mins.updateWith(name)(prev =>
+              Some(prev.fold(v)(math.min(_, v))))
+          }
         }
       }
     }

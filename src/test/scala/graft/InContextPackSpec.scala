@@ -64,6 +64,23 @@ class InContextPackSpec extends SparkSpec {
       f"semantic $semantic%.4f did not beat doc_id-order $baseline%.4f")
   }
 
+  test("plan: the packed stage's ntok join stays shuffle-hashed") {
+    // the stage is checkpointed inside inContextPack, which hides
+    // this join from the final plan — pin it on the stage itself:
+    // exactly ONE BroadcastHashJoin (the bounded K-centroid distance
+    // join; the assignment's crossJoin broadcasts as a nested-loop,
+    // not a hash join), and the corpus-proportional ntok join
+    // shuffle-hashed (dropping its hint would surface as a second
+    // broadcast hash join or as a sort-merge — either fails here)
+    val p = InContextPack.packedStage(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj == 1, s"expected exactly the 1 bounded model " +
+      s"broadcast-hash join, found $bhj:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the ntok join lost its shuffle_hash shape (q224 trap):\n$p")
+  }
+
   test("plan: hinted partitioned joins hold (q224 convention)") {
     // the packed stage is localCheckpoint-materialized (it feeds both
     // adjacency sides and the rollup), so its hinted ntok join lives
