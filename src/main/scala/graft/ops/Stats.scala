@@ -180,9 +180,16 @@ object Stats {
   val QuantileQs: Seq[Double] = Seq(0.5, 0.9)
   val QuantileBins = 1024
 
-  def quantileDisc(spark: SparkSession, sfDir: String): DataFrame = {
-    val rows = Tables.lineitem(spark, sfDir)
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+  def quantileDisc(spark: SparkSession, sfDir: String): DataFrame =
+    quantileDiscOf(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
+      QuantileQs)
+
+  /** The two-pass selection core over any `(g, v)` relation — also
+    * the threshold engine for q231's curriculum phase boundaries.
+    * Returns `(g, q, n, value)` with percentile_disc rank semantics. */
+  def quantileDiscOf(rows: DataFrame, qs: Seq[Double]): DataFrame = {
     val gstats = rows.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
     // equi-width bin id; the bin math is internal (only the final
@@ -203,7 +210,7 @@ object Stats {
     // targets: rank ⌈q·n⌉ per (group, quantile)
     val targets = gstats
       .select(col("g"), col("n"),
-        explode(array(QuantileQs.map(lit): _*)).as("q"))
+        explode(array(qs.map(lit): _*)).as("q"))
       .withColumn("r", ceil(col("q") * col("n").cast("double")).cast("long"))
     // the bin holding rank r: minimal bin with cum ≥ r
     val tbin = targets.join(hist, Seq("g"))
