@@ -150,21 +150,44 @@ object KMeans {
   val DocIters = 2
   val NProbe = 2
 
-  private def docVectors(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def docVectors(spark: SparkSession, sfDir: String): DataFrame =
     Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
       .withColumn("xx", VectorOps.dot(col("v"), col("v")))
 
   private def d2c(xx: Column, x: Column, c: Column, cc: Column): Column =
     round(xx - lit(2.0) * VectorOps.dot(x, c) + cc, 9)
 
-  private def assignDoc(vecs: DataFrame, cents: DataFrame): DataFrame =
+  /** Relational assignment — kept as the parity REFERENCE shape (one
+    * row per (vector, centroid) through a broadcast join + min_by).
+    * NearestCentroidSpec pins [[assignDoc]] ≡ this on real corpora;
+    * the production path below avoids the n·K payload blowup. */
+  private[graft] def assignDocRelational(vecs: DataFrame,
+      cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("dist", d2c(col("xx"), col("v"), col("cv"), col("cc")))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
         first(col("v")).as("v"), first(col("xx")).as("xx"))
 
-  private def updateDoc(assigned: DataFrame): DataFrame =
+  /** Assignment via the native [[graft.expressions.NearestCentroid]]
+    * argmin: the K centroids collapse to ONE broadcast row carrying
+    * the centroid array, each vector row scans it in a generated-code
+    * loop, and exactly one row per vector leaves the stage — no n·K
+    * joined-row traffic, which is what makes K ∝ corpus (the
+    * production SemDeDup/ivfflat operating point) affordable.
+    * Bit-identical to [[assignDocRelational]] by the expression's
+    * parity contract. */
+  private[graft] def assignDoc(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cc"))).as("cents"))
+    vecs.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"),
+        graft.expressions.NearestCentroid.nearestCentroid(
+          col("v"), col("xx"), col("cents")).as("cid"),
+        col("v"), col("xx"))
+  }
+
+  private[graft] def updateDoc(assigned: DataFrame): DataFrame =
     assigned.select(col("cid"), posexplode(col("v"))).toDF("cid", "i", "x")
       .groupBy(col("cid"), col("i"))
       .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
@@ -177,12 +200,39 @@ object KMeans {
       .withColumn("cc", VectorOps.dot(col("cv"), col("cv")))
 
   /** The Lloyd loop over an already-staged vector corpus. */
-  private def fitVecs(vecs: DataFrame): DataFrame = {
-    var cents = vecs.filter(col("vec_id") < DocK)
+  private def fitVecs(vecs: DataFrame): DataFrame = fitVecsK(vecs, DocK)
+
+  /** K-parameterized Lloyd loop — the declared queries pin K =
+    * [[DocK]] (oracle parity), while scale probes drive K ∝ corpus,
+    * the production knob that keeps Σ|cluster|² linear (see
+    * [[SemDedup]]/[[graft.tools.ProbeSemDedupK]]). */
+  private[graft] def fitVecsK(vecs: DataFrame, k: Int,
+      spreadSeeds: Boolean = false): DataFrame = {
+    // Declared queries seed first-k (oracle-replayable); the probe
+    // path spreads seeds evenly across the id range — first-k seeds
+    // on a staged multi-copy corpus all land in copy 0 and Lloyd
+    // cannot escape (measured: one catch-all cluster holding most of
+    // the corpus, which re-quadratizes the pair stage).
+    var cents = (if (spreadSeeds) {
+      val n = vecs.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val stride = math.max(1L, n / k)
+      vecs.filter(col("vec_id") % stride === 0 && col("vec_id") / stride < k)
+        .select((col("vec_id") / stride).cast("int").as("cid"),
+          col("v").as("cv"), col("xx").as("cc"))
+    } else vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"),
-        col("v").as("cv"), col("xx").as("cc"))
-    for (_ <- 1 to DocIters)
-      cents = updateDoc(assignDoc(vecs, cents)).localCheckpoint()
+        col("v").as("cv"), col("xx").as("cc")))
+    for (_ <- 1 to DocIters) {
+      // barrier between assign and re-center: updateDoc's posexplode
+      // sits in the same codegen pipeline as the assignment project,
+      // and GenerateExec re-evaluates deferred child expressions PER
+      // exploded element — 1024× the K·d argmin per vector (measured
+      // 2.4× the whole stage at sf0.01). The narrow (cid, v)
+      // checkpoint pins the cid once per vector.
+      val assigned = assignDoc(vecs, cents)
+        .select(col("cid"), col("v")).localCheckpoint()
+      cents = updateDoc(assigned).localCheckpoint()
+    }
     cents
   }
 
@@ -197,9 +247,16 @@ object KMeans {
     * [[docAssignments]]-then-[[fitDocs]] separately; this stages the
     * corpus once and reuses the checkpointed model for both. */
   private[graft] def docModelAndAssignments(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) = {
+      sfDir: String): (DataFrame, DataFrame) =
+    docModelAndAssignmentsK(spark, sfDir, DocK)
+
+  /** K-parameterized variant — probe-only (declared queries stay at
+    * [[DocK]] for oracle parity). */
+  private[graft] def docModelAndAssignmentsK(spark: SparkSession,
+      sfDir: String, k: Int, spreadSeeds: Boolean = false): (DataFrame, DataFrame) = {
     val vecs = docVectors(spark, sfDir)
-    val model = fitVecs(vecs).select(col("cid"), col("cv"), col("cc"))
+    val model = fitVecsK(vecs, k, spreadSeeds)
+      .select(col("cid"), col("cv"), col("cc"))
     (model, assignDoc(vecs, model))
   }
 

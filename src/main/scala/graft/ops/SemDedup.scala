@@ -35,11 +35,18 @@ object SemDedup {
 
   /** q100: per-cluster dedup summary — total vectors, removed
     * near-dups, survivors. */
-  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semDedupOver(KMeans.docAssignments(spark, sfDir))
+
+  /** The pair-compare + rollup over any fitted assignment — shared
+    * with [[graft.tools.ProbeSemDedupK]], which drives it with
+    * K ∝ corpus to demonstrate the linear-restoring knob the
+    * scaladoc above names. */
+  private[graft] def semDedupOver(assignments: DataFrame): DataFrame = {
     // the fitted assignment feeds both pair sides and the final
     // rollup — materialize it once (localCheckpoint keeps the
     // returned plan lazy)
-    val assigned = KMeans.docAssignments(spark, sfDir)
+    val assigned = assignments
       .select(col("vec_id"), col("v"), col("xx"), col("cid"))
       .localCheckpoint()
     val a = assigned.select(col("cid"), col("vec_id").as("i"),

@@ -671,25 +671,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
-  test("q100 cluster pair join: the broadcast is an AQE RUNTIME promotion") {
-    // VERDICT r11 #5, the other legitimate-broadcast class: the pair
-    // join's build side is re-measured from actual shuffle bytes
-    // every run, so the promotion scales itself out when the corpus
-    // grows. Contract: the static plan does NOT broadcast (no frozen
-    // decision), and the executed adaptive plan DOES — the promotion
-    // must be visible in the final plan, nowhere earlier.
-    val df = ops.SemDedup.semDedup(spark, sfDir)
-    val initial = plan(df)
-    assert(initial.contains("isFinalPlan=false"),
-      s"q100 must plan adaptively:\n$initial")
-    assert(!initial.contains("BroadcastHashJoin"),
-      s"pair join statically broadcast — the q224 disease, not an " +
-        s"AQE promotion:\n$initial")
-    df.collect() // finalize THIS plan (count() spawns its own execution)
-    val fin = plan(df)
-    assert(fin.contains("isFinalPlan=true"))
-    assert(fin.contains("BroadcastHashJoin"),
-      s"AQE promotion not visible in the executed final plan:\n$fin")
+  test("q100 cluster pair join: a LIVE stats broadcast — flips under a floored threshold") {
+    // VERDICT r11 #5. History: with the relational assignment the
+    // checkpoint's origin stats were aggregate-opaque, the static
+    // plan stayed broadcast-free, and AQE promoted at runtime from
+    // measured bytes. The native nearest_centroid assignment gives
+    // the checkpoint a scan-derived origin estimate that GROWS with
+    // the corpus, so the decision moved from runtime to static — the
+    // q147 class, still live, never frozen. Contract: (a) broadcast
+    // at testdata scale, (b) flooring the threshold flips it to a
+    // partitioned join (proof no hint froze the choice), (c) the
+    // floored shape is what a 100 TB corpus would plan.
+    def df = ops.SemDedup.semDedup(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"pair join not statically broadcast at testdata scale:\n$p")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan(df)
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"pair join still broadcasts under a floored threshold — a " +
+          s"hint froze the decision:\n$p2")
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"),
+        s"no partitioned join after the flip:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
   test("q27 band join: explicit sized exchange, hash join, no broadcast") {
