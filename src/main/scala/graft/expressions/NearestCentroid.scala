@@ -79,10 +79,14 @@ case class NearestCentroid(first: Expression, second: Expression,
 
 object NearestCentroid {
 
-  /** Identical to Spark's `round(x, 9)` on doubles. */
+  /** Identical to Spark's `round(x, 9)` on doubles — including the
+    * non-finite passthrough (`BigDecimal.valueOf` would throw on
+    * NaN/Infinity where Spark's round returns them unchanged). */
   @inline private def round9(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (java.lang.Double.isFinite(x))
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    else x
 
   /** Argmin centroid id. Called from generated code — keep it a
     * plain public static-forwarding method. */
@@ -94,21 +98,38 @@ object NearestCentroid {
     var bestCid = Int.MaxValue
     var best = false
     var i = 0
+    // a null VECTOR element is always corrupt input — fail loudly
+    // (the relational shape would NULL every distance and emit a
+    // null cid; silence is the wrong answer for a broken corpus)
+    while (i < dims) {
+      require(!v.isNullAt(i), s"nearest_centroid: null vector element at $i")
+      i += 1
+    }
+    i = 0
     while (i < k) {
       val c = cents.getStruct(i, 3)
       val cid = c.getInt(0)
       val cv = c.getArray(1)
       require(cv.numElements() == dims,
         s"nearest_centroid: centroid $cid has ${cv.numElements()} dims, vector has $dims")
+      // a null CENTROID element NULLs the relational distance and
+      // min_by drops the pair — skip the centroid for parity
+      var nullElem = false
       var dot = 0.0
       var j = 0
-      while (j < dims) { dot += v.getDouble(j) * cv.getDouble(j); j += 1 }
-      val dist = round9(xx - 2.0 * dot + c.getDouble(2))
-      if (!best || dist < bestDist || (dist == bestDist && cid < bestCid)) {
-        best = true; bestDist = dist; bestCid = cid
+      while (j < dims && !nullElem) {
+        if (cv.isNullAt(j)) nullElem = true
+        else { dot += v.getDouble(j) * cv.getDouble(j); j += 1 }
+      }
+      if (!nullElem) {
+        val dist = round9(xx - 2.0 * dot + c.getDouble(2))
+        if (!best || dist < bestDist || (dist == bestDist && cid < bestCid)) {
+          best = true; bestDist = dist; bestCid = cid
+        }
       }
       i += 1
     }
+    require(best, "nearest_centroid: every centroid had null elements")
     bestCid
   }
 

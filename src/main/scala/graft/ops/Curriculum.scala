@@ -51,8 +51,12 @@ object Curriculum {
     * every document. */
   private[graft] def difficulty(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // the token relation feeds the df aggregate AND the join stream
+    // side under different exchanges — pin the tokenize scan once
+    // (the q83/tfidf convention)
     val toks = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .localCheckpoint()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfT = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // vocab grows with the corpus (q69 rule): the static planner's

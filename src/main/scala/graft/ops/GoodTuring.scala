@@ -42,9 +42,7 @@ object GoodTuring {
     // frequency-of-frequencies; checkpoint-free — both consumers are
     // cheap aggregates over the already-shuffled vocab relation
     val fof = vocab.groupBy(col("f")).agg(count(lit(1)).as("n_r"))
-    val totals = vocab.agg(
-      sum(col("f")).as("n_tokens"),
-      count(lit(1)).as("n_types"))
+    val totals = vocab.agg(sum(col("f")).as("n_tokens"))
     // aggregate (not filter) so the relation is 1-row even in a
     // hapax-free corpus — the cross join must never zero the spine
     val n1 = fof.agg(coalesce(

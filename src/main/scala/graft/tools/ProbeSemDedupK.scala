@@ -30,7 +30,7 @@ object ProbeSemDedupK {
         .docModelAndAssignmentsK(spark, sfDir, k, spreadSeeds = k > KMeans.DocK)._2
         .localCheckpoint() // stage barrier: fit + assignment timed alone
       val t1 = System.nanoTime()
-      val out = SemDedup.semDedupOver(assigned)
+      val out = SemDedup.semDedupOver(assigned, alreadyPinned = true)
       val agg = out.selectExpr("count(*) AS clusters",
         "sum(n_total) AS total", "sum(n_removed) AS removed",
         "max(n_total) AS max_cluster").head

@@ -51,6 +51,12 @@ class NearestCentroidSpec extends SparkSpec {
           col("v"), col("xx"), col("cents")).as("cid"))
         .collect()
     }
-    assert(ex.getMessage != null)
+    // pin the CONTRACT, not just "some exception": the loud message
+    // must come from the expression's own dims guard
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m != null && m.contains("nearest_centroid") && m.contains("dims")),
+      s"expected the nearest_centroid dims guard, got: ${messages(ex)}")
   }
 }

@@ -682,7 +682,12 @@ class PlanSpec extends SparkSpec {
     // at testdata scale, (b) flooring the threshold flips it to a
     // partitioned join (proof no hint froze the choice), (c) the
     // floored shape is what a 100 TB corpus would plan.
-    def df = ops.SemDedup.semDedup(spark, sfDir)
+    // fit once; only the PAIR-JOIN planning is under test, so replan
+    // semDedupOver on the same pinned assignment under each threshold
+    // (constructing semDedup twice would re-run the whole Lloyd fit)
+    val assigned = ops.KMeans.docAssignments(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("xx"), col("cid")).localCheckpoint()
+    def df = ops.SemDedup.semDedupOver(assigned, alreadyPinned = true)
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin"),
       s"pair join not statically broadcast at testdata scale:\n$p")
