@@ -123,7 +123,12 @@ object NearestCentroid {
       }
       if (!nullElem) {
         val dist = round9(xx - 2.0 * dot + c.getDouble(2))
-        if (!best || dist < bestDist || (dist == bestDist && cid < bestCid)) {
+        // Double.compare = Spark/min_by total ordering (NaN greater
+        // than every double, NaN == NaN) — plain < / == would let a
+        // NaN dist win permanently and make the result depend on
+        // centroid order, breaking the claimed min_by bit-parity
+        val cmp = if (best) java.lang.Double.compare(dist, bestDist) else -1
+        if (cmp < 0 || (cmp == 0 && cid < bestCid)) {
           best = true; bestDist = dist; bestCid = cid
         }
       }

@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   * and thresholds are actual data values (percentile_disc, never
   * interpolated) — so the phase boundary can never drift between
   * engines by a final-bit.
+  *
+  * Contract: token-less documents are EXCLUDED from phasing — the
+  * difficulty stage inner-joins documents to their exploded tokens,
+  * so a doc whose text tokenizes to nothing has no difficulty row
+  * and lands in no phase (DuckDB's oracle agrees: its token unnest
+  * produces no row to aggregate). Callers wanting every doc phased
+  * must pre-filter or default such docs themselves.
   */
 object Curriculum {
 

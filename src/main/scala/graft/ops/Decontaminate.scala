@@ -158,15 +158,15 @@ object Decontaminate {
       |  FROM probed p LEFT JOIN eval_grams e ON e.gram = p.gram),
       |gs AS (
       |  SELECT source, COUNT(*) AS n_grams,
-      |    SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS n_flagged_grams,
-      |    SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS n_true_grams,
-      |    SUM(CASE WHEN flagged AND NOT is_true THEN 1 ELSE 0 END) AS n_fp_grams,
-      |    SUM(CASE WHEN is_true AND NOT flagged THEN 1 ELSE 0 END) AS n_fn_grams
+      |    CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_grams,
+      |    CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_grams,
+      |    CAST(SUM(CASE WHEN flagged AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_grams,
+      |    CAST(SUM(CASE WHEN is_true AND NOT flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_fn_grams
       |  FROM truth GROUP BY source),
       |ds AS (
       |  SELECT source, COUNT(*) AS n_docs,
-      |    SUM(CASE WHEN doc_flagged THEN 1 ELSE 0 END) AS n_flagged_docs,
-      |    SUM(CASE WHEN doc_true THEN 1 ELSE 0 END) AS n_true_docs
+      |    CAST(SUM(CASE WHEN doc_flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_docs,
+      |    CAST(SUM(CASE WHEN doc_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_docs
       |  FROM (
       |    SELECT doc_id, source, MAX(flagged) AS doc_flagged,
       |      MAX(is_true) AS doc_true

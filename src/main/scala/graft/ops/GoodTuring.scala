@@ -39,10 +39,15 @@ object GoodTuring {
     val vocab = Tables.documents(spark, sfDir)
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-    // frequency-of-frequencies; checkpoint-free — both consumers are
-    // cheap aggregates over the already-shuffled vocab relation
+    // fof fans out 4 ways (small ×2, n1, totals) — checkpointed so
+    // the corpus tokenize-explode + vocab shuffle runs exactly once
+    // (r12 ADVICE: the q231 duplicated-scan class). fof is the cheap
+    // thing to pin: ≤ distinct-frequency rows, not vocab-sized;
+    // totals is derived from it (n_tokens = Σ f·n_r) instead of
+    // re-reading vocab.
     val fof = vocab.groupBy(col("f")).agg(count(lit(1)).as("n_r"))
-    val totals = vocab.agg(sum(col("f")).as("n_tokens"))
+      .localCheckpoint()
+    val totals = fof.agg(sum(col("f") * col("n_r")).as("n_tokens"))
     // aggregate (not filter) so the relation is 1-row even in a
     // hapax-free corpus — the cross join must never zero the spine
     val n1 = fof.agg(coalesce(

@@ -128,8 +128,9 @@ object InContextPack {
       |  SELECT d.doc_id, d.cid, d.cdist, d.v, d.xx, n.n_tok,
       |    ROW_NUMBER() OVER (PARTITION BY d.cid
       |      ORDER BY d.cdist, d.doc_id) AS rnk,
-      |    (SUM(n.n_tok) OVER (PARTITION BY d.cid
-      |       ORDER BY d.cdist, d.doc_id) - n.n_tok) // $CtxBudget AS ctx_id
+      |    CAST((SUM(n.n_tok) OVER (PARTITION BY d.cid
+      |       ORDER BY d.cdist, d.doc_id) - n.n_tok) // $CtxBudget
+      |      AS BIGINT) AS ctx_id
       |  FROM dists d JOIN ntok n USING (doc_id)),
       |adj AS (
       |  SELECT a.cid, a.ctx_id,

@@ -152,9 +152,14 @@ object Partitioning {
     val path = writePartitioned(spark, sfDir)
     val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
     val prevPush = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    val prevInf = spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
     try {
       spark.conf.set("spark.sql.sources.useV1SourceList", "")
       spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // day was WRITTEN as a yyyy-MM-dd string; without this the read
+      // back-infers the partition directory as DATE and the result
+      // dtype drifts from the oracle's VARCHAR (r13 strict-gate audit)
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       val agg = spark.read.parquet(path)
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_events"),
@@ -170,6 +175,7 @@ object Partitioning {
     } finally {
       spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
       spark.conf.set("spark.sql.parquet.aggregatePushdown", prevPush)
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", prevInf)
     }
   }
 

@@ -20,7 +20,10 @@ class CurriculumSpec extends SparkSpec {
     val nDocs = docs.length.toDouble
     val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
       .groupBy(_._1).map { case (t, g) => t -> g.length }
-    docs.map { case (id, ts) =>
+    // token-less docs are excluded from phasing (the op's inner join
+    // on exploded tokens drops them) — mirror that here, both for the
+    // contract and because /0 would throw in the replay (r12 ADVICE)
+    docs.filter(_._2.nonEmpty).map { case (id, ts) =>
       val idfs = ts.map(t => BigDecimal(rnd(math.log(nDocs / df(t)), 9)))
       id -> (ts.length.toLong, rnd((idfs.sum / ts.length).toDouble, 6))
     }.toMap

@@ -6,6 +6,12 @@ Usage: python3 tools/compare.py <outDir> <sfDir>
 Reads <outDir>/<name>/ parquet (Spark results) and <outDir>/oracle_sql.json,
 runs each SQL in DuckDB with views over <sfDir>/*.parquet, and compares:
 columns sorted by name, rows sorted by all columns, values hashed.
+
+NOT THE GATE (r12 lesson): this tool is dtype-TOLERANT and exists only
+to diagnose whether a compare_strict.py failure is a value bug or a
+dtype (HUGEINT-class) bug.  A PASS here does NOT predict the driver's
+hash gate — q226/q229 passed here and failed the r12 driver gate.
+Use tools/compare_strict.py for every pass claim.
 """
 import sys, json, glob, os
 import duckdb

@@ -9,8 +9,17 @@ driver hashes canonicalized values, so a DuckDB HUGEINT (-> float64 /
 object in pandas) against a Spark BIGINT (int64) is a hash mismatch
 even when every value is equal.  compare.py tolerates that; this tool
 reproduces the driver's stricter behavior.
+
+Calibrated against the driver's own labels (CORRECTNESS_r12: 231
+queries, 229 PASS / 2 FAIL): the driver's canonicalization provably
+EQUALIZES int width (int32 == int64: q104/q112/q131/q189/q214/q219
+passed), datetime unit (ns == us: q159/q197), DATE vs midnight
+timestamp (q4/q6/q14/q15/q206), and None vs NaN nulls (q213) — while
+int64 vs float64/object (the HUGEINT class) FAILS (q226/q229).  canon()
+below applies exactly those equalizations and nothing more, so a local
+PASS here predicts the driver's gate on every labeled example.
 """
-import sys, json, glob, os
+import sys, json, glob, os, datetime
 import duckdb
 import pandas as pd
 
@@ -20,9 +29,20 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            try: df[c] = df[c].dt.tz_localize(None)
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            try: s = s.dt.tz_localize(None)
             except Exception: pass
+            df[c] = s.astype("datetime64[us]")       # ns == us (driver)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")                # int32 == int64 (driver)
+        elif s.dtype == object:
+            nn = s.dropna()
+            if len(nn) and all(isinstance(v, datetime.date)
+                               and not isinstance(v, datetime.datetime)
+                               for v in nn):
+                df[c] = pd.to_datetime(s)            # DATE == midnight ts
+                df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -61,7 +81,11 @@ def main():
                 if pd.api.types.is_float_dtype(a):
                     ok = ((a == b) | (a.isna() & b.isna())).all()
                 else:
-                    ok = (a.astype(str) == b.astype(str)).all()
+                    # None == NaN (driver: q213) — mask all NA flavors
+                    # to one sentinel before the string compare
+                    a2 = a.where(a.notna(), pd.NA)
+                    b2 = b.where(b.notna(), pd.NA)
+                    ok = (a2.astype(str) == b2.astype(str)).all()
             except Exception:
                 ok = False
             if not ok: bad.append(c)
