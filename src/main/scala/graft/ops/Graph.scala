@@ -291,8 +291,19 @@ object Graph {
 
   val HitsIters = 2
 
-  def hits(spark: SparkSession, sfDir: String): DataFrame = {
-    val es = edges(spark, sfDir).cache()
+  def hits(spark: SparkSession, sfDir: String): DataFrame =
+    hitsOver(edges(spark, sfDir))
+
+  /** The HITS loop over an arbitrary (src, dst) edge list — the seam
+    * the scale probe drives with synthetic E ∝ multiplier graphs
+    * ([[graft.tools.ProbeGraphScale]]): the declared q110 graph is
+    * derived from byte-copied-in-staging `lineitem` through a fixed
+    * pmod node space, so staged-corpus ladders measure a CONSTANT
+    * graph (by design), and the family's scale question — is each
+    * iteration's edge-shuffle linear in E? — needs the edge list
+    * itself to grow. */
+  private[graft] def hitsOver(edgeList: DataFrame): DataFrame = {
+    val es = edgeList.cache()
     try {
       val nodes = es.select(col("src").as("node"))
         .unionByName(es.select(col("dst").as("node"))).distinct()

@@ -23,13 +23,19 @@ import org.apache.spark.sql.functions._
   * never straddle clusters — semantically desirable AND the scale
   * property: the packing window partitions by cluster id, so there is
   * no global total-order bottleneck. Packing parallelism therefore
-  * equals K: the gate inherits q79's DocK = 10, and a production run
-  * scales K with the corpus exactly as ivfflat scales `lists`
-  * (reference `models.py:38`) — the per-cluster window sort is the
-  * ONLY super-linear term here (measured: x10→x30 leg exponent ≈ 1.2
-  * at fixed K = 10), and K ∝ corpus restores it to the linear
-  * shuffle spine (k-means itself is the same broadcast-join +
-  * cluster-id-shuffle loop at any size, per the q41/q79 notes).
+  * equals K, and since r13 the DECLARED path derives K from the
+  * corpus ([[KMeans.adaptiveDocK]]: K = max(DocK, n/DocsPerCluster),
+  * the ivfflat-`lists` rule, reference `models.py:38`) — the gates
+  * still evaluate to DocK = 10 (oracle hashes unchanged) while
+  * staged/production corpora get K ∝ n, which removed the r12
+  * fixed-K window-sort blowup (x10→x30 leg exponent ≈ 1.2 at fixed
+  * K). The fit that serves those K is [[KMeans.fitVecsTree]]'s
+  * two-level centroid tree: the flat Lloyd's n·K·d argmin is itself
+  * quadratic under K ∝ n (the r13 probe breakdown pinned 161 s of
+  * q229's 163 s x30 wall inside fit_assign), and the tree cuts the
+  * argmin to n·(B1 + 3·B2)·d ≈ 2n√K·d, restoring a linear ladder
+  * (fit+assign 5.2 / 38.4 / 112.1 s at x1/x10/x30 — the x10→x30
+  * leg is 2.92× on 3× data).
   *
   * Self-evidencing census: each context reports its mean ADJACENT-pair
   * cosine (the quantity in-context pretraining raises — neighbors in

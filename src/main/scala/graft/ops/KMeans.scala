@@ -205,16 +205,24 @@ object KMeans {
   }
 
   private[graft] def updateDoc(assigned: DataFrame): DataFrame =
-    assigned.select(col("cid"), posexplode(col("v"))).toDF("cid", "i", "x")
-      .groupBy(col("cid"), col("i"))
+    updateDocBy(assigned, Seq("cid"))
+
+  /** Re-centering keyed by an arbitrary cluster key (the tree path
+    * re-centers by (c1, c2)). Explode volume is n·d rows per call —
+    * linear in the corpus, K-independent. */
+  private def updateDocBy(assigned: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    assigned.select(kc :+ posexplode(col("v")).as(Seq("i", "x")): _*)
+      .groupBy(kc :+ col("i"): _*)
       .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
         / count(lit(1)), 9).as("m"),
         count(lit(1)).as("nn"))
-      .groupBy(col("cid"))
+      .groupBy(kc: _*)
       .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
         s => s.getField("m")).as("cv"),
         max(col("nn")).as("n"))
       .withColumn("cc", VectorOps.dot(col("cv"), col("cv")))
+  }
 
   /** The Lloyd loop over an already-staged vector corpus. */
   private def fitVecs(vecs: DataFrame): DataFrame = fitVecsK(vecs, DocK)
@@ -279,13 +287,101 @@ object KMeans {
     * corpus once and reuses the checkpointed model for both. */
   private[graft] def docModelAndAssignments(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
-    // K ∝ corpus (see [[adaptiveDocK]]); above the gate constant the
-    // fit switches to spread seeds — first-k seeds on a large corpus
-    // cluster-collapse (the staged-probe measurement in fitVecsK's
-    // comment), and the oracle CTE mirrors the same conditional.
+    // K ∝ corpus (see [[adaptiveDocK]]). At the gate constant the fit
+    // is the exact first-k-seeded Lloyd the oracle replays; above it
+    // (probe/production corpora only) the flat Lloyd's n·K·d argmin
+    // goes quadratic under K ∝ n, so the fit switches to the
+    // two-level centroid tree ([[fitVecsTree]] — the r13 probe
+    // breakdown: x30 fit_assign 161 s of q229's 163 s, ~79 s of it
+    // the K-term; the tree cuts that term ~K/(B1+3·B2) ≈ 12× at
+    // K=300).
     val vecs = docVectors(spark, sfDir)
     val k = adaptiveDocK(vecs)
-    docModelOver(vecs, k, spreadSeeds = k > DocK)
+    if (k == DocK) docModelOver(vecs, k, spreadSeeds = false)
+    else fitVecsTree(vecs, k)
+  }
+
+  /** Two-level k-means tree — the scalable K ∝ corpus fit (faiss
+    * trains IVF coarse quantizers the same way: sample-fit the
+    * levels, route every vector through the tree). Level 1:
+    * B1 = ⌈√K⌉ coarse cells, Lloyd-fit on a bounded deterministic
+    * stride sample (training cost independent of n), then ONE full
+    * n·B1·d routing pass. Level 2: B2 = ⌈K/B1⌉ centroids per cell,
+    * stride-seeded from the cell's own members, [[DocIters]] Lloyd
+    * passes at n·B2·d each (the per-cell centroid array rides a
+    * B1-row broadcast join on c1 — the corpus itself never
+    * shuffles). Total argmin work n·(B1 + (DocIters+1)·B2)·d vs the
+    * flat loop's (DocIters+1)·n·K·d; re-center explodes stay n·d per
+    * pass, same as flat. Leaf id = c1·B2 + c2. At cluster scale the
+    * same construction deepens (bounded branch factor per level,
+    * levels ~ log K) and the per-cell model join shuffles on c1
+    * instead of broadcasting once K·8 KB outgrows the broadcast
+    * budget. Probe/production only — the declared gates pin
+    * K = DocK and never enter this path. */
+  private[graft] def fitVecsTree(vecs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val b1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val b2 = math.max(1, math.ceil(k.toDouble / b1).toInt)
+    val span = vecs.agg(max(col("vec_id"))).head.getLong(0) + 1
+    // level 1: relabel a stride sample with dense rank ids and reuse
+    // the spread-seeded flat loop (its density guards apply verbatim)
+    val sampleTarget = math.max(50L * b1, 2000L)
+    val sStride = math.max(1L, span / sampleTarget)
+    val sample = vecs.filter(col("vec_id") % sStride === 0)
+      .select(floor(col("vec_id") / sStride).cast("long").as("vec_id"),
+        col("v"), col("xx"))
+      .localCheckpoint()
+    val l1 = fitVecsK(sample, b1, spreadSeeds = true)
+      .select(col("cid"), col("cv"), col("cc"))
+    // one full routing pass (n·B1·d), pinned: feeds seeding, every
+    // Lloyd pass, and the final assignment
+    val coarse = assignDoc(vecs, l1)
+      .withColumnRenamed("cid", "c1").localCheckpoint()
+    // level-2 seeds: stride over the within-cell vec_id rank, so
+    // seeds spread across the cell regardless of id layout. The rank
+    // window runs over a PAYLOAD-FREE (c1, vec_id) projection — the
+    // full corpus re-shuffled by c1 with 8 KB vectors into B1 sort
+    // partitions was the first tree draft's own bottleneck; the K
+    // chosen seed ids then fetch their vectors via a broadcast join.
+    val cellW = Window.partitionBy(col("c1")).orderBy(col("vec_id"))
+    val cellN = coarse.groupBy(col("c1")).agg(count(lit(1)).as("cn"))
+    val seedIds = coarse.select(col("c1"), col("vec_id"))
+      .withColumn("rn", row_number().over(cellW).cast("long") - 1)
+      .join(broadcast(cellN), Seq("c1")) // B1 rows — bounded
+      .withColumn("cstride",
+        greatest(lit(1L), floor(col("cn") / b2).cast("long")))
+      .filter(col("rn") % col("cstride") === 0
+        && col("rn") / col("cstride") < b2)
+      .select(col("vec_id"),
+        floor(col("rn") / col("cstride")).cast("int").as("c2"))
+    var cents2 = coarse
+      .join(broadcast(seedIds), Seq("vec_id")) // ≈K rows — bounded
+      .select(col("c1"), col("c2"), col("v").as("cv"), col("xx").as("cc"))
+      .localCheckpoint()
+    for (_ <- 1 to DocIters) {
+      val assigned2 = assignWithinCells(coarse, cents2)
+        .select(col("c1"), col("c2"), col("v")).localCheckpoint()
+      cents2 = updateDocBy(assigned2, Seq("c1", "c2")).localCheckpoint()
+    }
+    val leafId = (col("c1") * b2 + col("c2")).cast("int").as("cid")
+    val model = cents2.select(leafId, col("cv"), col("cc"))
+    val assigned = assignWithinCells(coarse, cents2)
+      .select(col("vec_id"), leafId, col("v"), col("xx"))
+    (model, assigned)
+  }
+
+  /** Per-cell argmin: the level-2 centroids collapse to one array
+    * row PER COARSE CELL (B1 rows total), broadcast-joined on c1 —
+    * each vector scans only its own cell's ≤B2 centroids in the
+    * native generated loop. */
+  private def assignWithinCells(coarse: DataFrame,
+      cents2: DataFrame): DataFrame = {
+    val perCell = cents2.groupBy(col("c1"))
+      .agg(collect_list(struct(col("c2").as("cid"), col("cv"), col("cc")))
+        .as("cents"))
+    coarse.join(broadcast(perCell), Seq("c1"))
+      .select(col("vec_id"), col("v"), col("xx"), col("c1"),
+        graft.expressions.NearestCentroid.nearestCentroid(
+          col("v"), col("xx"), col("cents")).as("c2"))
   }
 
   /** K-parameterized variant — probe-only (the declared path derives

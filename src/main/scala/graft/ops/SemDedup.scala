@@ -24,8 +24,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale: at 100 TB the knobs are k (clusters scale with corpus so
   * |cluster| stays bounded) and the pair join stays per-cluster-local
-  * — one shuffle on cid, no global sort. Skewed giant clusters split
-  * by a second-level k-means in practice.
+  * — one shuffle on cid, no global sort. Since r13 the declared path
+  * applies that rule itself: K = max(DocK, n/DocsPerCluster)
+  * ([[KMeans.adaptiveDocK]], gates unchanged at DocK) served by the
+  * [[KMeans.fitVecsTree]] two-level fit above the gate constant —
+  * flat Lloyd's n·K·d assignment is quadratic when K ∝ n, the tree's
+  * ≈2n√K·d is not, and its second level IS the "skewed giant
+  * clusters split by a second-level k-means" of the previous
+  * paragraph, applied universally rather than as an afterthought.
   */
 object SemDedup {
 

@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.KMeans
+import org.apache.spark.sql.functions._
+
+/** The two-level k-means tree — the K ∝ corpus fit the adaptive
+  * doc-model path takes ABOVE the declared gate constant
+  * (`KMeans.fitVecsTree`; the gates themselves stay on the exact
+  * first-k Lloyd, pinned by the oracle suite). The tree has no DuckDB
+  * oracle, so its contract is pinned here: leaf-model consistency,
+  * within-cell argmin semantics, determinism, and the gate-constant
+  * floor of the adaptive K rule.
+  */
+class KMeansTreeSpec extends SparkSpec {
+
+  // synthetic corpus: 12 planted centers = 4 SUPER-groups × 3
+  // SUB-groups (hierarchically separated — super spacing 100 on dims
+  // 0-3, sub spacing 5 on dims 4-6, jitter 0.01), 50 members each.
+  // Matches the tree's own structure: level 1 must recover the
+  // supers, level 2 the subs; a flat 12-center layout can legally
+  // split a planted group across a coarse-cell boundary, which is
+  // tree semantics, not an error.
+  private val Dim = 8
+  private val Centers = 12
+  private val PerCenter = 50
+
+  private lazy val vecs = {
+    import spark.implicits._
+    val rows = for {
+      c <- 0 until Centers
+      m <- 0 until PerCenter
+    } yield {
+      val sup = c / 3
+      val sub = c % 3
+      val base = Array.tabulate(Dim) { d =>
+        if (d == sup) 100.0
+        else if (d == 4 + sub) 5.0 * (1 + sub)
+        else 0.0
+      }
+      val jit = Array.tabulate(Dim)(d =>
+         0.01 * (((c * 131 + m * 17 + d * 7) % 19) - 9))
+      val v = base.zip(jit).map { case (a, b) => a + b }.toSeq
+      (c.toLong * PerCenter + m, v)
+    }
+    rows.toDF("vec_id", "v")
+      .withColumn("xx", graft.functions.VectorOps.dot(col("v"), col("v")))
+      .localCheckpoint()
+  }
+
+  test("adaptive K floors at the gate constant and scales by DocsPerCluster") {
+    import spark.implicits._
+    def k(n: Int): Int = KMeans.adaptiveDocK(
+      (0 until n).map(i => (i.toLong, Seq(1.0))).toDF("vec_id", "v"))
+    assert(k(500) == KMeans.DocK)   // sf0.01 gate
+    assert(k(5000) == KMeans.DocK)  // sf0.1 gate (5000/500 = DocK exactly)
+    assert(k(5500) == 11)
+    assert(k(150000) == 300)        // the x30 staged corpus
+  }
+
+  test("tree: every vector lands on a leaf of the model, leaves ≈ k") {
+    val (model, assigned) = KMeans.fitVecsTree(vecs, 12)
+    val leaves = model.select("cid").collect().map(_.getInt(0)).toSet
+    val a = assigned.select("vec_id", "cid").collect()
+    assert(a.length == Centers * PerCenter)
+    assert(a.map(_.getInt(1)).forall(leaves.contains))
+    // k=12 → b1=4, b2=3: at least one leaf per populated cell,
+    // never more than b1·b2 = 12
+    assert(leaves.size >= 4 && leaves.size <= 12, s"leaves=${leaves.size}")
+  }
+
+  test("tree: assignment is the argmin over the vector's OWN cell") {
+    val (model, assigned) = KMeans.fitVecsTree(vecs, 12)
+    // b2 = ceil(12 / ceil(sqrt(12))) = 3 → c1 = cid / 3
+    val b2 = 3
+    val cents = model.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+    val rows = assigned
+      .select(col("vec_id"), col("cid"), col("v")).collect()
+    rows.foreach { r =>
+      val cid = r.getInt(1)
+      val v = r.getSeq[Double](2).toArray
+      def d2(c: Array[Double]) =
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      val own = d2(cents(cid))
+      val cellMates = cents.filter(_._1 / b2 == cid / b2)
+      cellMates.foreach { case (mid, mv) =>
+        assert(own <= d2(mv) + 1e-6,
+          s"vec ${r.getLong(0)}: leaf $cid (d²=$own) beaten by " +
+            s"same-cell leaf $mid (d²=${d2(mv)})")
+      }
+    }
+  }
+
+  test("tree: separated planted centers come out pure") {
+    val (_, assigned) = KMeans.fitVecsTree(vecs, 12)
+    // every planted center's 50 members share one leaf (the jitter is
+    // microscopic next to the 10.0 center spacing)
+    val purity = assigned
+      .select((col("vec_id") / PerCenter).cast("int").as("planted"), col("cid"))
+      .groupBy(col("planted"))
+      .agg(countDistinct(col("cid")).as("nleaf"))
+      .collect().map(_.getLong(1))
+    assert(purity.forall(_ == 1L), s"split planted centers: ${purity.toSeq}")
+  }
+
+  test("tree: deterministic across runs") {
+    val a1 = KMeans.fitVecsTree(vecs, 12)._2
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val a2 = KMeans.fitVecsTree(vecs, 12)._2
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a1 == a2)
+  }
+}
