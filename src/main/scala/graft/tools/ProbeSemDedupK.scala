@@ -14,6 +14,12 @@ import graft.ops.{KMeans, SemDedup}
   * centroids stay a bounded broadcast because K grows like corpus/
   * |cluster|, orders below the corpus itself).
   *
+  * Since r13 this tool measures the FLAT spread-seeded Lloyd at the
+  * given K (the comparison baseline); the declared adaptive path
+  * takes [[KMeans.fitVecsTree]] above the gate constant instead —
+  * probe that via [[ProbeDocModel]] (r13 breakdown: flat fit_assign
+  * 44.7/161.0 s at x10-K100/x30-K300 vs tree 38.4/112.1).
+  *
   * {{{ sbt "runMain graft.tools.ProbeSemDedupK /dev/shm/graft_scale/x30 300 2" }}}
   */
 object ProbeSemDedupK {
