@@ -40,9 +40,13 @@ object Fertility {
         sum(col("chars")).as("n_chars"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("n_words"),
-        round(col("n_tokens").cast("double") / col("n_words"), 6)
+        // a source whose documents all tokenize empty has no
+        // fertility to report — NULL, not an IEEE inf/NaN artifact
+        when(col("n_words") === 0L, lit(null)).otherwise(
+          round(col("n_tokens").cast("double") / col("n_words"), 6))
           .as("fertility"),
-        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+        when(col("n_tokens") === 0L, lit(null)).otherwise(
+          round(col("n_chars").cast("double") / col("n_tokens"), 6))
           .as("chars_per_token"))
       .orderBy(col("source"))
 
@@ -61,8 +65,8 @@ object Fertility {
       |    CAST(SUM(chars) AS BIGINT) AS n_chars
       |  FROM per_doc GROUP BY source)
       |SELECT source, n_docs, n_tokens, n_words,
-      |  ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
-      |  ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+      |  ROUND(CAST(n_tokens AS DOUBLE) / NULLIF(n_words, 0), 6) AS fertility,
+      |  ROUND(CAST(n_chars AS DOUBLE) / NULLIF(n_tokens, 0), 6) AS chars_per_token
       |FROM agg ORDER BY source""".stripMargin
   }
 }

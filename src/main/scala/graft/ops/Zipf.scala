@@ -63,8 +63,20 @@ object Zipf {
     val cov = n * sxy - sx * sy
     val varX = n * sxx - sx * sx
     val varY = n * syy - sy * sy
-    Seq(round(cov / varX, 6).as(s"${prefix}_slope"),
-      round((cov * cov) / (varX * varY), 6).as(s"${prefix}_r2"))
+    // Degenerate-fit discipline (r13 hash-gate lesson), two layers:
+    // (1) q208 convention — an EXACTLY zero variance axis has no law
+    // to fit, publish NULL; (2) a near-flat axis leaves cov as a
+    // sub-rounding residual whose ROUND is a SIGNED zero that
+    // differs across engines (Spark's BigDecimal round drops the
+    // sign, DuckDB's keeps it; the driver hashes bits) — `+ 0.0`
+    // after the round maps -0.0 → 0.0 identically in both engines
+    // and is the IEEE identity on every other value.
+    val degenerate = varX === 0.0 || varY === 0.0
+    Seq(when(degenerate, lit(null))
+        .otherwise(round(cov / varX, 6) + lit(0.0)).as(s"${prefix}_slope"),
+      when(degenerate, lit(null))
+        .otherwise(round((cov * cov) / (varX * varY), 6) + lit(0.0))
+        .as(s"${prefix}_r2"))
   }
 
   def zipfHeaps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -129,9 +141,15 @@ object Zipf {
         |FROM $src""".stripMargin
     def slopeR2(src: String, p: String) =
       s"""SELECT
-        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS ${p}_slope,
-        |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS ${p}_r2
+        |  CASE WHEN (n * sxx - sx * sx) = 0.0 OR (n * syy - sy * sy) = 0.0
+        |    THEN NULL
+        |    ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+        |  END AS ${p}_slope,
+        |  CASE WHEN (n * sxx - sx * sx) = 0.0 OR (n * syy - sy * sy) = 0.0
+        |    THEN NULL
+        |    ELSE ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+        |  END AS ${p}_r2
         |FROM $src""".stripMargin
     s"""WITH span AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
       |vocab AS (

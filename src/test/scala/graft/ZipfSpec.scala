@@ -8,22 +8,27 @@ class ZipfSpec extends SparkSpec {
   private def tok(text: String): Seq[String] =
     text.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq
 
-  // non-finite passthrough: Spark's round and DuckDB's ROUND both
-  // return NaN/Inf unchanged (the degenerate-fit case — a constant
-  // cum_v series makes r² = 0/0 on the closed-vocabulary gate corpus)
   private def rnd(x: Double, s: Int) =
     if (!java.lang.Double.isFinite(x)) x
     else BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def eq(a: Double, b: Double): Boolean =
-    a == b || (a.isNaN && b.isNaN)
+  private def eq(a: Option[Double], b: Option[Double]): Boolean =
+    (a, b) match {
+      case (Some(x), Some(y)) => x == y || (x.isNaN && y.isNaN)
+      case (None, None)       => true
+      case _                  => false
+    }
 
-  private def ols(pts: Seq[(Double, Double)]): (Double, Double) = {
+  // mirrors Zipf.slopeR2 incl. the q208 degenerate-variance
+  // convention: zero varX or varY (the closed-vocabulary gate
+  // corpus's flat head / exhausted decile curve) publishes NULL fits
+  // instead of a signed-zero-residual slope (r13 hash-gate lesson)
+  private def ols(pts: Seq[(Double, Double)]): (Option[Double], Option[Double]) = {
     val n = pts.length.toDouble
     // each term quantizes to 12 dp first — the op's DECIMAL(28,12)
     // cast does, and on degenerate (constant-y) fits the sub-1e-12
     // bits decide whether the moments cancel exactly or leave ulp
-    // residue (0.0-vs-NaN r² at the gate corpus)
+    // residue
     def dsum(vs: Seq[Double]) = vs
       .map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
       .sum.toDouble
@@ -32,8 +37,10 @@ class ZipfSpec extends SparkSpec {
     val sxy = dsum(pts.map(p => p._1 * p._2))
     val syy = dsum(pts.map(p => p._2 * p._2))
     val cov = n * sxy - sx * sy
-    (rnd(cov / (n * sxx - sx * sx), 6),
-      rnd(cov * cov / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6))
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    if (varX == 0.0 || varY == 0.0) (None, None)
+    else (Some(rnd(cov / varX, 6)), Some(rnd(cov * cov / (varX * varY), 6)))
   }
 
   test("slope/r2 match a from-scratch replay with the op's rounding ladder") {
@@ -60,11 +67,27 @@ class ZipfSpec extends SparkSpec {
         (rnd(math.log(cn.toDouble), 9), rnd(math.log(cv.toDouble), 9)) }
     val (hs, hr) = ols(hPts)
     val out = Zipf.zipfHeaps(spark, sfDir).head
+    def opt(i: Int): Option[Double] =
+      if (out.isNullAt(i)) None else Some(out.getDouble(i))
     assert(out.getLong(0) == vocab.size.toLong)
     assert(out.getLong(1) == vocab.map(_._2).sum)
-    assert(eq(out.getDouble(2), zs), s"zipf_slope ${out.getDouble(2)} != $zs")
-    assert(eq(out.getDouble(3), zr), s"zipf_r2 ${out.getDouble(3)} != $zr")
-    assert(eq(out.getDouble(4), hs), s"heaps_beta ${out.getDouble(4)} != $hs")
-    assert(eq(out.getDouble(5), hr), s"heaps_r2 ${out.getDouble(5)} != $hr")
+    assert(eq(opt(2), zs), s"zipf_slope ${opt(2)} != $zs")
+    assert(eq(opt(3), zr), s"zipf_r2 ${opt(3)} != $zr")
+    assert(eq(opt(4), hs), s"heaps_beta ${opt(4)} != $hs")
+    assert(eq(opt(5), hr), s"heaps_r2 ${opt(5)} != $hr")
+  }
+
+  test("published fits never carry a negative-zero bit pattern") {
+    // r13 gate failure: the near-flat Heaps curve left cov as a
+    // sub-rounding residual, ROUND(cov/varX, 6) landed on a signed
+    // zero, and the two engines disagreed on the sign (driver hashes
+    // bits). The op now guards exact degeneracy with NULL and
+    // normalizes -0.0 → 0.0 with `+ 0.0`; this pins the bit pattern.
+    val out = Zipf.zipfHeaps(spark, sfDir).head
+    for (i <- 2 to 5 if !out.isNullAt(i)) {
+      val v = out.getDouble(i)
+      assert(!(v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L),
+        s"column $i published -0.0")
+    }
   }
 }

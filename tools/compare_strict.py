@@ -16,11 +16,17 @@ EQUALIZES int width (int32 == int64: q104/q112/q131/q189/q214/q219
 passed), datetime unit (ns == us: q159/q197), DATE vs midnight
 timestamp (q4/q6/q14/q15/q206), and None vs NaN nulls (q213) — while
 int64 vs float64/object (the HUGEINT class) FAILS (q226/q229).  canon()
-below applies exactly those equalizations and nothing more, so a local
-PASS here predicts the driver's gate on every labeled example.
+below applies exactly those equalizations and nothing more.
+
+Float columns are compared BITWISE for the zero sign: the driver hashes
+bit patterns, so DuckDB -0.0 vs Spark 0.0 is a hash mismatch even
+though IEEE `==` calls them equal — exactly how q234 passed this tool
+but failed CORRECTNESS_r13 (r13 VERDICT #2).  NaN vs NaN still counts
+as equal (the driver canonicalizes nulls/NaNs; q213 precedent).
 """
 import sys, json, glob, os, datetime
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -79,7 +85,12 @@ def main():
             a, b = sdf[c], odf[c]
             try:
                 if pd.api.types.is_float_dtype(a):
-                    ok = ((a == b) | (a.isna() & b.isna())).all()
+                    av = a.to_numpy(dtype="float64")
+                    bv = b.to_numpy(dtype="float64")
+                    both_nan = np.isnan(av) & np.isnan(bv)
+                    # bit-faithful: value equal AND same zero sign
+                    eq = (av == bv) & (np.signbit(av) == np.signbit(bv))
+                    ok = (eq | both_nan).all()
                 else:
                     # None == NaN (driver: q213) — mask all NA flavors
                     # to one sentinel before the string compare
