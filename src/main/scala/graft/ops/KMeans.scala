@@ -162,10 +162,30 @@ object KMeans {
     * 30× corpora get K = 100/300. */
   val DocsPerCluster = 500
 
-  /** Corpus-derived K over an already-checkpointed vector corpus
-    * (count is a cached-blocks action, not a rescan). */
+  private[graft] def adaptiveDocKOf(n: Long): Int =
+    math.max(DocK, (n / DocsPerCluster).toInt)
+
+  /** Corpus-derived K over an already-staged vector corpus (spec /
+    * probe entry — the declared path gets the count for free from
+    * [[docVectorsWithCount]]'s observation instead). */
   private[graft] def adaptiveDocK(vecs: DataFrame): Int =
-    math.max(DocK, (vecs.count() / DocsPerCluster).toInt)
+    adaptiveDocKOf(vecs.count())
+
+  /** Staged 1024-d corpus plus its row count, the count OBSERVED
+    * from the eager-checkpoint materialization job itself — the
+    * adaptive-K rule needs |corpus|, and a separate count() was an
+    * extra job on the suite's hottest shared subtree (r13 VERDICT
+    * #3; ProbeObserve confirmed the metric fires from the
+    * localCheckpoint action alone). */
+  private[graft] def docVectorsWithCount(spark: SparkSession,
+      sfDir: String): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val vecs = Corpus.docEmbeddings(spark, sfDir)
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint()
+      .withColumn("xx", VectorOps.dot(col("v"), col("v")))
+    (vecs, obs.get("n").asInstanceOf[Long])
+  }
 
   private[graft] def docVectors(spark: SparkSession, sfDir: String): DataFrame =
     Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
@@ -295,8 +315,8 @@ object KMeans {
     // breakdown: x30 fit_assign 161 s of q229's 163 s, ~79 s of it
     // the K-term; the tree cuts that term ~K/(B1+3·B2) ≈ 12× at
     // K=300).
-    val vecs = docVectors(spark, sfDir)
-    val k = adaptiveDocK(vecs)
+    val (vecs, n) = docVectorsWithCount(spark, sfDir)
+    val k = adaptiveDocKOf(n)
     if (k == DocK) docModelOver(vecs, k, spreadSeeds = false)
     else fitVecsTree(vecs, k)
   }
@@ -437,26 +457,35 @@ object KMeans {
   private def d2Sql(xx: String, x: String, c: String, cc: String) =
     s"ROUND($xx - 2 * list_dot_product($x, $c) + $cc, 9)"
 
+  /** True-L2 argmin assignment over `$src(vec_id, v, xx)` against
+    * `$cents(cid, cv, cc)` — the SQL twin of [[assignDoc]] (rounded-9
+    * distance, cid tiebreak). */
+  private def assignDocSql(cents: String, src: String = "docv") =
+    s"""SELECT vec_id, v, xx, cid FROM (
+       |    SELECT e.vec_id, e.v, e.xx, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2Sql("e.xx", "e.v", "c.cv", "c.cc")}, c.cid) AS rn
+       |    FROM $src e CROSS JOIN $cents c)
+       |  WHERE rn = 1""".stripMargin
+
+  /** Exact-decimal per-dim re-centering keyed by `keys` — the SQL
+    * twin of [[updateDocBy]]. */
+  private def updateDocSql(assigned: String, keys: Seq[String] = Seq("cid")) = {
+    val ks = keys.mkString(", ")
+    s"""SELECT $ks, cv, list_dot_product(cv, cv) AS cc, n FROM (
+       |    SELECT $ks, list(m ORDER BY i) AS cv, MAX(nn) AS n FROM (
+       |      SELECT $ks, i,
+       |        ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS m,
+       |        COUNT(*) AS nn
+       |      FROM $assigned CROSS JOIN generate_series(1, 1024) AS t(i)
+       |      GROUP BY $ks, i)
+       |    GROUP BY $ks)""".stripMargin
+  }
+
   /** The 1024-d train→assign pipeline as shared CTEs (`docv`,
     * `model`, `assigned`) — the SQL twin of [[docAssignments]],
     * reused by q79 and q100. */
   val docModelCtes: String = {
-    def assignDocSql(cents: String) =
-      s"""SELECT vec_id, v, xx, cid FROM (
-         |    SELECT e.vec_id, e.v, e.xx, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${d2Sql("e.xx", "e.v", "c.cv", "c.cc")}, c.cid) AS rn
-         |    FROM docv e CROSS JOIN $cents c)
-         |  WHERE rn = 1""".stripMargin
-    def updateDocSql(assigned: String) =
-      s"""SELECT cid, cv, list_dot_product(cv, cv) AS cc, n FROM (
-         |    SELECT cid, list(m ORDER BY i) AS cv, MAX(nn) AS n FROM (
-         |      SELECT cid, i,
-         |        ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS m,
-         |        COUNT(*) AS nn
-         |      FROM $assigned CROSS JOIN generate_series(1, 1024) AS t(i)
-         |      GROUP BY cid, i)
-         |    GROUP BY cid)""".stripMargin
     val lloyd = (1 to DocIters).map { i =>
       val prev = if (i == 1) "dc0" else s"dc${i - 1}"
       s"""da$i AS (${assignDocSql(prev)}),
@@ -466,16 +495,16 @@ object KMeans {
     s"""${Corpus.docEmbCte},
       |docv AS MATERIALIZED (
       |  SELECT vec_id, v, list_dot_product(v, v) AS xx FROM demb),
-      |dkp AS (
-      |  SELECT kk, GREATEST(1, ((SELECT MAX(vec_id) FROM docv) + 1) // kk) AS stride
-      |  FROM (SELECT GREATEST($DocK,
-      |          (SELECT COUNT(*) FROM docv) // $DocsPerCluster) AS kk)),
-      |dc0 AS (SELECT CAST(CASE WHEN kk = $DocK THEN vec_id
-      |                    ELSE vec_id // stride END AS INT) AS cid,
-      |          v AS cv, xx AS cc
-      |        FROM docv, dkp
-      |        WHERE CASE WHEN kk = $DocK THEN vec_id < $DocK
-      |              ELSE vec_id % stride = 0 AND vec_id // stride < kk END),
+      |dc0 AS (
+      |  -- GATE-ONLY parity: every declared gate corpus (sf <= 0.1)
+      |  -- keeps adaptiveDocK at the DocK constant, so the oracle
+      |  -- replays the exact first-K-seeded flat Lloyd Spark runs
+      |  -- there.  Above the gate Spark switches to the two-level
+      |  -- tree (fitVecsTree), whose oracle rendering lives in
+      |  -- docTreeCtes (q235) — an adaptive-K branch here would model
+      |  -- a flat stride-seeded fit Spark never executes (r13 ADVICE).
+      |  SELECT CAST(vec_id AS INT) AS cid, v AS cv, xx AS cc
+      |  FROM docv WHERE vec_id < $DocK),
       |$lloyd,
       |model AS (SELECT cid, cv, cc FROM dc$DocIters),
       |assigned AS (${assignDocSql("model")})""".stripMargin
@@ -531,4 +560,104 @@ object KMeans {
       |SELECT q_id, rank, vec_id AS n_id, sim
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
+
+  // -----------------------------------------------------------------
+  // q235: the two-level tree fit under an oracle. [[fitVecsTree]] is
+  // the PRODUCTION doc-model path (it engages whenever adaptiveDocK
+  // rises above the gate constant), but until this query its only
+  // coverage was spec-level (KMeansTreeSpec) — no CORRECTNESS row
+  // exercised it (r13 VERDICT #4). This query forces the tree at
+  // K = DocK on the gate corpus and pins BOTH halves of its output:
+  // the model (first centroid component per leaf) and the full
+  // assignment (member count + vec_id checksum per leaf), against a
+  // DuckDB replay of the same two-level construction.
+  // -----------------------------------------------------------------
+
+  /** q235: tree-fit cluster summary — count, vec_id checksum, and
+    * first centroid component per leaf, leaves ordered. */
+  def treeSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, assigned) = fitVecsTree(docVectors(spark, sfDir), DocK)
+    val agg = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+    // `+ 0.0` pins the zero sign across engines (the q234 lesson): a
+    // centroid dimension can average to a tiny negative that ROUNDs
+    // to a signed zero, and the driver hashes bits
+    agg.join(model.select(col("cid"),
+        (round(element_at(col("cv"), 1), 6) + lit(0.0)).as("c0")), Seq("cid"))
+      .select(col("cid"), col("n"), col("id_sum"), col("c0"))
+      .orderBy(col("cid"))
+  }
+
+  /** DuckDB replay of [[fitVecsTree]] at K = [[DocK]]: stride sample
+    * → spread-seeded L1 Lloyd (B1 cells) → one full coarse routing →
+    * within-cell-rank stride seeds → per-cell L2 Lloyd (B2 each) →
+    * leaf id c1·B2 + c2. Every step reuses the flat loop's pinned
+    * arithmetic (rounded-9 true-L2 argmin with id tiebreak,
+    * DECIMAL(28,12) re-center means rounded 9). */
+  val treeSummarySql: String = {
+    val b1 = math.max(2, math.ceil(math.sqrt(DocK.toDouble)).toInt)
+    val b2 = math.max(1, math.ceil(DocK.toDouble / b1).toInt)
+    val sampleTarget = math.max(50L * b1, 2000L)
+    // within-cell argmin: candidates restricted to the vector's OWN
+    // coarse cell (join on c1), tiebreak by c2 — the SQL twin of
+    // assignWithinCells
+    def assignCellSql(cents: String) =
+      s"""SELECT c1, vec_id, v, xx, c2 FROM (
+         |    SELECT e.c1, e.vec_id, e.v, e.xx, c.c2,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${d2Sql("e.xx", "e.v", "c.cv", "c.cc")}, c.c2) AS rn
+         |    FROM tcoarse e JOIN $cents c ON c.c1 = e.c1)
+         |  WHERE rn = 1""".stripMargin
+    val l1Lloyd = (1 to DocIters).map { i =>
+      val prev = if (i == 1) "tl0" else s"tl${i - 1}"
+      s"""tsa$i AS (${assignDocSql(prev, src = "tsamp")}),
+         |tl$i AS MATERIALIZED (
+         |  ${updateDocSql(s"tsa$i")})""".stripMargin
+    }.mkString(",\n")
+    val l2Lloyd = (1 to DocIters).map { i =>
+      val prev = if (i == 1) "tc0" else s"td${i - 1}"
+      s"""tb$i AS (${assignCellSql(prev)}),
+         |td$i AS MATERIALIZED (
+         |  ${updateDocSql(s"tb$i", keys = Seq("c1", "c2"))})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Corpus.docEmbCte},
+      |docv AS MATERIALIZED (
+      |  SELECT vec_id, v, list_dot_product(v, v) AS xx FROM demb),
+      |tsamp AS MATERIALIZED (
+      |  SELECT vec_id // st AS vec_id, v, xx
+      |  FROM docv, (SELECT GREATEST(1, (MAX(vec_id) + 1) // $sampleTarget) AS st
+      |              FROM docv)
+      |  WHERE vec_id % st = 0),
+      |tl0 AS (
+      |  SELECT CAST(vec_id // st AS INT) AS cid, v AS cv, xx AS cc
+      |  FROM tsamp, (SELECT GREATEST(1, (MAX(vec_id) + 1) // $b1) AS st
+      |               FROM tsamp)
+      |  WHERE vec_id % st = 0 AND vec_id // st < $b1),
+      |$l1Lloyd,
+      |tcoarse AS MATERIALIZED (
+      |  SELECT vec_id, v, xx, cid AS c1
+      |  FROM (${assignDocSql(s"tl$DocIters")})),
+      |tseed AS (
+      |  SELECT r.vec_id, r.c1, CAST(r.rn // s.cstride AS INT) AS c2
+      |  FROM (SELECT vec_id, c1,
+      |          ROW_NUMBER() OVER (PARTITION BY c1 ORDER BY vec_id) - 1 AS rn
+      |        FROM tcoarse) r
+      |  JOIN (SELECT c1, GREATEST(1, COUNT(*) // $b2) AS cstride
+      |        FROM tcoarse GROUP BY c1) s USING (c1)
+      |  WHERE r.rn % s.cstride = 0 AND r.rn // s.cstride < $b2),
+      |tc0 AS (
+      |  SELECT c.c1, s.c2, c.v AS cv, c.xx AS cc
+      |  FROM tcoarse c JOIN tseed s ON s.vec_id = c.vec_id),
+      |$l2Lloyd,
+      |tfin AS (${assignCellSql(s"td$DocIters")}),
+      |tmodel AS (
+      |  SELECT CAST(c1 * $b2 + c2 AS INT) AS cid, cv FROM td$DocIters),
+      |tagg AS (
+      |  SELECT CAST(c1 * $b2 + c2 AS INT) AS cid, COUNT(*) AS n,
+      |    CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      |  FROM tfin GROUP BY 1)
+      |SELECT a.cid, a.n, a.id_sum, ROUND(m.cv[1], 6) + 0.0 AS c0
+      |FROM tagg a JOIN tmodel m USING (cid)
+      |ORDER BY a.cid""".stripMargin
+  }
 }

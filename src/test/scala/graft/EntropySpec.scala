@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Entropy
+
+/** q237 — per-source character-entropy census. */
+class EntropySpec extends SparkSpec {
+
+  private def rnd(x: Double, s: Int) =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // the op's ladder: H = ln(n) − (Σ c·ln c)/n with rounded-9 lns,
+  // DECIMAL(28,12)-quantized term sums, per-doc round 9
+  private def docEntropy(text: String): Double = {
+    val counts = text.split("").filter(_.nonEmpty)
+      .groupBy(identity).map(_._2.length.toLong)
+    val n = counts.sum
+    val s = counts
+      .map(c => BigDecimal(c.toDouble * rnd(math.log(c.toDouble), 9))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    rnd(rnd(math.log(n.toDouble), 9) - s / n.toDouble, 9)
+  }
+
+  test("per-source stats match a from-scratch replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val expect = docs.groupBy(_._1).map { case (src, g) =>
+      val hs = g.map(d => docEntropy(d._2))
+      val mean = rnd(hs.map(BigDecimal(_)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / hs.length, 6)
+      (src, (hs.length.toLong, mean, rnd(hs.min, 6), rnd(hs.max, 6),
+        hs.count(_ < Entropy.LowNats).toLong))
+    }
+    val got = Entropy.charEntropy(spark, sfDir).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (n, mean, mn, mx, low) = expect(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == mean, s"${r.getString(0)} mean")
+      assert(r.getDouble(3) == mn, s"${r.getString(0)} min")
+      assert(r.getDouble(4) == mx, s"${r.getString(0)} max")
+      assert(r.getLong(5) == low, s"${r.getString(0)} n_low")
+    }
+  }
+
+  test("entropy sits in the sane band for natural-ish text") {
+    // the synthetic corpus is lowercase words + spaces: entropy must
+    // be positive and below ln(alphabet) for every source
+    val rows = Entropy.charEntropy(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0, "min entropy must be positive")
+      assert(r.getDouble(4) < 4.5, "max entropy above any text band")
+    }
+  }
+}

@@ -110,4 +110,22 @@ class KMeansTreeSpec extends SparkSpec {
       .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(a1 == a2)
   }
+
+  test("q235 tree summary partitions the corpus exactly once") {
+    // the declared query forces the tree on the gate corpus; every
+    // document lands on exactly one leaf, so the per-leaf counts and
+    // vec_id checksums must reassemble the whole corpus
+    val out = KMeans.treeSummary(spark, sfDir).collect()
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.map(_.getLong(1)).sum == n, "leaf counts must sum to |corpus|")
+    assert(out.map(_.getLong(2)).sum == n * (n - 1) / 2,
+      "vec_id checksums must sum to 0+1+...+(n-1)")
+    val cids = out.map(_.getInt(0))
+    assert(cids.sameElements(cids.sorted) && cids.distinct.length == cids.length)
+  }
+
+  test("observed corpus count matches a direct count") {
+    val (vecsC, n) = KMeans.docVectorsWithCount(spark, sfDir)
+    assert(n == vecsC.count())
+  }
 }
