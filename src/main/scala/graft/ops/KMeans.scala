@@ -321,26 +321,64 @@ object KMeans {
     else fitVecsTree(vecs, k)
   }
 
-  /** Two-level k-means tree — the scalable K ∝ corpus fit (faiss
+  /** Flat-Lloyd's K-term goes quadratic under K ∝ n; the tree keeps
+    * per-doc argmin work at ~(1 + 3(M−1))·K^(1/M). The depth
+    * break-even is MEASURED, not modeled (r14, x60 staged corpus,
+    * n = 300k, K = 600): 2 levels fit in 213.7 s, 3 levels in 398 s
+    * calm-clock — each extra level costs one more full n·B·d routing
+    * pass plus DocIters full-corpus n·d explode re-centers and
+    * checkpoints (~185 s/level here), which at K = 600 dwarfs the
+    * ~40% per-doc argmin saving (97 → 60 units). Depth pays only
+    * once the 2-level argmin term 4·√K·d itself outgrows that fixed
+    * per-level cost: √K ≳ 90, i.e. K ≈ 8k (n ≈ 4M docs at
+    * DocsPerCluster = 500) — hence this threshold. Beyond it the
+    * rule would deepen further (levels ~ log K for bounded branch),
+    * with the same measured-constant discipline deciding each step. */
+  val TreeDepth2MaxK = 8192
+
+  /** Tree depth for a given K — the declared gates never reach here
+    * (K = DocK pins the flat exact loop); probes/production deepen
+    * with K. */
+  private[graft] def treeLevels(k: Int): Int =
+    if (k <= TreeDepth2MaxK) 2 else 3
+
+  /** Multi-level k-means tree — the scalable K ∝ corpus fit (faiss
     * trains IVF coarse quantizers the same way: sample-fit the
     * levels, route every vector through the tree). Level 1:
-    * B1 = ⌈√K⌉ coarse cells, Lloyd-fit on a bounded deterministic
-    * stride sample (training cost independent of n), then ONE full
-    * n·B1·d routing pass. Level 2: B2 = ⌈K/B1⌉ centroids per cell,
-    * stride-seeded from the cell's own members, [[DocIters]] Lloyd
-    * passes at n·B2·d each (the per-cell centroid array rides a
-    * B1-row broadcast join on c1 — the corpus itself never
-    * shuffles). Total argmin work n·(B1 + (DocIters+1)·B2)·d vs the
-    * flat loop's (DocIters+1)·n·K·d; re-center explodes stay n·d per
-    * pass, same as flat. Leaf id = c1·B2 + c2. At cluster scale the
-    * same construction deepens (bounded branch factor per level,
-    * levels ~ log K) and the per-cell model join shuffles on c1
-    * instead of broadcasting once K·8 KB outgrows the broadcast
-    * budget. Probe/production only — the declared gates pin
-    * K = DocK and never enter this path. */
-  private[graft] def fitVecsTree(vecs: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val b1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val b2 = math.max(1, math.ceil(k.toDouble / b1).toInt)
+    * B1 = ⌈K^(1/M)⌉ coarse cells, Lloyd-fit on a bounded
+    * deterministic stride sample (training cost independent of n),
+    * then ONE full n·B1·d routing pass. Each later level ℓ: ⌈Bℓ⌉
+    * centroids per group, stride-seeded from the group's own
+    * members, [[DocIters]] Lloyd passes at n·Bℓ·d each (the
+    * per-group centroid array rides a bounded broadcast join on the
+    * group id — the corpus itself never shuffles); non-final levels
+    * route the corpus onward by packing the refined id into the
+    * group key. Total argmin work n·(B1 + (DocIters+1)·ΣBℓ)·d vs
+    * the flat loop's (DocIters+1)·n·K·d; re-center explodes stay
+    * n·d per pass, same as flat. Leaf id packs positionally
+    * (…(c1·B2 + c2)·B3 + c3…). The per-group model join shuffles on
+    * the group id instead of broadcasting once the model outgrows
+    * the broadcast budget. Probe/production only — the declared
+    * gates pin K = DocK and never enter this path; q235 pins the
+    * 2-level construction against a full DuckDB replay at gate K. */
+  private[graft] def fitVecsTree(vecs: DataFrame, k: Int): (DataFrame, DataFrame) =
+    fitVecsTreeM(vecs, k, treeLevels(k))
+
+  private[graft] def fitVecsTreeM(vecs: DataFrame, k: Int,
+      levels: Int): (DataFrame, DataFrame) = {
+    require(levels >= 2, s"fitVecsTreeM: levels=$levels")
+    // branch plan: geometric split of the remainder, last level
+    // absorbs the ceiling — [4, 3] at (K=10, M=2), [18, 17] at 306,
+    // [9, 9, 8] at (600, 3)
+    val bs = Array.ofDim[Int](levels)
+    var rem = k
+    for (l <- 0 until levels - 1) {
+      bs(l) = math.max(2,
+        math.ceil(math.pow(rem.toDouble, 1.0 / (levels - l))).toInt)
+      rem = math.max(1, math.ceil(rem.toDouble / bs(l)).toInt)
+    }
+    bs(levels - 1) = rem
+    val b1 = bs(0)
     val span = vecs.agg(max(col("vec_id"))).head.getLong(0) + 1
     // level 1: relabel a stride sample with dense rank ids and reuse
     // the spread-seeded flat loop (its density guards apply verbatim)
@@ -353,55 +391,72 @@ object KMeans {
     val l1 = fitVecsK(sample, b1, spreadSeeds = true)
       .select(col("cid"), col("cv"), col("cc"))
     // one full routing pass (n·B1·d), pinned: feeds seeding, every
-    // Lloyd pass, and the final assignment
-    val coarse = assignDoc(vecs, l1)
-      .withColumnRenamed("cid", "c1").localCheckpoint()
-    // level-2 seeds: stride over the within-cell vec_id rank, so
-    // seeds spread across the cell regardless of id layout. The rank
-    // window runs over a PAYLOAD-FREE (c1, vec_id) projection — the
-    // full corpus re-shuffled by c1 with 8 KB vectors into B1 sort
-    // partitions was the first tree draft's own bottleneck; the K
-    // chosen seed ids then fetch their vectors via a broadcast join.
-    val cellW = Window.partitionBy(col("c1")).orderBy(col("vec_id"))
-    val cellN = coarse.groupBy(col("c1")).agg(count(lit(1)).as("cn"))
-    val seedIds = coarse.select(col("c1"), col("vec_id"))
-      .withColumn("rn", row_number().over(cellW).cast("long") - 1)
-      .join(broadcast(cellN), Seq("c1")) // B1 rows — bounded
-      .withColumn("cstride",
-        greatest(lit(1L), floor(col("cn") / b2).cast("long")))
-      .filter(col("rn") % col("cstride") === 0
-        && col("rn") / col("cstride") < b2)
-      .select(col("vec_id"),
-        floor(col("rn") / col("cstride")).cast("int").as("c2"))
-    var cents2 = coarse
-      .join(broadcast(seedIds), Seq("vec_id")) // ≈K rows — bounded
-      .select(col("c1"), col("c2"), col("v").as("cv"), col("xx").as("cc"))
+    // Lloyd pass, and the next level's routing
+    var coarse = assignDoc(vecs, l1)
+      .select(col("vec_id"), col("cid").cast("long").as("g"),
+        col("v"), col("xx"))
       .localCheckpoint()
-    for (_ <- 1 to DocIters) {
-      val assigned2 = assignWithinCells(coarse, cents2)
-        .select(col("c1"), col("c2"), col("v")).localCheckpoint()
-      cents2 = updateDocBy(assigned2, Seq("c1", "c2")).localCheckpoint()
+    var cents: DataFrame = null
+    for (l <- 1 until levels - 1) {
+      cents = refineLevel(coarse, bs(l))
+      coarse = assignWithinGroups(coarse, cents)
+        .select(col("vec_id"), (col("g") * bs(l) + col("c")).as("g"),
+          col("v"), col("xx"))
+        .localCheckpoint()
     }
-    val leafId = (col("c1") * b2 + col("c2")).cast("int").as("cid")
-    val model = cents2.select(leafId, col("cv"), col("cc"))
-    val assigned = assignWithinCells(coarse, cents2)
+    val bLast = bs(levels - 1)
+    cents = refineLevel(coarse, bLast)
+    val leafId = (col("g") * bLast + col("c")).cast("int").as("cid")
+    val model = cents.select(leafId, col("cv"), col("cc"))
+    val assigned = assignWithinGroups(coarse, cents)
       .select(col("vec_id"), leafId, col("v"), col("xx"))
     (model, assigned)
   }
 
-  /** Per-cell argmin: the level-2 centroids collapse to one array
-    * row PER COARSE CELL (B1 rows total), broadcast-joined on c1 —
-    * each vector scans only its own cell's ≤B2 centroids in the
-    * native generated loop. */
-  private def assignWithinCells(coarse: DataFrame,
-      cents2: DataFrame): DataFrame = {
-    val perCell = cents2.groupBy(col("c1"))
-      .agg(collect_list(struct(col("c2").as("cid"), col("cv"), col("cc")))
+  /** One tree level: seed ⌈b⌉ centroids per group by within-group
+    * vec_id-rank stride, then [[DocIters]] within-group Lloyd
+    * passes. The rank window runs over a PAYLOAD-FREE (g, vec_id)
+    * projection — the full corpus re-shuffled by group with 8 KB
+    * vectors into few sort partitions was the first tree draft's own
+    * bottleneck; the chosen seed ids then fetch their vectors via a
+    * broadcast join. Returns (g, c, cv, cc, n). */
+  private def refineLevel(coarse: DataFrame, b: Int): DataFrame = {
+    val cellW = Window.partitionBy(col("g")).orderBy(col("vec_id"))
+    val cellN = coarse.groupBy(col("g")).agg(count(lit(1)).as("cn"))
+    val seedIds = coarse.select(col("g"), col("vec_id"))
+      .withColumn("rn", row_number().over(cellW).cast("long") - 1)
+      .join(broadcast(cellN), Seq("g")) // ≤ K/b rows — bounded
+      .withColumn("cstride",
+        greatest(lit(1L), floor(col("cn") / b).cast("long")))
+      .filter(col("rn") % col("cstride") === 0
+        && col("rn") / col("cstride") < b)
+      .select(col("vec_id"),
+        floor(col("rn") / col("cstride")).cast("int").as("c"))
+    var cents = coarse
+      .join(broadcast(seedIds), Seq("vec_id")) // ≈K rows — bounded
+      .select(col("g"), col("c"), col("v").as("cv"), col("xx").as("cc"))
+      .localCheckpoint()
+    for (_ <- 1 to DocIters) {
+      val assigned = assignWithinGroups(coarse, cents)
+        .select(col("g"), col("c"), col("v")).localCheckpoint()
+      cents = updateDocBy(assigned, Seq("g", "c")).localCheckpoint()
+    }
+    cents
+  }
+
+  /** Per-group argmin: the level's centroids collapse to one array
+    * row PER GROUP (bounded rows), broadcast-joined on g — each
+    * vector scans only its own group's ≤b centroids in the native
+    * generated loop. */
+  private def assignWithinGroups(coarse: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val perCell = cents.groupBy(col("g"))
+      .agg(collect_list(struct(col("c").as("cid"), col("cv"), col("cc")))
         .as("cents"))
-    coarse.join(broadcast(perCell), Seq("c1"))
-      .select(col("vec_id"), col("v"), col("xx"), col("c1"),
+    coarse.join(broadcast(perCell), Seq("g"))
+      .select(col("vec_id"), col("v"), col("xx"), col("g"),
         graft.expressions.NearestCentroid.nearestCentroid(
-          col("v"), col("xx"), col("cents")).as("c2"))
+          col("v"), col("xx"), col("cents")).as("c"))
   }
 
   /** K-parameterized variant — probe-only (the declared path derives
@@ -595,12 +650,15 @@ object KMeans {
     * arithmetic (rounded-9 true-L2 argmin with id tiebreak,
     * DECIMAL(28,12) re-center means rounded 9). */
   val treeSummarySql: String = {
+    // gate-K branch plan: fitVecsTreeM's geometric split at
+    // (K = DocK, M = 2) — ⌈√10⌉ = 4, ⌈10/4⌉ = 3, same values as
+    // these closed forms (KMeansTreeSpec pins the agreement)
     val b1 = math.max(2, math.ceil(math.sqrt(DocK.toDouble)).toInt)
     val b2 = math.max(1, math.ceil(DocK.toDouble / b1).toInt)
     val sampleTarget = math.max(50L * b1, 2000L)
     // within-cell argmin: candidates restricted to the vector's OWN
     // coarse cell (join on c1), tiebreak by c2 — the SQL twin of
-    // assignWithinCells
+    // assignWithinGroups
     def assignCellSql(cents: String) =
       s"""SELECT c1, vec_id, v, xx, c2 FROM (
          |    SELECT e.c1, e.vec_id, e.v, e.xx, c.c2,

@@ -160,11 +160,21 @@ object Partitioning {
       // back-infers the partition directory as DATE and the result
       // dtype drifts from the oracle's VARCHAR (r13 strict-gate audit)
       spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // `+ 0.0` after the pushed aggregates: parquet writers record a
+      // zero min/max stat as -0.0/+0.0 conservatively (sign-safety in
+      // the format spec), so a footer-stats MIN can return -0.0 where
+      // the data holds +0.0 — value-correct, wrong ZERO SIGN for the
+      // bit-level gate (caught by the r14 hardened sf0.1 sweep; DuckDB
+      // aggregates the data itself and emits +0.0). The projection
+      // sits above the agg, so the pushdown is untouched.
       val agg = spark.read.parquet(path)
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_events"),
           min(col("value")).as("v_min"),
           max(col("value")).as("v_max"))
+        .select(col("day"), col("n_events"),
+          (col("v_min") + lit(0.0)).as("v_min"),
+          (col("v_max") + lit(0.0)).as("v_max"))
         .orderBy(col("day"))
       val out = agg.localCheckpoint(true) // executes under the scoped confs
       val plan = agg.queryExecution.executedPlan.toString
@@ -179,10 +189,12 @@ object Partitioning {
     }
   }
 
-  /** Footer stats are exact, so the oracle is the plain aggregation. */
+  /** Footer stats are exact (up to the zero SIGN — see the `+ 0.0`
+    * note above), so the oracle is the plain aggregation with the
+    * same sign normalization. */
   val footerRollupSql: String =
     """SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
-      |  MIN(value) AS v_min, MAX(value) AS v_max
+      |  MIN(value) + 0.0 AS v_min, MAX(value) + 0.0 AS v_max
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
   val dppRollupSql: String =

@@ -111,6 +111,48 @@ class KMeansTreeSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("depth rule: 2 levels through the measured break-even, 3 above it") {
+    assert(KMeans.treeLevels(10) == 2)
+    assert(KMeans.treeLevels(306) == 2)
+    // the r14 x60 probe measured 3 levels LOSING at K=600 (398 vs
+    // 213.7 s — the per-level fixed cost dominates the argmin saving
+    // until ~K=8k), so the whole probe band stays 2-level
+    assert(KMeans.treeLevels(600) == 2)
+    assert(KMeans.treeLevels(KMeans.TreeDepth2MaxK) == 2)
+    assert(KMeans.treeLevels(KMeans.TreeDepth2MaxK + 1) == 3)
+  }
+
+  test("3-level tree: every vector lands on a leaf, assignment is own-path argmin") {
+    val (model, assigned) = KMeans.fitVecsTreeM(vecs, 12, levels = 3)
+    val cents = model.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+    val rows = assigned.select(col("vec_id"), col("cid"), col("v")).collect()
+    assert(rows.length == Centers * PerCenter)
+    assert(rows.forall(r => cents.contains(r.getInt(1))))
+    // branch plan [3, 2, 2] at K=12: leaf = (g2)·2 + c3 where
+    // g2 = c1·2 + c2 — same-last-group mates share cid / 2
+    val b3 = 2
+    rows.foreach { r =>
+      val cid = r.getInt(1)
+      val v = r.getSeq[Double](2).toArray
+      def d2(c: Array[Double]) =
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      val own = d2(cents(cid))
+      cents.filter(_._1 / b3 == cid / b3).foreach { case (mid, mv) =>
+        assert(own <= d2(mv) + 1e-6,
+          s"vec ${r.getLong(0)}: leaf $cid beaten by same-group leaf $mid")
+      }
+    }
+  }
+
+  test("3-level tree: deterministic across runs") {
+    val a1 = KMeans.fitVecsTreeM(vecs, 12, 3)._2
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val a2 = KMeans.fitVecsTreeM(vecs, 12, 3)._2
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a1 == a2)
+  }
+
   test("q235 tree summary partitions the corpus exactly once") {
     // the declared query forces the tree on the gate corpus; every
     // document lands on exactly one leaf, so the per-leaf counts and
