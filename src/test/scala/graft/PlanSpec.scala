@@ -643,6 +643,16 @@ class PlanSpec extends SparkSpec {
       s"per-arm moment sums not map-side combined:\n$p")
   }
 
+  test("q237 char entropy: join-free, counts map-side combined") {
+    val df = ops.Entropy.charEntropy(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"),
+      s"the entropy census is three stacked partial aggs — no joins:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined
+      || "partial_sum".r.findFirstIn(p).isDefined,
+      s"(doc, char) counts not map-side combined:\n$p")
+  }
+
   test("q147 score join: a LIVE static-stat broadcast — flips under a floored threshold") {
     // VERDICT r11 #5: q147's score-side broadcast is a static decision
     // from PARQUET stats — legitimate because those stats grow with
