@@ -324,38 +324,50 @@ object Bench {
       clean.map(_.name).toSet)
   }
 
+  /** Retry budget for [[soloRerun]] — total solo attempts, first
+    * included. r14's q53 showed why one retry is not enough: the
+    * band-gated retry itself ran hot (calib 1.216) and its min stood
+    * at 2.6× certified in the OFFICIAL record, needing PERF.md
+    * arithmetic to adjudicate (VERDICT r14 #2). Three drained
+    * attempts bound the added wall clock at ~2 extra child launches
+    * for the worst row while making a calm attempt very likely. */
+  private[graft] val RerunMaxAttempts = 3
+
   /** The regroup backstop's solo re-run, contention-gated (VERDICT
-    * r11 #1): if the re-run child's own calib marks a load storm (or
-    * the re-run itself failed), pause briefly and run ONE drained
-    * retry; an ok attempt beats a failed one, and between two ok
-    * attempts the faster stands (the same semantics as min-of-reps —
-    * contention can only inflate, so the minimum is the honest
-    * steady-state estimate). The standing attempt's calib rides the
-    * record (`regrouped_calib`), so even a row whose both attempts
-    * ran hot adjudicates itself in the artifact. */
+    * r11 #1, iterated per VERDICT r14 #2): while the latest attempt
+    * failed, ran under a hot calib, or still sits over the certified
+    * band — all three marks of a measurement taken under the very
+    * contention the backstop exists to escape — pause and run
+    * another drained attempt, up to [[RerunMaxAttempts]] total; the
+    * MIN over ok attempts stands (the min-of-reps claim: contention
+    * only inflates, so the minimum is the honest steady-state
+    * estimate). The standing attempt's calib rides the record
+    * (`regrouped_calib`), so a row whose every attempt ran hot still
+    * adjudicates itself in the artifact. The band gate runs
+    * regardless of calib (VERDICT r12 #3: calibration is a CPU probe
+    * and cannot see a deep C2-compile queue — the CC/graph family
+    * degraded 2.4-3.5× certified with CLEAN calibs in BENCH_r12). */
   private def soloRerun(orig: QResult, sfDir: String, reps: Int): QResult = {
-    val first = runChild(Seq(orig.name), sfDir, reps).headOption.getOrElse(orig)
-    val hot = first.env.exists(_._1 > RerunCalibGate)
-    // band gate (VERDICT r12 #3): calibration is a CPU probe and
-    // cannot see a deep C2-compile queue — the CC/graph family
-    // degrades 2.4-3.5× certified with CLEAN calibs (BENCH_r12 q23
-    // 3.4×, q66 3.5×, q53 2.4×, calibs 0.83-1.08). A re-run still
-    // over its certified band gets the drained retry regardless of
-    // calib; min-of-attempts keeps the semantics unchanged.
     val cert = BenchTiers.certifiedSteady.getOrElse(shortName(orig.name), 0.0)
-    val overBand = first.ok && first.best > regroupCutoff(cert)
-    if (first.ok && !hot && !overBand) first
-    else {
-      System.err.println(s"[bench] ${orig.name} solo re-run " +
-        (if (!first.ok) "failed"
-         else if (hot) f"calib ${first.env.fold(0.0)(_._1)}%.2f hot"
-         else f"${ms3(first.best)} still over certified band (${ms3(cert)})") +
-        " — one drained retry")
+    def gripe(r: QResult): Option[String] =
+      if (!r.ok) Some("failed")
+      else if (r.env.exists(_._1 > RerunCalibGate))
+        Some(f"calib ${r.env.fold(0.0)(_._1)}%.2f hot")
+      else if (r.best > regroupCutoff(cert))
+        Some(f"${ms3(r.best)} still over certified band (${ms3(cert)})")
+      else None
+    var last = runChild(Seq(orig.name), sfDir, reps).headOption.getOrElse(orig)
+    var best = last
+    var attempts = 1
+    while (gripe(last).nonEmpty && attempts < RerunMaxAttempts) {
+      System.err.println(s"[bench] ${orig.name} solo attempt $attempts " +
+        s"${gripe(last).get} — drained retry ${attempts + 1}/$RerunMaxAttempts")
       Thread.sleep(RerunRetryPauseMs)
-      val second = runChild(Seq(orig.name), sfDir, reps).headOption
-        .getOrElse(first)
-      pickAttempt(first, second)
+      last = runChild(Seq(orig.name), sfDir, reps).headOption.getOrElse(last)
+      best = pickAttempt(best, last)
+      attempts += 1
     }
+    best
   }
 
   /** Between two solo attempts: an ok attempt always beats a failed

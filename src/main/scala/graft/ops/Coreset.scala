@@ -51,7 +51,17 @@ object Coreset {
       .withColumn("xx", VectorOps.dot(col("v"), col("v")))
       .localCheckpoint()
     // seed = vec_id 0 (deterministic; any fixed rule works for the
-    // 2-approximation)
+    // 2-approximation). Guard the dense-vec_id contract loudly (the
+    // fitVecsK spreadSeeds convention): without it a missing seed row
+    // surfaces as an opaque NoSuchElementException from the first
+    // argmax head() while the DuckDB replay silently returns a 1-row
+    // trace — divergent failure modes.
+    val g = vecs.agg(count(lit(1)).as("n"),
+      sum(when(col("vec_id") === 0L, 1L).otherwise(0L)).as("s0")).head
+    require(g.getLong(0) > 0, "Coreset.kCenter: empty embeddings corpus")
+    require(g.getLong(1) == 1L,
+      "Coreset.kCenter: seed row vec_id=0 missing — vec_ids must be " +
+        "dense from 0 (the corpus/probe-staging contract)")
     val seed = vecs.filter(col("vec_id") === 0L)
       .select(col("v").as("cv"), col("xx").as("cc"))
     var state = vecs.crossJoin(broadcast(seed))

@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   * under ANY partitioning); per-doc entropy rounds 9, source-level
   * stats round 6 with `+ 0.0` pinning the zero sign (q234 lesson).
   *
-  * Scale shape: explode-to-chars is linear (one row per character —
-  * the volume the tokenizer family already moves) and the
-  * (doc, char) count is map-side combinable down to ≤ |alphabet|
-  * rows per doc BEFORE any shuffle; the per-doc and per-source
-  * rollups are two further partial aggs on strictly shrinking
-  * relations. No joins, no windows, no driver round-trips — the
-  * shape survives 100 TB unchanged.
+  * Scale shape: per-doc character counts are computed SCAN-LOCALLY
+  * by the codegen'd [[graft.expressions.CodepointCounts]] census
+  * (one map row per document, ≤ |alphabet| entries) — nothing
+  * per-character ever exists as a row, r14 VERDICT #6's shave of the
+  * earlier explode-to-chars draft — and the exploded entries feed a
+  * map-side-combinable (source, doc) partial agg; the per-doc and
+  * per-source rollups are two further partial aggs on strictly
+  * shrinking relations. No joins, no windows, no driver round-trips
+  * — the shape survives 100 TB unchanged. Counting is per Unicode
+  * CODEPOINT (surrogate pairs = one character), matching the DuckDB
+  * oracle's `string_split(text, '')` on non-BMP corpora too (r14
+  * ADVICE — the regex `split(text, '')` counted UTF-16 code units).
   */
 object Entropy {
 
@@ -37,13 +42,16 @@ object Entropy {
   val LowNats = 2.0
 
   def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    // (source, doc_id, ch, c) straight off the scan — the census map
+    // already holds the exact per-doc counts, so the old
+    // (source, doc_id, ch) groupBy stage (and the one-row-per-
+    // character explode feeding it) is gone entirely; the first
+    // exchange is the per-doc rollup below
     val counts = Tables.documents(spark, sfDir)
       .filter(length(col("text")) > 0)
       .select(col("source"), col("doc_id"),
-        explode(split(col("text"), "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy(col("source"), col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("c"))
+        explode(graft.expressions.CodepointCounts.counts(col("text")))
+          .as(Seq("ch", "c")))
     val perDoc = counts
       .withColumn("term",
         col("c").cast("double") * round(log(col("c").cast("double")), 9))

@@ -118,10 +118,12 @@ object InContextPack {
       .orderBy(col("cid"), col("ctx_id"))
   }
 
-  val inContextPackSql: String = {
+  /** The order/pack/adjacency tail over in-scope `model`/`assigned`
+    * CTEs — shared verbatim by the declared gate oracle and the ×10
+    * tree-prefix rendering. */
+  private val inContextPackTail: String = {
     val tok = TextOps.tokSql()
-    s"""WITH ${KMeans.docModelCtes},
-      |dists AS (
+    s"""dists AS (
       |  SELECT a.vec_id AS doc_id, a.cid,
       |    ROUND(a.xx - 2.0 * list_dot_product(a.v, m.cv) + m.cc, 9)
       |      AS cdist,
@@ -160,4 +162,12 @@ object InContextPack {
       |GROUP BY p.cid, p.ctx_id
       |ORDER BY p.cid, p.ctx_id""".stripMargin
   }
+
+  val inContextPackSql: String =
+    s"WITH ${KMeans.docModelCtes},\n$inContextPackTail"
+
+  /** q229's oracle at a staged corpus's adaptive K (tree path) — the
+    * ×10 harness rendering. */
+  private[graft] def inContextPackTreeSqlAt(k: Int): String =
+    s"WITH ${KMeans.docTreeModelCtesAt(k)},\n$inContextPackTail"
 }

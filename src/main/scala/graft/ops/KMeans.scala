@@ -398,14 +398,14 @@ object KMeans {
       .localCheckpoint()
     var cents: DataFrame = null
     for (l <- 1 until levels - 1) {
-      cents = refineLevel(coarse, bs(l))
+      cents = refineLevel(coarse, bs(l), span)
       coarse = assignWithinGroups(coarse, cents)
         .select(col("vec_id"), (col("g") * bs(l) + col("c")).as("g"),
           col("v"), col("xx"))
         .localCheckpoint()
     }
     val bLast = bs(levels - 1)
-    cents = refineLevel(coarse, bLast)
+    cents = refineLevel(coarse, bLast, span)
     val leafId = (col("g") * bLast + col("c")).cast("int").as("cid")
     val model = cents.select(leafId, col("cv"), col("cc"))
     val assigned = assignWithinGroups(coarse, cents)
@@ -413,18 +413,50 @@ object KMeans {
     (model, assigned)
   }
 
+  /** Sub-partition count for the seeding rank (r14 VERDICT #3): the
+    * within-cell rank previously ran one sort partition PER CELL, so
+    * at the gate's B1 = 4 the stage used 4 of 32 cores — the measured
+    * x30→x60 super-linearity in q235's ladder. Banding by vec_id
+    * RANGE (not hash: rank composes across bands only when band
+    * boundaries are monotone in the sort key) splits each cell's rank
+    * into ~this many independent sorts plus a bounded offset join. */
+  private val SeedRankBands = 32
+
   /** One tree level: seed ⌈b⌉ centroids per group by within-group
     * vec_id-rank stride, then [[DocIters]] within-group Lloyd
-    * passes. The rank window runs over a PAYLOAD-FREE (g, vec_id)
+    * passes. The rank runs over a PAYLOAD-FREE (g, vec_id)
     * projection — the full corpus re-shuffled by group with 8 KB
     * vectors into few sort partitions was the first tree draft's own
-    * bottleneck; the chosen seed ids then fetch their vectors via a
-    * broadcast join. Returns (g, c, cv, cc, n). */
-  private def refineLevel(coarse: DataFrame, b: Int): DataFrame = {
-    val cellW = Window.partitionBy(col("g")).orderBy(col("vec_id"))
-    val cellN = coarse.groupBy(col("g")).agg(count(lit(1)).as("cn"))
-    val seedIds = coarse.select(col("g"), col("vec_id"))
-      .withColumn("rn", row_number().over(cellW).cast("long") - 1)
+    * bottleneck — and is computed BANDED: row_number within
+    * (g, vec_id-range band) + the cell's cumulative earlier-band
+    * count (a ≤ cells × [[SeedRankBands]]-row broadcast), so the
+    * sort parallelism is cells × bands instead of cells even at
+    * B1 = 4 (r14 VERDICT #3; the composed rank is value-identical
+    * because band boundaries are monotone in vec_id). The chosen
+    * seed ids then fetch their vectors via a broadcast join.
+    * Returns (g, c, cv, cc, n). */
+  private def refineLevel(coarse: DataFrame, b: Int, span: Long): DataFrame = {
+    // power-of-two band width: band = vec_id >> shift is an exact
+    // integer op (no float division anywhere near the seed choice)
+    val shift = 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, span / SeedRankBands))
+    val banded = coarse.select(col("g"), col("vec_id"),
+      shiftright(col("vec_id"), shift).as("band"))
+    val bandCnt = banded.groupBy(col("g"), col("band"))
+      .agg(count(lit(1)).as("bn"))
+    val offW = Window.partitionBy(col("g")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCnt // ≤ cells × bands rows — bounded
+      .withColumn("off", coalesce(sum(col("bn")).over(offW), lit(0L)))
+      .select(col("g"), col("band"), col("off"))
+    val cellN = bandCnt.groupBy(col("g")).agg(sum(col("bn")).as("cn"))
+    val localW = Window.partitionBy(col("g"), col("band"))
+      .orderBy(col("vec_id"))
+    val seedIds = banded
+      .withColumn("rn",
+        row_number().over(localW).cast("long") - 1)
+      .join(broadcast(offsets), Seq("g", "band"))
+      .withColumn("rn", col("rn") + col("off"))
       .join(broadcast(cellN), Seq("g")) // ≤ K/b rows — bounded
       .withColumn("cstride",
         greatest(lit(1L), floor(col("cn") / b).cast("long")))
@@ -486,14 +518,24 @@ object KMeans {
     // the queries project straight off the assignment, which carries
     // (vec_id, v, xx)
     val (cents, assigned) = docModelAndAssignments(spark, sfDir)
-    val q = assigned.filter(col("vec_id") < 3)
+    knnIvfTop3(cents, assigned)
+  }
+
+  /** The IVF probe over an arbitrary fitted `(cents, assigned)` pair
+    * — [[NProbe]] nearest lists by rounded true L2, exact rounded-6
+    * cosine inside them, per-query top-3 with id tiebreaks. Shared by
+    * q79 (flat gate model, 3 serving queries) and q239 (both models,
+    * [[AuditQueries]] queries at the same probe budget). */
+  private def knnIvfTop3(cents: DataFrame, assigned: DataFrame,
+      nQueries: Int = 3, nProbe: Int = NProbe): DataFrame = {
+    val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("xx").as("qxx"))
     val probed = q.crossJoin(broadcast(cents))
       .withColumn("cdist", d2c(col("qxx"), col("qv"), col("cv"), col("cc")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cdist"), col("cid"))))
-      .filter(col("crank") <= NProbe)
+      .filter(col("crank") <= nProbe)
       .select(col("q_id"), col("qv"), col("qxx"), col("cid"))
     val denom = sqrt(col("xx")) * sqrt(col("qxx"))
     probed.join(assigned, Seq("cid"))
@@ -565,9 +607,11 @@ object KMeans {
       |assigned AS (${assignDocSql("model")})""".stripMargin
   }
 
-  val knnIvf1024Sql: String = {
-    s"""WITH $docModelCtes,
-      |q AS (SELECT vec_id AS q_id, v AS qv, xx AS qxx
+  /** The q79 probe/score/rank tail over in-scope `docv`, `model`,
+    * `assigned` CTEs — shared verbatim by the declared gate oracle
+    * and the ×10 tree-prefix rendering. */
+  private val knnIvf1024Tail: String =
+    s"""q AS (SELECT vec_id AS q_id, v AS qv, xx AS qxx
       |      FROM docv WHERE vec_id < 3),
       |probed AS (
       |  SELECT q_id, qv, qxx, cid FROM (
@@ -589,7 +633,14 @@ object KMeans {
       |SELECT q_id, rank, vec_id AS n_id, sim
       |FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
-  }
+
+  val knnIvf1024Sql: String =
+    s"WITH $docModelCtes,\n$knnIvf1024Tail"
+
+  /** q79's oracle at a staged corpus's adaptive K (tree path) — the
+    * ×10 harness rendering. */
+  private[graft] def knnIvf1024TreeSqlAt(k: Int): String =
+    s"WITH ${docTreeModelCtesAt(k)},\n$knnIvf1024Tail"
 
   val knnIvfKmeansSql: String =
     s"""WITH $modelCtes,
@@ -643,18 +694,33 @@ object KMeans {
       .orderBy(col("cid"))
   }
 
-  /** DuckDB replay of [[fitVecsTree]] at K = [[DocK]]: stride sample
-    * → spread-seeded L1 Lloyd (B1 cells) → one full coarse routing →
-    * within-cell-rank stride seeds → per-cell L2 Lloyd (B2 each) →
-    * leaf id c1·B2 + c2. Every step reuses the flat loop's pinned
-    * arithmetic (rounded-9 true-L2 argmin with id tiebreak,
-    * DECIMAL(28,12) re-center means rounded 9). */
-  val treeSummarySql: String = {
-    // gate-K branch plan: fitVecsTreeM's geometric split at
-    // (K = DocK, M = 2) — ⌈√10⌉ = 4, ⌈10/4⌉ = 3, same values as
-    // these closed forms (KMeansTreeSpec pins the agreement)
-    val b1 = math.max(2, math.ceil(math.sqrt(DocK.toDouble)).toInt)
-    val b2 = math.max(1, math.ceil(DocK.toDouble / b1).toInt)
+  // gate-K branch plan: fitVecsTreeM's geometric split at
+  // (K = DocK, M = 2) — ⌈√10⌉ = 4, ⌈10/4⌉ = 3 (KMeansTreeSpec pins
+  // the closed form's agreement with the loop)
+  private[graft] val TreeB1 = treeBranchAt(DocK)._1
+  private[graft] val TreeB2 = treeBranchAt(DocK)._2
+
+  /** fitVecsTreeM's geometric branch split at (k, M = 2), closed
+    * form — ⌈√k⌉ and ⌈k/b1⌉ (KMeansTreeSpec pins the agreement with
+    * the loop). */
+  private[graft] def treeBranchAt(k: Int): (Int, Int) = {
+    val b1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    (b1, math.max(1, math.ceil(k.toDouble / b1).toInt))
+  }
+
+  /** The [[fitVecsTree]] construction at an arbitrary 2-level K as
+    * reusable CTEs over an in-scope `docv(vec_id, v, xx)`: stride
+    * sample → spread-seeded L1 Lloyd (B1 cells) → one full coarse
+    * routing → within-cell-rank stride seeds → per-cell L2 Lloyd
+    * (B2 each) → `tfin` (final within-cell assignment) +
+    * `tmodel(cid, cv, cc)` with leaf id c1·B2 + c2. The declared
+    * gates render it at K = [[DocK]] ([[treeFitCtes]], q235/q239);
+    * the ×10 scale-verification harness renders it at the staged
+    * corpus's [[adaptiveDocKOf]] — the K the Spark side actually
+    * runs there — so answers above the gate are hash-checkable too
+    * (r14 VERDICT #1). */
+  private[graft] def treeFitCtesAt(k: Int): String = {
+    val (b1, b2) = treeBranchAt(k)
     val sampleTarget = math.max(50L * b1, 2000L)
     // within-cell argmin: candidates restricted to the vector's OWN
     // coarse cell (join on c1), tiebreak by c2 — the SQL twin of
@@ -678,10 +744,7 @@ object KMeans {
          |td$i AS MATERIALIZED (
          |  ${updateDocSql(s"tb$i", keys = Seq("c1", "c2"))})""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${Corpus.docEmbCte},
-      |docv AS MATERIALIZED (
-      |  SELECT vec_id, v, list_dot_product(v, v) AS xx FROM demb),
-      |tsamp AS MATERIALIZED (
+    s"""tsamp AS MATERIALIZED (
       |  SELECT vec_id // st AS vec_id, v, xx
       |  FROM docv, (SELECT GREATEST(1, (MAX(vec_id) + 1) // $sampleTarget) AS st
       |              FROM docv)
@@ -709,13 +772,197 @@ object KMeans {
       |$l2Lloyd,
       |tfin AS (${assignCellSql(s"td$DocIters")}),
       |tmodel AS (
-      |  SELECT CAST(c1 * $b2 + c2 AS INT) AS cid, cv FROM td$DocIters),
+      |  SELECT CAST(c1 * $b2 + c2 AS INT) AS cid, cv, cc
+      |  FROM td$DocIters)""".stripMargin
+  }
+
+  /** The gate rendering of [[treeFitCtesAt]] (K = [[DocK]]). */
+  private[graft] val treeFitCtes: String = treeFitCtesAt(DocK)
+
+  /** The tree fit at an arbitrary K rendered under the FLAT chain's
+    * CTE names (`docv`, `model`, `assigned`) — a drop-in prefix for
+    * every oracle that composes [[docModelCtes]] (q79/q100/q229), so
+    * the ×10 harness can hash-check those queries on corpora where
+    * the Spark side has switched to the tree. */
+  private[graft] def docTreeModelCtesAt(k: Int): String = {
+    val (_, b2) = treeBranchAt(k)
+    s"""${Corpus.docEmbCte},
+      |docv AS MATERIALIZED (
+      |  SELECT vec_id, v, list_dot_product(v, v) AS xx FROM demb),
+      |${treeFitCtesAt(k)},
+      |model AS (SELECT cid, cv, cc FROM tmodel),
+      |assigned AS (
+      |  SELECT vec_id, v, xx, CAST(c1 * $b2 + c2 AS INT) AS cid
+      |  FROM tfin)""".stripMargin
+  }
+
+  /** DuckDB replay of [[fitVecsTree]] at K = [[DocK]]: the shared
+    * [[treeFitCtes]] chain plus the per-leaf membership rollup. Every
+    * step reuses the flat loop's pinned arithmetic (rounded-9 true-L2
+    * argmin with id tiebreak, DECIMAL(28,12) re-center means rounded
+    * 9). */
+  val treeSummarySql: String =
+    s"""WITH ${Corpus.docEmbCte},
+      |docv AS MATERIALIZED (
+      |  SELECT vec_id, v, list_dot_product(v, v) AS xx FROM demb),
+      |$treeFitCtes,
       |tagg AS (
-      |  SELECT CAST(c1 * $b2 + c2 AS INT) AS cid, COUNT(*) AS n,
+      |  SELECT CAST(c1 * $TreeB2 + c2 AS INT) AS cid, COUNT(*) AS n,
       |    CAST(SUM(vec_id) AS BIGINT) AS id_sum
       |  FROM tfin GROUP BY 1)
       |SELECT a.cid, a.n, a.id_sum, ROUND(m.cv[1], 6) + 0.0 AS c0
       |FROM tagg a JOIN tmodel m USING (cid)
       |ORDER BY a.cid""".stripMargin
+
+  // -----------------------------------------------------------------
+  // q239: tree-model recall audit. q119 audits IVF recall on the
+  // flat-Lloyd 64-d models, but the PRODUCTION 1024-d assignment
+  // above the gate is the q235 tree — until this query its retrieval
+  // quality had no oracle-checked number (r14 VERDICT #5). Same
+  // per-query overlap-vs-brute-force shape as q119, over both the
+  // flat gate model (the q79 path) and the tree model, at TWO tree
+  // budgets: equal LIST budget (NProbe lists each — but the tree's
+  // B1·B2 = 12 leaves make that a smaller corpus fraction than
+  // NProbe of the flat model's 10 cells) and equal corpus FRACTION
+  // (⌈NProbe·12/10⌉ = 3 leaves — the nprobe/nlist ratio faiss
+  // equalizes when comparing coarse quantizers). Publishing both
+  // makes the row self-explanatory: the measured gate-K gap at equal
+  // lists is partly probe-fraction, partly the real hierarchical-
+  // quantization cost (a vector is assigned within its coarse cell,
+  // so leaf boundaries are worse than flat Lloyd's — the known
+  // IMI/tree-quantizer trade; the production mitigation is that the
+  // tree only ENGAGES at K ∝ corpus, where flat is unaffordable and
+  // the probed-fraction gap vanishes as leaves grow).
+  // -----------------------------------------------------------------
+
+  /** Equal-corpus-fraction tree probe budget: ⌈NProbe · B1·B2 / K⌉. */
+  private[graft] val TreeEqFracProbe: Int = math.ceil(
+    NProbe.toDouble * (TreeB1 * TreeB2) / DocK).toInt
+
+  /** Audit query count — wider than the rankers' 3-query serving
+    * shape because a recall DIFFERENCE between two ANN variants is
+    * the statistic under audit, and 9 neighbor slots is
+    * noise-dominated for that (the same 2-probe budget swings ±2
+    * hits per query with which borderline centroid ranks second). */
+  val AuditQueries = 10
+
+  /** q239: recall@3 of the flat-Lloyd IVF and the [[fitVecsTree]]
+    * IVF against the exact 1024-d cosine scan, per query over
+    * [[AuditQueries]] queries. Every ranker materializes once (the
+    * q119 barrier lesson — without it the composed plan re-executes
+    * both training loops per join side); the audit itself joins
+    * three ≤3·[[AuditQueries]]-row relations. */
+  def treeRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = docVectors(spark, sfDir)
+    val (fm, fa) = docModelOver(vecs, DocK, spreadSeeds = false)
+    val (tm, ta) = fitVecsTree(vecs, DocK)
+    val q = vecs.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("xx").as("qxx"))
+    val denom = sqrt(col("xx")) * sqrt(col("qxx"))
+    val exact = vecs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(when(denom === 0.0, lit(0.0))
+        .otherwise(VectorOps.dot(col("v"), col("qv")) / denom), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .localCheckpoint()
+    val flat = knnIvfTop3(fm, fa, AuditQueries)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit_flat"))
+      .localCheckpoint()
+    val tree = knnIvfTop3(tm, ta, AuditQueries)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit_tree"))
+      .localCheckpoint()
+    val treeEqf = knnIvfTop3(tm, ta, AuditQueries, TreeEqFracProbe)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit_tree_eqf"))
+      .localCheckpoint()
+    exact.join(flat, Seq("q_id", "n_id"), "left")
+      .join(tree, Seq("q_id", "n_id"), "left")
+      .join(treeEqf, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit_flat"), lit(0L))).as("hits_flat"),
+        sum(coalesce(col("hit_tree"), lit(0L))).as("hits_tree"),
+        sum(coalesce(col("hit_tree_eqf"), lit(0L))).as("hits_tree_eqf"))
+      .select(col("q_id"), col("k"),
+        col("hits_flat"),
+        round(col("hits_flat").cast("double") / col("k"), 6)
+          .as("recall_flat"),
+        col("hits_tree"),
+        round(col("hits_tree").cast("double") / col("k"), 6)
+          .as("recall_tree"),
+        col("hits_tree_eqf"),
+        round(col("hits_tree_eqf").cast("double") / col("k"), 6)
+          .as("recall_tree_eqf"))
+      .orderBy(col("q_id"))
   }
+
+  /** The IVF probe as CTEs over in-scope `q(q_id, qv, qxx)` and a
+    * `(model, assigned)` pair — the SQL twin of [[knnIvfTop3]],
+    * emitted as `${pfx}probed` / `${pfx}top`. */
+  private def ivfTop3Sql(model: String, assigned: String,
+      pfx: String, nProbe: Int = NProbe): String =
+    s"""${pfx}probed AS (
+      |  SELECT q_id, qv, qxx, cid FROM (
+      |    SELECT q.q_id, q.qv, q.qxx, m.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+      |        ORDER BY ${d2Sql("q.qxx", "q.qv", "m.cv", "m.cc")}, m.cid) AS crank
+      |    FROM q CROSS JOIN $model m)
+      |  WHERE crank <= $nProbe),
+      |${pfx}top AS (
+      |  SELECT q_id, vec_id AS n_id FROM (
+      |    SELECT p.q_id, a.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+      |        ROUND(CASE WHEN sqrt(a.xx) * sqrt(p.qxx) = 0 THEN 0.0
+      |              ELSE list_dot_product(a.v, p.qv)
+      |                / (sqrt(a.xx) * sqrt(p.qxx)) END, 6) DESC,
+      |        a.vec_id) AS rank
+      |    FROM ${pfx}probed p JOIN $assigned a ON a.cid = p.cid
+      |    WHERE a.vec_id <> p.q_id)
+      |  WHERE rank <= 3)""".stripMargin
+
+  /** DuckDB replay of [[treeRecall]]: the flat [[docModelCtes]] chain
+    * and the [[treeFitCtes]] chain over the SAME `docv`, the exact
+    * cosine top-3, and both IVF probes at equal budget. */
+  val treeRecallSql: String =
+    s"""WITH $docModelCtes,
+      |$treeFitCtes,
+      |tassigned AS (
+      |  SELECT vec_id, v, xx, CAST(c1 * $TreeB2 + c2 AS INT) AS cid
+      |  FROM tfin),
+      |q AS (SELECT vec_id AS q_id, v AS qv, xx AS qxx
+      |      FROM docv WHERE vec_id < $AuditQueries),
+      |exact AS (
+      |  SELECT q_id, vec_id AS n_id FROM (
+      |    SELECT q.q_id, d.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |        ROUND(CASE WHEN sqrt(d.xx) * sqrt(q.qxx) = 0 THEN 0.0
+      |              ELSE list_dot_product(d.v, q.qv)
+      |                / (sqrt(d.xx) * sqrt(q.qxx)) END, 6) DESC,
+      |        d.vec_id) AS rank
+      |    FROM q CROSS JOIN docv d WHERE d.vec_id <> q.q_id)
+      |  WHERE rank <= 3),
+      |${ivfTop3Sql("model", "assigned", "f")},
+      |${ivfTop3Sql("tmodel", "tassigned", "t")},
+      |${ivfTop3Sql("tmodel", "tassigned", "te", TreeEqFracProbe)}
+      |SELECT e.q_id, COUNT(*) AS k,
+      |  CAST(SUM(COALESCE(f.hit, 0)) AS BIGINT) AS hits_flat,
+      |  ROUND(CAST(SUM(COALESCE(f.hit, 0)) AS DOUBLE) / COUNT(*), 6)
+      |    AS recall_flat,
+      |  CAST(SUM(COALESCE(t.hit, 0)) AS BIGINT) AS hits_tree,
+      |  ROUND(CAST(SUM(COALESCE(t.hit, 0)) AS DOUBLE) / COUNT(*), 6)
+      |    AS recall_tree,
+      |  CAST(SUM(COALESCE(te.hit, 0)) AS BIGINT) AS hits_tree_eqf,
+      |  ROUND(CAST(SUM(COALESCE(te.hit, 0)) AS DOUBLE) / COUNT(*), 6)
+      |    AS recall_tree_eqf
+      |FROM exact e
+      |LEFT JOIN (SELECT q_id, n_id, 1 AS hit FROM ftop) f
+      |  ON e.q_id = f.q_id AND e.n_id = f.n_id
+      |LEFT JOIN (SELECT q_id, n_id, 1 AS hit FROM ttop) t
+      |  ON e.q_id = t.q_id AND e.n_id = t.n_id
+      |LEFT JOIN (SELECT q_id, n_id, 1 AS hit FROM tetop) te
+      |  ON e.q_id = te.q_id AND e.n_id = te.n_id
+      |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 }

@@ -79,9 +79,11 @@ object SemDedup {
       .orderBy(col("cid"))
   }
 
-  val semDedupSql: String =
-    s"""WITH ${KMeans.docModelCtes},
-      |removed AS (
+  /** The pair-compare + rollup tail over an in-scope `assigned` CTE
+    * — shared verbatim by the declared gate oracle and the ×10
+    * tree-prefix rendering. */
+  private val semDedupTail: String =
+    s"""removed AS (
       |  SELECT DISTINCT b.vec_id
       |  FROM assigned a JOIN assigned b
       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -94,4 +96,12 @@ object SemDedup {
       |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
       |GROUP BY a.cid
       |ORDER BY a.cid""".stripMargin
+
+  val semDedupSql: String =
+    s"WITH ${KMeans.docModelCtes},\n$semDedupTail"
+
+  /** q100's oracle at a staged corpus's adaptive K (tree path) — the
+    * ×10 harness rendering. */
+  private[graft] def semDedupTreeSqlAt(k: Int): String =
+    s"WITH ${KMeans.docTreeModelCtesAt(k)},\n$semDedupTail"
 }

@@ -44,4 +44,12 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.RerunCalibGate > 1.0)
     assert(Bench.RerunCalibGate < 1.8)
   }
+
+  test("rerun retry budget: more than one attempt, bounded (r14 #2)") {
+    // one retry let a hot-calib retry's min stand in BENCH_r14 (q53
+    // at 2.6× certified, calib 1.216); unbounded retries would let a
+    // genuine regression stall the suite
+    assert(Bench.RerunMaxAttempts >= 3)
+    assert(Bench.RerunMaxAttempts <= 5)
+  }
 }

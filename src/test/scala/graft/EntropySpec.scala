@@ -9,9 +9,11 @@ class EntropySpec extends SparkSpec {
     BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   // the op's ladder: H = ln(n) − (Σ c·ln c)/n with rounded-9 lns,
-  // DECIMAL(28,12)-quantized term sums, per-doc round 9
+  // DECIMAL(28,12)-quantized term sums, per-doc round 9; counting is
+  // per CODEPOINT (the r15 CodepointCounts semantics — identical to
+  // the old split("") on this ASCII corpus, divergent on non-BMP)
   private def docEntropy(text: String): Double = {
-    val counts = text.split("").filter(_.nonEmpty)
+    val counts = text.codePoints().toArray.toSeq
       .groupBy(identity).map(_._2.length.toLong)
     val n = counts.sum
     val s = counts
@@ -44,6 +46,22 @@ class EntropySpec extends SparkSpec {
       assert(r.getDouble(4) == mx, s"${r.getString(0)} max")
       assert(r.getLong(5) == low, s"${r.getString(0)} n_low")
     }
+  }
+
+  test("codepoint census: supplementary-plane chars count ONCE") {
+    // the r14 ADVICE divergence class: split(text, "") counted a
+    // surrogate PAIR as two lone-surrogate 'characters' while the
+    // DuckDB oracle's string_split counts codepoints — the census
+    // expression must agree with the oracle on non-BMP text too
+    import spark.implicits._
+    val got = Seq("a😀😀b", "😀", "xyx")
+      .toDF("text")
+      .select(graft.expressions.CodepointCounts.counts(
+        org.apache.spark.sql.functions.col("text")).as("m"))
+      .as[Map[String, Long]].collect()
+    assert(got(0) === Map("a" -> 1L, "😀" -> 2L, "b" -> 1L))
+    assert(got(1) === Map("😀" -> 1L))
+    assert(got(2) === Map("x" -> 2L, "y" -> 1L))
   }
 
   test("entropy sits in the sane band for natural-ish text") {
