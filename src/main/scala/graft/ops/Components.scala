@@ -355,7 +355,7 @@ object Components {
 
   val canonicalKeepSql: String = {
     val rounds = (1 to Rounds).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT l.node,
          |    LEAST(l.lbl, COALESCE(MIN(nb.lbl), l.lbl)) AS lbl
          |  FROM l${i - 1} l
@@ -365,7 +365,7 @@ object Components {
     }.mkString(",\n")
     val pairSource = Dedup.jaccardPairsSql
       .replace("ORDER BY a_id, b_id", "")
-    s"""WITH pairs AS ($pairSource),
+    s"""WITH pairs AS MATERIALIZED ($pairSource),
       |edges AS (
       |  SELECT a_id AS src, b_id AS dst FROM pairs
       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
@@ -385,7 +385,7 @@ object Components {
 
   val dedupGroupsSql: String = {
     val rounds = (1 to Rounds).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT l.node,
          |    LEAST(l.lbl, COALESCE(MIN(nb.lbl), l.lbl)) AS lbl
          |  FROM l${i - 1} l
@@ -396,7 +396,7 @@ object Components {
     // reuse the full q23 pipeline as the pair source
     val pairSource = Dedup.jaccardPairsSql
       .replace("ORDER BY a_id, b_id", "")
-    s"""WITH pairs AS ($pairSource),
+    s"""WITH pairs AS MATERIALIZED ($pairSource),
       |edges AS (
       |  SELECT a_id AS src, b_id AS dst FROM pairs
       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),

@@ -101,22 +101,27 @@ object Coreset {
       s"GREATEST(0.0, ROUND($a.xx - 2 * list_dot_product($a.v, $b.cv) + $b.cc, 9))"
     val steps = (2 to K).map { k =>
       val prev = s"d${k - 1}"
+      // d$k MATERIALIZED: each step's corpus state is referenced by
+      // BOTH the next argmax and the next refresh — without the hint
+      // DuckDB may inline it twice per step, expanding the replay
+      // ~2^K-fold (the q53/q147 ×10 lesson — invisible at the gate
+      // SFs, intractable on staged scale corpora)
       s"""c$k AS (SELECT vec_id, v AS cv, xx AS cc, dmin
          |  FROM $prev ORDER BY dmin DESC, vec_id LIMIT 1),
-         |d$k AS (
+         |d$k AS MATERIALIZED (
          |  SELECT p.vec_id, p.v, p.xx, LEAST(p.dmin, ${d2s("p", "c")}) AS dmin
          |  FROM $prev p, c$k c)""".stripMargin
     }.mkString(",\n")
     val rows = (2 to K).map(k =>
       s"SELECT CAST($k AS BIGINT) AS step, vec_id, ROUND(sqrt(dmin), 6) + 0.0 AS dist FROM c$k")
       .mkString("\nUNION ALL ")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    list_dot_product(CAST(embedding AS DOUBLE[]),
       |                     CAST(embedding AS DOUBLE[])) AS xx
       |  FROM embeddings),
       |s1 AS (SELECT v AS cv, xx AS cc FROM e WHERE vec_id = 0),
-      |d1 AS (
+      |d1 AS MATERIALIZED (
       |  SELECT p.vec_id, p.v, p.xx, ${d2s("p", "s")} AS dmin
       |  FROM e p, s1 s),
       |$steps
