@@ -57,6 +57,22 @@ class KMeansTreeSpec extends SparkSpec {
     assert(k(150000) == 300)        // the x30 staged corpus
   }
 
+  test("closed-form branch plan matches fitVecsTreeM's geometric split") {
+    // treeBranchAt is what the ×10 harness renders oracles with
+    // (docTreeModelCtesAt at the staged corpus's adaptive K) — it
+    // must track the loop's split at every K the harness can see:
+    // gate 10 → [4, 3], ×10 100 → [10, 10], ×30 300 → [18, 17]
+    def loopSplit(k: Int): (Int, Int) = {
+      var rem = k
+      val b1 = math.max(2, math.ceil(math.pow(rem.toDouble, 0.5)).toInt)
+      rem = math.max(1, math.ceil(rem.toDouble / b1).toInt)
+      (b1, rem)
+    }
+    for (k <- Seq(10, 11, 100, 300, 306, 600, 8192))
+      assert(KMeans.treeBranchAt(k) == loopSplit(k), s"k=$k")
+    assert(KMeans.treeBranchAt(KMeans.DocK) == (KMeans.TreeB1, KMeans.TreeB2))
+  }
+
   test("tree: every vector lands on a leaf of the model, leaves ≈ k") {
     val (model, assigned) = KMeans.fitVecsTree(vecs, 12)
     val leaves = model.select("cid").collect().map(_.getInt(0)).toSet
