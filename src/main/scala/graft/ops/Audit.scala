@@ -29,15 +29,19 @@ object Audit {
     // joins three ≤k·queries-row tables — without the barrier, the
     // composed plan re-inlines three broadcast-KNN pipelines (plus the
     // k-means training subtree) into one tree and re-executes shared
-    // stages per join side (measured 25 s warm vs ~2 s staged)
-    val exact = Similarity.knnBruteForce(spark, sfDir)
-      .select(col("q_id"), col("n_id")).localCheckpoint()
-    val ivf = Similarity.knnIvf(spark, sfDir)
-      .select(col("q_id"), col("n_id"), lit(1L).as("hit_ivf"))
-      .localCheckpoint()
-    val livf = KMeans.knnIvfKmeans(spark, sfDir)
-      .select(col("q_id"), col("n_id"), lit(1L).as("hit_livf"))
-      .localCheckpoint()
+    // stages per join side (measured 25 s warm vs ~2 s staged).
+    // The three ranker chains are independent, so they materialize on
+    // concurrent driver threads (r15; guide §2.6) — values are
+    // scheduling-independent, only the interleaving changes.
+    val Seq(exact, ivf, livf) = Par.run(
+      () => Similarity.knnBruteForce(spark, sfDir)
+        .select(col("q_id"), col("n_id")).localCheckpoint(),
+      () => Similarity.knnIvf(spark, sfDir)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit_ivf"))
+        .localCheckpoint(),
+      () => KMeans.knnIvfKmeans(spark, sfDir)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit_livf"))
+        .localCheckpoint())
     exact
       .join(ivf, Seq("q_id", "n_id"), "left")
       .join(livf, Seq("q_id", "n_id"), "left")

@@ -229,14 +229,20 @@ object Components {
     * count is carried forward so each round pays exactly one extra
     * shuffle job for the probe. */
   private[graft] def starLoop(edges0: DataFrame, rounds: Int): DataFrame = {
-    var es = edges0.localCheckpoint()
-    var nEs = es.count()
+    // row counts ride the checkpoint jobs as observe metrics (the
+    // pinPairs trick, applied here in r15): the separate count()
+    // actions were one extra job per round on metadata-scale data
+    val obs0 = org.apache.spark.sql.Observation()
+    var es = edges0.observe(obs0, count(lit(1)).as("n")).localCheckpoint()
+    var nEs = obs0.get("n").asInstanceOf[Long]
     var converged = false
     var round = 0
     while (round < rounds && !converged) {
       val t0 = System.nanoTime()
-      val next = starRound(es).localCheckpoint()
-      val nNext = next.count()
+      val obs = org.apache.spark.sql.Observation()
+      val next = starRound(es).observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      val nNext = obs.get("n").asInstanceOf[Long]
       // round 1 can only be a fixpoint if the input already was one —
       // skip its probe shuffle (idempotence makes the extra round in
       // that rare case harmless)

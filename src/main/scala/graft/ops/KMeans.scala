@@ -42,13 +42,25 @@ object KMeans {
         first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("cid"))
 
-  /** One update step: exact-decimal per-dimension mean, via
-    * posexplode + ONE decimal aggregate + ordered reassembly — a
-    * 64-wide aggregate-column list costs seconds of codegen for its
-    * decimal buffers (round-3 lesson, same shape as [[updateDoc]]);
-    * exact decimal sums are order-independent, so values are
-    * identical to the wide form. */
+  /** One update step: exact-decimal per-dimension mean via the native
+    * [[graft.expressions.VecDecimalSumAgg]] aggregate — one pass over the
+    * vectors, one partial buffer per (cid × partition) through the
+    * shuffle, identical values to the posexplode + decimal-agg shape
+    * it replaced (r15: the explode materialized n·d rows and paid a
+    * per-ELEMENT hash probe; VecDecimalSumSpec pins bit-equality).
+    * The divide-by-count and round(…, 9) remain the same Catalyst
+    * expressions the explode shape applied per (cid, i) group. */
   private def update(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cid"))
+      .agg(graft.expressions.VecDecimalSumAgg.sumCastDouble(col("v")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cid"),
+        transform(col("s"), x => round(x / col("n"), 9)).as("cv"),
+        col("n"))
+
+  /** The pre-r15 posexplode formulation of [[update]] — retained as
+    * the parity REFERENCE for VecDecimalSumSpec's bit-equality gate. */
+  private[graft] def updateExplode(assigned: DataFrame): DataFrame =
     assigned.select(col("cid"), posexplode(col("v"))).toDF("cid", "i", "x")
       .groupBy(col("cid"), col("i"))
       .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double")
@@ -228,9 +240,27 @@ object KMeans {
     updateDocBy(assigned, Seq("cid"))
 
   /** Re-centering keyed by an arbitrary cluster key (the tree path
-    * re-centers by (c1, c2)). Explode volume is n·d rows per call —
-    * linear in the corpus, K-independent. */
-  private def updateDocBy(assigned: DataFrame, keys: Seq[String]): DataFrame = {
+    * re-centers by (c1, c2)) via the native
+    * [[graft.expressions.VecDecimalSumAgg]] aggregate: one pass, one
+    * partial buffer per (key × partition), no n·d explode — values
+    * bit-identical to the explode shape (VecDecimalSumSpec), whose
+    * per-element decimal hash-agg was the measured hot block of every
+    * 1024-d Lloyd pass (1.7 s/pass at sf0.1). */
+  private[graft] def updateDocBy(assigned: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    assigned.groupBy(kc: _*)
+      .agg(graft.expressions.VecDecimalSumAgg.sumCastDouble(col("v")).as("s"),
+        count(lit(1)).as("n"))
+      .select(kc :+
+        transform(col("s"), x => round(x / col("n"), 9)).as("cv") :+
+        col("n"): _*)
+      .withColumn("cc", VectorOps.dot(col("cv"), col("cv")))
+  }
+
+  /** The pre-r15 posexplode formulation of [[updateDocBy]] — parity
+    * REFERENCE for VecDecimalSumSpec's bit-equality gate. */
+  private[graft] def updateDocByExplode(assigned: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val kc = keys.map(col)
     assigned.select(kc :+ posexplode(col("v")).as(Seq("i", "x")): _*)
       .groupBy(kc :+ col("i"): _*)
@@ -854,31 +884,49 @@ object KMeans {
     * three ≤3·[[AuditQueries]]-row relations. */
   def treeRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = docVectors(spark, sfDir)
-    val (fm, fa) = docModelOver(vecs, DocK, spreadSeeds = false)
-    val (tm, ta) = fitVecsTree(vecs, DocK)
-    val q = vecs.filter(col("vec_id") < AuditQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("xx").as("qxx"))
-    val denom = sqrt(col("xx")) * sqrt(col("qxx"))
-    val exact = vecs.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(when(denom === 0.0, lit(0.0))
-        .otherwise(VectorOps.dot(col("v"), col("qv")) / denom), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("vec_id").as("n_id"))
-      .localCheckpoint()
-    val flat = knnIvfTop3(fm, fa, AuditQueries)
-      .select(col("q_id"), col("n_id"), lit(1L).as("hit_flat"))
-      .localCheckpoint()
-    val tree = knnIvfTop3(tm, ta, AuditQueries)
-      .select(col("q_id"), col("n_id"), lit(1L).as("hit_tree"))
-      .localCheckpoint()
-    val treeEqf = knnIvfTop3(tm, ta, AuditQueries, TreeEqFracProbe)
-      .select(col("q_id"), col("n_id"), lit(1L).as("hit_tree_eqf"))
-      .localCheckpoint()
-    exact.join(flat, Seq("q_id", "n_id"), "left")
+    // the four ranker chains are INDEPENDENT once the corpus is
+    // staged — the exact scan, the flat-Lloyd fit+probe, and the tree
+    // fit+probe pair share only the checkpointed `vecs` — so their
+    // many small sequential jobs overlap across driver threads
+    // instead of each chain idling most cores (r15; guide §2.6).
+    // Values are scheduling-independent (each thunk materializes a
+    // deterministic subtree); only wall-clock interleaving changes.
+    val Seq(exact, flat, treePair) = Par.run(
+      () => {
+        val q = vecs.filter(col("vec_id") < AuditQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("xx").as("qxx"))
+        val denom = sqrt(col("xx")) * sqrt(col("qxx"))
+        vecs.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(when(denom === 0.0, lit(0.0))
+            .otherwise(VectorOps.dot(col("v"), col("qv")) / denom), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id").as("n_id"))
+          .localCheckpoint() :: Nil
+      },
+      () => {
+        val (fm, fa) = docModelOver(vecs, DocK, spreadSeeds = false)
+        knnIvfTop3(fm, fa, AuditQueries)
+          .select(col("q_id"), col("n_id"), lit(1L).as("hit_flat"))
+          .localCheckpoint() :: Nil
+      },
+      () => {
+        val (tm, ta) = fitVecsTree(vecs, DocK)
+        List(
+          knnIvfTop3(tm, ta, AuditQueries)
+            .select(col("q_id"), col("n_id"), lit(1L).as("hit_tree"))
+            .localCheckpoint(),
+          knnIvfTop3(tm, ta, AuditQueries, TreeEqFracProbe)
+            .select(col("q_id"), col("n_id"), lit(1L).as("hit_tree_eqf"))
+            .localCheckpoint())
+      })
+    val tree = treePair.head
+    val treeEqf = treePair(1)
+    exact.head.join(flat.head, Seq("q_id", "n_id"), "left")
       .join(tree, Seq("q_id", "n_id"), "left")
       .join(treeEqf, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))

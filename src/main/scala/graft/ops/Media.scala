@@ -186,6 +186,41 @@ object Media {
     out.toByteArray
   }
 
+  /** Seekable in-memory `ImageInputStream` over a byte array for the
+    * per-frame decode hot paths (Scenes/Video). The stock
+    * `MemoryCacheImageInputStream` inherits a non-trivial
+    * `ImageInputStreamImpl.finalize()` (still present in JDK 17), so
+    * one stream per frame queues hundreds of thousands of FINALIZABLE
+    * objects per query — measured as multi-second erratic GC stalls
+    * (q175 reps swinging 3 s → 36 s) once the decode stages went
+    * 32-way parallel (r15). The empty `finalize` override here is the
+    * documented HotSpot trivial-finalizer escape: the class is not
+    * registered for finalization, and there is nothing to clean up —
+    * the buffer is plain heap memory. */
+  private[graft] final class ByteArrayImageInputStream(buf: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      checkClosed(); bitOffset = 0
+      if (streamPos >= buf.length) -1
+      else { val b = buf(streamPos.toInt) & 0xff; streamPos += 1; b }
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      checkClosed(); bitOffset = 0
+      if (streamPos >= buf.length) -1
+      else {
+        val n = math.min(len, buf.length - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    }
+    override def length(): Long = buf.length.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+    @annotation.nowarn("cat=deprecation")
+    override protected def finalize(): Unit = {}
+  }
+
   /** One 4×4 grayscale raster through the JDK's JPEG encoder. */
   private[graft] def jpegBytes(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -44,7 +44,7 @@ object PQ {
     * subvectors, each carrying its self-dot. The featurized vectors
     * are materialized FIRST — the M slice expressions would otherwise
     * re-evaluate the featurizer subtree once per subspace. */
-  private def subvecs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def subvecs(spark: SparkSession, sfDir: String): DataFrame =
     Corpus.docEmbeddings(spark, sfDir).localCheckpoint()
       .select(col("vec_id"), explode(array((0 until M).map { m =>
         struct(lit(m).as("m"),
@@ -69,15 +69,25 @@ object PQ {
         first(col("sv")).as("sv"), first(col("xx")).as("xx"))
       .select(col("vec_id"), col("m"), col("sv"), col("xx"), col("cid"))
 
-  /** Exact-decimal per-dimension re-centering of an assignment —
-    * posexplode to (m, cid, dim, x) rows and aggregate ONE decimal
-    * sum (map-side combinable; exact decimal addition is
-    * order-independent, so the row order never matters), then
-    * reassemble the centroid arrays. A SubDim-wide column-per-dim
-    * aggregate computes the same values but costs seconds of codegen
-    * for its SubDim decimal buffers; this is also the oracle's own
-    * unrolled shape. */
-  private def recenter(assigned: DataFrame): DataFrame =
+  /** Exact-decimal per-dimension re-centering of an assignment via
+    * the native [[graft.expressions.VecDecimalSumAgg]] aggregate — one
+    * pass over the subvectors, one partial buffer per ((m, cid) ×
+    * partition) through the shuffle (exact decimal addition is
+    * order-independent, so partial/merge order never matters). Values
+    * bit-identical to the posexplode shape the oracle unrolls
+    * (VecDecimalSumSpec); the explode materialized n·SubDim rows and
+    * hash-probed per element (r15). */
+  private[graft] def recenter(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("m"), col("cid"))
+      .agg(graft.expressions.VecDecimalSumAgg.sumCastDouble(col("sv")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("cid"),
+        transform(col("s"), x => round(x / col("n"), 9)).as("cv"))
+      .withColumn("cc", VectorOps.dot(col("cv"), col("cv")))
+
+  /** The pre-r15 posexplode formulation of [[recenter]] — parity
+    * REFERENCE for VecDecimalSumSpec's bit-equality gate. */
+  private[graft] def recenterExplode(assigned: DataFrame): DataFrame =
     assigned
       .select(col("m"), col("cid"), posexplode(col("sv")))
       .toDF("m", "cid", "i", "x")

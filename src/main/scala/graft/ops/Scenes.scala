@@ -61,6 +61,12 @@ object Scenes {
       col("p_partkey").as("video_id"),
       (lit(12) + pmod(col("p_partkey"), lit(13))).cast("int").as("n_frames"),
       (lit(3) + pmod(col("p_partkey"), lit(4))).cast("int").as("scene_len"))
+      // spread the metadata rows across cores BEFORE the CPU-bound
+      // mux/decode stages — the part scan is one input split at bench
+      // SF, which serialized the whole codec pipeline onto a single
+      // task (r15; guide §2.5, same fix as Phash/Video). Rollups are
+      // order-independent partial aggs, so results are unchanged.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Int, Int)]
       .mapPartitions(_.map { case (id, n, len) =>
         val frames = (0 until n).map(i =>
@@ -75,8 +81,11 @@ object Scenes {
     val pngReader = javax.imageio.ImageIO
       .getImageReadersByFormatName("png").next()
     def decode(frame: Array[Byte]): Array[Int] = {
-      pngReader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(frame)))
+      // finalizer-free stream (Media.ByteArrayImageInputStream): the
+      // per-frame MemoryCacheImageInputStream queued one FINALIZABLE
+      // object per decode — at 32-way parallelism the finalizer
+      // backlog caused multi-second GC stalls (r15)
+      pngReader.setInput(new Media.ByteArrayImageInputStream(frame))
       val img = pngReader.read(0)
       val out = new Array[Int](img.getWidth * img.getHeight)
       val raster = img.getRaster

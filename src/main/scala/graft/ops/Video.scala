@@ -68,6 +68,14 @@ object Video {
     Tables.part(spark, sfDir).select(
       col("p_partkey").as("video_id"),
       (lit(8) + pmod(col("p_partkey"), lit(25))).cast("int").as("n_frames"))
+      // the part scan is ONE input split at bench SF (a few MB of
+      // parquet), which serialized every mux+demux+decode onto a
+      // single task — spread the metadata rows across cores BEFORE
+      // the CPU-bound codec stages (r15; guide §2.5 input skew, the
+      // same fix Phash.imageNearDup already carries). Only (id,
+      // n_frames) rows cross the exchange; every downstream rollup is
+      // an order-independent partial agg, so results are unchanged.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[VideoMeta]
       .mapPartitions(_.map(v =>
         VideoFile(v.video_id, v.n_frames, muxVideo(v.video_id, v.n_frames))))
@@ -88,11 +96,11 @@ object Video {
       .getImageReadersByFormatName("png").next()
     def decodeFrame(frame: Array[Byte]): java.awt.image.BufferedImage =
       if (frame.length >= 8 && (frame(0) & 0xff) == 0x89 && frame(1) == 'P') {
-        // explicit MEMORY-cached stream: the createImageInputStream
-        // convenience spools to a disk cache file per call, which both
-        // costs IO and can fail outright under executor tmpdir churn
-        pngReader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(frame)))
+        // finalizer-free in-memory stream (Media doc): the disk-cache
+        // convenience path costs IO, and the MemoryCache variant
+        // queues one FINALIZABLE object per frame — a GC-stall source
+        // at 32-way parallelism (r15)
+        pngReader.setInput(new Media.ByteArrayImageInputStream(frame))
         pngReader.read(0)
       } else // non-PNG flavors (MJPG) keep the sniffing path
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
