@@ -63,8 +63,13 @@ object Graph {
       redistributeDangling: Boolean): DataFrame = {
     val es = edgeList.cache()
     try {
+      // node count rides the checkpoint job as an observe metric
+      // (r15, the pinPairs trick) — the separate count() was one more
+      // job on metadata-scale data
+      val obsN = org.apache.spark.sql.Observation()
       val nodes = es.select(col("src").as("node"))
         .unionByName(es.select(col("dst").as("node"))).distinct()
+        .observe(obsN, count(lit(1)).as("n"))
         .localCheckpoint()
       val outdeg = es.groupBy(col("src"))
         .agg(count(lit(1)).cast("double").as("deg"))
@@ -72,7 +77,7 @@ object Graph {
       // one count up front (the loop materializes checkpoints anyway —
       // this is an iterative job, not a lazy plan), shared by every
       // iteration instead of a per-iteration 1-row cross join
-      val n = nodes.count().toDouble
+      val n = obsN.get("n").asInstanceOf[Long].toDouble
       val small = n < SmallGraphNodes
       // small graph → rank vector is broadcast-sized and one partition
       // holds it; 3 rounds × 32 shuffle partitions on 2000 nodes was
@@ -189,15 +194,17 @@ object Graph {
       .select(pmod(col("l_orderkey"), lit(TriNodes)).as("a"),
         pmod(col("l_partkey"), lit(TriNodes)).as("b"))
       .where(col("a") =!= col("b"))
+    val obsE = org.apache.spark.sql.Observation()
     val und = raw.select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct()
+      .observe(obsE, count(lit(1)).as("n")) // count rides the checkpoint (r15)
       .localCheckpoint() // reused by degrees + orientation + closing join
     // wedges outnumber edges quadratically-in-degree: when the edge
     // list itself is small, broadcast it to the wedge side so the
     // (much larger) wedge set never shuffles; huge graphs keep the
     // partitioned hash join on (b, c)
-    val smallEdges = und.count() < 2000000L
+    val smallEdges = obsE.get("n").asInstanceOf[Long] < 2000000L
     val deg = und.select(col("u").as("node"))
       .unionByName(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -305,10 +312,12 @@ object Graph {
   private[graft] def hitsOver(edgeList: DataFrame): DataFrame = {
     val es = edgeList.cache()
     try {
+      val obsN = org.apache.spark.sql.Observation()
       val nodes = es.select(col("src").as("node"))
         .unionByName(es.select(col("dst").as("node"))).distinct()
+        .observe(obsN, count(lit(1)).as("n")) // count rides the checkpoint (r15)
         .localCheckpoint()
-      val n = nodes.count().toDouble
+      val n = obsN.get("n").asInstanceOf[Long].toDouble
       val small = n < SmallGraphNodes
       def pin(df: DataFrame): DataFrame =
         (if (small) df.coalesce(1) else df).localCheckpoint()

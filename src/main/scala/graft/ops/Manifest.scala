@@ -51,9 +51,15 @@ object Manifest {
 
     // stage 2: train the NB gate on the survivors, score them, keep
     // llr > 0 (identical math to q166, over docs2)
+    // materialized ONCE (r15): the token relation feeds BOTH the model
+    // training counts and the per-doc scoring join below, and each
+    // consumer otherwise re-runs the scan → fingerprint-dedup →
+    // explode chain (two ~2.3 s jobs at sf0.1 doing identical work).
+    // The checkpoint holds slim (id, source, flag, token) rows.
     val toks = docs2.select(col("doc_id"), col("source"),
       col("source").isin(Bayes.CuratedSources: _*).as("curated"),
       explode(TextOps.tokens(col("text"))).as("tok"))
+      .localCheckpoint()
     val m = Bayes.model(spark, toks)
     val weights = m.groupBy(col("bin")).agg(
       (sum(when(col("curated"), col("lp")).otherwise(lit(0.0)))

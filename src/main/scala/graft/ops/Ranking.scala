@@ -430,13 +430,17 @@ object Ranking {
     val tfRank = Window.orderBy(col("cosine").desc, col("doc_id"))
     // materialize each ranking before fusing: both rankers scan and
     // aggregate the same tokenized corpus, and a composed plan
-    // re-inlines those stages per join side instead of reusing them
-    val bm = bm25(spark, sfDir)
-      .withColumn("rank_bm25", row_number().over(bmRank))
-      .select(col("doc_id"), col("rank_bm25")).localCheckpoint()
-    val tf = tfidf(spark, sfDir)
-      .withColumn("rank_tfidf", row_number().over(tfRank))
-      .select(col("doc_id"), col("rank_tfidf")).localCheckpoint()
+    // re-inlines those stages per join side instead of reusing them.
+    // The two ranker chains are independent, so they materialize on
+    // concurrent driver threads (r15; guide §2.6 — values are
+    // scheduling-independent, only the interleaving changes).
+    val Seq(bm, tf) = Par.run(
+      () => bm25(spark, sfDir)
+        .withColumn("rank_bm25", row_number().over(bmRank))
+        .select(col("doc_id"), col("rank_bm25")).localCheckpoint(),
+      () => tfidf(spark, sfDir)
+        .withColumn("rank_tfidf", row_number().over(tfRank))
+        .select(col("doc_id"), col("rank_tfidf")).localCheckpoint())
     bm.join(tf, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(RrfC.toDouble) + col("rank_bm25")), lit(0.0))
