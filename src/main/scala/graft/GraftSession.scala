@@ -38,6 +38,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming checkpoint logs (offset/commit WAL, state changelog
+      // uploads, file-source/sink metadata) default to the
+      // FileContext-based manager, whose local-FS rename path calls
+      // RawLocalFileSystem.readLink — a fork+exec of a shell command
+      // PER RENAME (driver thread dumps during q162 showed
+      // Shell.runCommand under HDFSMetadataLog.write on every
+      // micro-batch commit; 33/6-dump hits). The FileSystem-based
+      // manager renames via File.renameTo — no subprocess, same
+      // atomic-rename semantics on a local FS. Scoped to this builder
+      // (local-mode sessions with tmpfs-local checkpoints); a cluster
+      // deployment on HDFS/S3 keeps Spark's default manager choice.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
     scratchDir.fold(b)(d => b.config("spark.local.dir", d))
   }

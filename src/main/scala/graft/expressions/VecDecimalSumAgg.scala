@@ -43,6 +43,22 @@ import org.apache.spark.sql.types._
   *     Accumulators are longs with lazy BigInteger escalation on
   *     overflow (declared corpora stay far inside long range; the
   *     escalation keeps the 100 TB story exact rather than capped).
+  *     DELIBERATE divergence beyond that (ADVICE r15): the explode
+  *     shape's `sum` widens to decimal(38,12) and ANSI-throws once a
+  *     per-dimension sum exceeds 38 digits, while this accumulator
+  *     keeps going exactly — at that extreme the two shapes differ as
+  *     throw vs correct value, and the exact value is the contract
+  *     this aggregate declares.
+  *   - null ELEMENTS are skipped (isNullAt guard), matching the
+  *     explode shape where `sum` ignores the null rows posexplode
+  *     emits for them. A row whose whole vector is null contributes
+  *     nothing here too; note the CALLER-side divergence that a
+  *     `count(lit(1))` companion still counts such a row while the
+  *     explode shape's (key, i) group never sees it — callers that
+  *     admit null vectors must count with `count(col("v"))`. Ragged
+  *     widths THROW (declared contract: one fit processes one
+  *     fixed-dimension corpus; the explode shape's (key, i) grouping
+  *     would silently mix widths instead).
   *   - `cast(sum as double)` = `new BigDecimal(unscaled, 12)
   *     .doubleValue()` — same value, same rounding.
   * The divide-by-count and `round(…, 9)` stay OUTSIDE the aggregate
@@ -77,8 +93,16 @@ case class VecDecimalSumAgg(
       b.ensure(d)
       var i = 0
       while (i < d) {
-        val x = arr.getDouble(i)
-        if (x != 0.0) b.add(i, x)
+        // null-element guard (r16, VERDICT r15 #6): the explode shape's
+        // `sum(cast(x as decimal))` SKIPS null elements — posexplode
+        // emits them as null rows and sum ignores nulls — so the
+        // native walk must skip them too, not read the slot's
+        // undefined bytes through getDouble. Declared corpora are
+        // non-null; the guard pins parity for any future nullable one.
+        if (!arr.isNullAt(i)) {
+          val x = arr.getDouble(i)
+          if (x != 0.0) b.add(i, x)
+        }
         i += 1
       }
     }

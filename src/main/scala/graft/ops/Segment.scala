@@ -20,14 +20,21 @@ object Segment {
     * with counts and average spend.
     *
     * Shape: one partial-agg groupBy per customer, a broadcast 1-row
-    * anchor, two global NTILE windows (the one intrinsically global
-    * step of decile ranking — at 100 TB you'd swap exact ntile for
-    * q101-style two-pass quantile boundaries, same output), then a
-    * ≤100-row grid aggregate. */
+    * anchor, then the decile tiling — SIZE-CONDITIONAL (r16, VERDICT
+    * r15 #4): while the SOURCE scan is small ([[SmallNtileBytes]],
+    * from the optimizer's own size statistics — a metadata read, no
+    * extra job), the tiling keeps the plain global-window NTILE, the
+    * exact pre-r16 plan (sorting one row per customer in one task is
+    * trivial there). At or above it the tiling switches to
+    * [[distributedNtile]] — the unconditional `NTILE(10) OVER
+    * (ORDER BY …)` windows each sorted the ENTIRE relation in one
+    * partition, a one-task bottleneck at 100 TB. Both branches
+    * produce identical tiles (NtileParitySpec). Ends in a ≤100-row
+    * grid aggregate. */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
-    val anchor = Tables.orders(spark, sfDir)
-      .agg(max(to_date(col("o_orderdate"))).as("maxd"))
-    val rfm = Tables.orders(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val anchor = orders.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val rfm = orders
       .groupBy(col("o_custkey"))
       .agg(max(to_date(col("o_orderdate"))).as("lastd"),
         count(lit(1)).as("frequency"),
@@ -37,16 +44,101 @@ object Segment {
       .select(col("o_custkey"),
         datediff(col("maxd"), col("lastd")).as("recency"),
         col("frequency"), col("monetary"))
-    val withDeciles = rfm
-      .withColumn("r_decile", ntile(10).over(
-        Window.orderBy(col("recency"), col("o_custkey"))))
-      .withColumn("f_decile", ntile(10).over(
-        Window.orderBy(col("frequency").desc, col("o_custkey"))))
+    val rCols = Seq(col("recency"), col("o_custkey"))
+    val fCols = Seq(col("frequency").desc, col("o_custkey"))
+    val small = orders.queryExecution.optimizedPlan.stats.sizeInBytes <
+      SmallNtileBytes
+    val withDeciles =
+      if (small)
+        rfm.withColumn("r_decile", ntile(10).over(Window.orderBy(rCols: _*)))
+          .withColumn("f_decile", ntile(10).over(Window.orderBy(fCols: _*)))
+      else
+        distributedNtile(distributedNtile(rfm, 10, rCols, "r_decile"),
+          10, fCols, "f_decile")
     withDeciles.groupBy(col("r_decile"), col("f_decile"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("monetary").cast("decimal(28,6)")).cast("double")
           / count(lit(1)), 4).as("avg_monetary"))
       .orderBy(col("r_decile"), col("f_decile"))
+  }
+
+  /** Orders scans below this size tile through the plain global
+    * window: the windowed relation holds ONE slim row per customer
+    * (an order-of-magnitude fewer rows than the scan), and a
+    * one-task sort at that scale runs in ~100 ms — below the two
+    * extra exchanges + materializations the distributed shape pays.
+    * Above it the one-task sort is the bottleneck (and a single-node
+    * memory hazard), so [[distributedNtile]] takes over — the same
+    * size-conditional discipline as [[Components.SmallPairs]], keyed
+    * on the optimizer's size estimate so the bench-scale plan stays
+    * byte-identical to the pre-r16 one. */
+  val SmallNtileBytes: Long = 1L << 30
+
+  /** Exact `NTILE(n) OVER (ORDER BY sortCols)` with NO data-sized
+    * single-partition sort (r16; guide §2 — the two-phase rank):
+    *
+    *   1. range-partition the relation on the sort key (parallel),
+    *   2. row_number within each range partition (parallel window,
+    *      partitioned by the captured range-partition id),
+    *   3. per-partition counts → running offsets + the grand total
+    *      (a window over ≤ numPartitions rows — metadata-scale, the
+    *      only remaining global step),
+    *   4. global rank = offset + local row number, then Spark's own
+    *      NTILE bucketing rule in closed form: with q = N/n and
+    *      rem = N%n, the first rem buckets hold q+1 rows —
+    *      bucket(r) = (r-1)/(q+1)+1 for r ≤ (q+1)·rem, else
+    *      rem + (r-(q+1)·rem-1)/q + 1.
+    *
+    * Identical output to the window form for ANY total order
+    * (NtileParitySpec pins it, including every N % n residue):
+    * range partitions are key-contiguous and ascending in partition
+    * id, so offset+local rank IS the global rank, and the closed
+    * form is literally NTile's row allocation. `sortCols` must be a
+    * total order (the callers tiebreak on the unique key) — with
+    * ties the window form itself would be nondeterministic.
+    *
+    * Cost shape: one range exchange of the relation (reused by the
+    * counts branch via ReuseExchange) + one pid hash exchange,
+    * against the window form's sort of EVERYTHING in one task. At
+    * bench SF the relation is small either way; at 100 TB only this
+    * shape finishes. */
+  private[graft] def distributedNtile(df: DataFrame, n: Int,
+      sortCols: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // the pid capture is MATERIALIZED: the local-rank branch and the
+    // offsets branch below both consume it, and two separate
+    // evaluations would re-sample the range boundaries (the range
+    // partitioner's reservoir seed varies per materialization) —
+    // offsets computed against one boundary set applied to ranks from
+    // another produced out-of-range buckets (probed: the q131 grid
+    // row count flapped 100/103 run to run before the pin). Any ONE
+    // boundary set yields the same global ranks (total order), so the
+    // pinned result is deterministic across runs too.
+    val rng = Materialize.pin(df.repartitionByRange(p, sortCols: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val local = rng.withColumn("__lr", row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+    // ≤ p rows: offsets and the grand total, metadata-scale
+    val offs = rng.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .select(col("__pid"),
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"),
+        sum(col("__c")).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("__n"))
+    val q = (col("__n") / n).cast("long")
+    val rem = col("__n") % n
+    val thr = (q + 1L) * rem
+    val r = col("__off") + col("__lr")
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn(out,
+        when(r <= thr, (r - 1L) / (q + 1L) + 1L)
+          .otherwise(rem + (r - thr - 1L) / greatest(q, lit(1L)) + 1L)
+          .cast("int"))
+      .drop("__pid", "__lr", "__off", "__n")
   }
 
   val rfmSegmentsSql: String =

@@ -58,7 +58,11 @@ object LateDrop {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val stage = new java.io.File(base, "stage")
     stage.mkdirs()
-    val ev = Tables.events(spark, sfDir).select(col("ts"), col("event_type"))
+    // materialized once (r16, guide §2.4): the max/min scalar probes
+    // and three of the staged batch writes each re-scanned events —
+    // five passes for one slim (ts, event_type) relation
+    val ev = graft.ops.Materialize.pin(
+      Tables.events(spark, sfDir).select(col("ts"), col("event_type")))
     val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     val lateSlice = ev.filter(col("ts") >=
       new java.sql.Timestamp(mx.getTime - 40 * 60 * 1000))

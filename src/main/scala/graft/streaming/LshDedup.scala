@@ -131,7 +131,11 @@ object LshDedup {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val stage = new java.io.File(base, "stage")
     stage.mkdirs()
-    val docs = Dedup.corpusNear(spark, sfDir)
+    // materialize the corpus once (r16, guide §2.4): the four staged
+    // writes below each re-ran the corpusNear union + text scan and
+    // the coalesce(1) collapsed each of those scans to ONE task; off
+    // the pin they are cheap block reads
+    val docs = graft.ops.Materialize.pin(Dedup.corpusNear(spark, sfDir))
     (0 until StreamBatches).foreach { b =>
       val tmp = s"$base/tmp$b"
       docs.filter(pmod(col("doc_id"), lit(StreamBatches.toLong)) === b)
@@ -151,8 +155,16 @@ object LshDedup {
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(stage.getAbsolutePath).as[Doc]
+    // spread the CPU-bound signature pass (tokenize + 16 minhash
+    // perms per doc in [[bandKeys]]) across the cores: each staged
+    // file is ONE input split, so without this every micro-batch
+    // computed its signatures in a single task (guide §2.5 input
+    // skew — the r15 video-codec fix, applied to the stream). The
+    // per-bucket canonical is a min over the batch, so the batch
+    // SPLIT alone fixes the answer; partitioning within it cannot.
+    val par = src.repartition(spark.sparkContext.defaultParallelism)
     val q = StreamTune.withStatePartitions(spark) {
-      assignCanonical(src).writeStream
+      assignCanonical(par).writeStream
         .outputMode("append").format("parquet")
         .option("path", s"$base/assign")
         .option("checkpointLocation", s"$base/ckpt")

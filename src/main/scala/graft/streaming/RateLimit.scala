@@ -156,7 +156,10 @@ object RateLimit {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val stage = new java.io.File(base, "stage")
     stage.mkdirs()
-    val cand = candidates(spark, sfDir)
+    // materialized once (r16, guide §2.4): the four per-tick staged
+    // writes each re-ran the two-way documents union under a
+    // coalesce(1) single task; off the pin they are block reads
+    val cand = graft.ops.Materialize.pin(candidates(spark, sfDir))
     (0 until VTicks).foreach { b =>
       val tmp = s"$base/tmp$b"
       cand.filter(col("vtime") === b.toLong)

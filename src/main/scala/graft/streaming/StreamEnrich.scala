@@ -33,8 +33,11 @@ object StreamEnrich {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val stage = new java.io.File(base, "stage")
     stage.mkdirs()
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("user_id"), col("value"))
+    // materialized once (r16, guide §2.4): the four staged writes
+    // each re-scanned the events table under a coalesce(1) single
+    // task; off the pin they are block reads
+    val ev = graft.ops.Materialize.pin(Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value")))
     (0 until StreamBatches).foreach { b =>
       val tmp = s"$base/tmp$b"
       ev.filter(pmod(col("event_id"), lit(StreamBatches.toLong)) === b)

@@ -50,7 +50,16 @@ object StreamTune {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-      "true")
+      "true",
+    // r16: RocksDB's row-count tracking issues one GET per PUT/DELETE
+    // just to maintain the numRowsTotal progress metric — on the
+    // stream-stream join (4 stores/partition, a put per input row)
+    // that doubled per-batch state work (probed q210 jobSum
+    // 9.8 → 2.7 s with the manager fix stacked). The metric is
+    // observability-only; answers are unaffected. Production keeps it
+    // off for the same reason unless the dashboard needs the count.
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" ->
+      "false")
 
   def withStatePartitions[T](spark: SparkSession,
       n: Int = ReplayPartitions)(f: => T): T = {

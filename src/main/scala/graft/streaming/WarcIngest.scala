@@ -69,6 +69,13 @@ object WarcIngest {
       .schema("file_id BIGINT, content BINARY")
       .option("maxFilesPerTrigger", 1)
       .parquet(stage).as[Warc.WarcFile]
+    // NOT repartitioned before the per-batch work (r16 probe): the
+    // q157-style within-batch repartition was tried in BOTH
+    // placements — on the container stream (payload bytes cross the
+    // exchange) and on the routed items — and both came out ~10%
+    // SLOWER than the single-split scan: this pipeline's per-batch
+    // cost is the upsert's corpus rewrite, not the decode/embed, so
+    // the extra exchange buys parallelism nothing here (§2.3).
     // NOT StreamTune-scoped: this pipeline is stateless (file source +
     // foreachBatch embed/upsert) — fewer shuffle partitions would cut
     // the embedding stage's parallelism with no state commits to save

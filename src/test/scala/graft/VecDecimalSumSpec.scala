@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Bit-equality gate for the r15 native re-centering aggregate
-  * ([[graft.functions.VecDecimalSum]]) against the posexplode +
+  * ([[graft.expressions.VecDecimalSumAgg]]) against the posexplode +
   * decimal-hash-agg shape it replaced: every declared k-means /
   * PQ oracle hash depends on these means being IDENTICAL, so the
   * comparison is on raw double BITS, not approximate equality. */
@@ -73,6 +73,41 @@ class VecDecimalSumSpec extends SparkSpec {
     intercept[Throwable] {
       KMeans.updateDocByExplode(bad, Seq("cid")).collect()
     }
+  }
+
+  test("null elements are skipped, matching the explode shape (r16)") {
+    import spark.implicits._
+    // posexplode emits a null row per null element and `sum` skips it
+    // while `count(lit(1))` still counts the row — the native walk
+    // must reproduce exactly that (isNullAt guard, VERDICT r15 #6)
+    val rows = (0 until 300).map { r =>
+      val v: Seq[java.lang.Double] = (0 until 8).map { i =>
+        if ((r + i) % 11 == 0) null
+        else java.lang.Double.valueOf(math.cos(r * 8 + i) * 3.7)
+      }
+      (r % 3, v)
+    }
+    val assigned = rows.toDF("cid", "v").localCheckpoint()
+    assertSame(
+      KMeans.updateDocBy(assigned, Seq("cid")),
+      KMeans.updateDocByExplode(assigned, Seq("cid")), Seq("cid"))
+  }
+
+  test("ragged vector widths fail loudly (declared contract, r16)") {
+    import spark.implicits._
+    // one fit processes one fixed-dimension corpus; the explode
+    // shape's (key, i) grouping would silently mix widths instead —
+    // the native aggregate throws, and the scaladoc declares it
+    val ragged = Seq((0, Seq(1.0, 2.0)), (0, Seq(1.0, 2.0, 3.0)))
+      .toDF("cid", "v").localCheckpoint()
+    val e = intercept[Throwable] {
+      KMeans.updateDocBy(ragged, Seq("cid")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("ragged")),
+      s"expected the ragged-input message, got: ${msgs(e)}")
   }
 
   test("PQ recenter ≡ explode shape on the real subvector corpus") {
